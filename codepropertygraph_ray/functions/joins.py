@@ -1,0 +1,101 @@
+"""Join strategies — broadcast vs shuffle, chosen by side size.
+
+The reference's linking passes build in-memory name→node maps over the whole
+graph and probe them per row (`semanticcpg/.../linking/linker/Linker.scala:
+19-22,122-130`; `CallLinker.scala:42-51`). The Ray-native split
+(SURVEY.md §2.6):
+
+* **broadcast join** — the dimension side (entity vocab, canonical map,
+  tool/speaker dims) is vocab-scale, orders of magnitude smaller than the
+  fact stream. ``ray.put`` it ONCE; every map task reads it zero-copy from
+  the object store (never re-shipped per batch) and does a vectorized
+  pandas merge per batch. No shuffle of the big side at all.
+* **shuffle hash join** — both sides large → ``Dataset.join`` (Ray's
+  hash-partitioned join). Caller picks ``num_partitions``; salt hot keys
+  upstream when skewed.
+
+``join_auto`` picks broadcast when the small side is under a byte budget.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray
+
+
+# Per-worker-process cache of deserialized broadcast objects: ``ray.get``
+# re-deserializes on every call, so a hot stage must memoize. One entry per
+# ObjectRef per worker process — the once-per-worker setup the reference gets
+# from per-thread pass state (`Linker.scala:122-130` builds its maps once).
+_BROADCAST_CACHE: dict[bytes, object] = {}
+
+
+def get_broadcast(ref):
+    key = ref.binary()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def broadcast_join(ds, small, on, right_on=None, how="left",
+                   batch_size: int = 65536):
+    """ds ⟕ small — the map-side join. ``small`` must fit in worker heap.
+
+    Stateless tasks (NOT an actor pool): a broadcast probe needs no per-actor
+    state beyond the cached small side, and stateless tasks can't starve
+    sibling stages of CPUs the way a fleet of reserved actors can (several
+    broadcast joins compose in one pipeline). The indexed probe side is
+    built once on the driver and ``ray.put`` once; workers memoize the
+    deserialized frame via ``get_broadcast``.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    ref = ray.put(small.set_index(right_on))
+
+    def _join(batch: pd.DataFrame) -> pd.DataFrame:
+        probe = get_broadcast(ref)
+        return batch.join(probe, on=on, how=how, rsuffix="_r").reset_index(drop=True)
+
+    return ds.map_batches(_join, batch_format="pandas", batch_size=batch_size)
+
+
+def broadcast_semi_filter(ds, keys, on: str, keep: bool = True, batch_size: int = 65536):
+    """Semi/anti join: broadcast the key *set* and filter inside map_batches
+    (the guide's 'semi/anti = broadcast key set' pattern; at extreme scale
+    substitute a Bloom filter of the keys)."""
+    ref = ray.put(frozenset(keys))
+
+    def _filter(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = get_broadcast(ref)
+        mask = batch[on].isin(ks)
+        return batch[mask if keep else ~mask]
+
+    return ds.map_batches(_filter, batch_format="pandas", batch_size=batch_size)
+
+
+# ~256 MB: a broadcast side bigger than this should shuffle instead
+BROADCAST_BYTES_LIMIT = 256 * 1024 * 1024
+
+
+def join_auto(left, right, on, right_on=None, how: str = "left",
+              num_partitions: int = 32):
+    """Size-aware join: broadcast the right side when small, else shuffle.
+
+    ``right`` may be a pandas DataFrame (always broadcast) or a Dataset
+    (size probed via ``size_bytes``).
+    """
+    if isinstance(right, pd.DataFrame):
+        if right.memory_usage(deep=True).sum() <= BROADCAST_BYTES_LIMIT:
+            return broadcast_join(left, right, on=on, right_on=right_on, how=how)
+        import ray.data
+
+        right = ray.data.from_pandas(right)
+    sz = right.size_bytes()
+    if sz is not None and sz <= BROADCAST_BYTES_LIMIT:
+        return broadcast_join(left, right.to_pandas(), on=on, right_on=right_on, how=how)
+    ray_how = {"left": "left_outer", "inner": "inner"}.get(how, how)
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    ron_t = None if right_on is None else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
+    return left.join(right, ray_how, num_partitions, on=on_t, right_on=ron_t)

@@ -1,0 +1,52 @@
+"""Deterministic content-hash node ids.
+
+The reference pre-assigns id *ranges* per stage/part with ``KeyPool``
+(`codepropertygraph/.../passes/KeyPool.scala:23-99`, split per part in
+`CfgCreationPass.scala:28-29`) so that ids are stable across runs — and its
+`StableOutputTests.scala:8-29` makes that determinism an explicit spec.
+
+On Ray, partition assignment is not stable, so interval pools cannot give
+run-stable ids. We instead derive every node id from its *content key*
+(``label + canonical key``) with a keyed SipHash — order-free, partition-free,
+identical at any parallelism level. Vectorized via
+``pandas.util.hash_pandas_object`` (C-level SipHash-1-3 with a fixed key),
+so id assignment never loops over Python rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# Fixed 16-byte SipHash key — part of the format, never change.
+_HASH_KEY = "cpg-ray-kg-v1-00"
+_SEP = "\x1f"
+_POS_MASK = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+
+
+def hash_series(parts: list[pd.Series | np.ndarray | list]) -> np.ndarray:
+    """Hash the element-wise concatenation of string parts → positive int64.
+
+    All parts must be string-like and the same length (scalars broadcast via
+    pandas). Collisions: 2^-63 per pair — negligible at 10^12 rows relative
+    to other failure modes, and identical keys *must* collide (that is the
+    dedup semantics, cf. NodeFilter.scala:12-27).
+    """
+    joined = None
+    for p in parts:
+        s = p if isinstance(p, pd.Series) else pd.Series(p, dtype="object")
+        # positional semantics — drop any incoming index to avoid alignment
+        s = s.reset_index(drop=True).astype("string").fillna("")
+        joined = s if joined is None else joined + _SEP + s
+    h = pd.util.hash_pandas_object(joined, index=False, hash_key=_HASH_KEY)
+    return (h.to_numpy(dtype=np.uint64) & _POS_MASK).view(np.int64)
+
+
+def node_ids(label: str, keys: pd.Series | np.ndarray | list) -> np.ndarray:
+    """id = siphash(label ␟ key) — one id per canonical (label, key) pair."""
+    n = len(keys)
+    return hash_series([pd.Series([label] * n, dtype="object"), keys])
+
+
+def node_id_scalar(label: str, key: str) -> int:
+    return int(node_ids(label, [key])[0])

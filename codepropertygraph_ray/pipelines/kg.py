@@ -1,0 +1,533 @@
+"""The flagship pipeline: transcripts → knowledge graph (nodes/edges/triples).
+
+Ray-Data transposition of the reference's build lifecycle (SURVEY.md §3.4):
+
+    read_parquet(transcripts)                       # S1 loader analog
+      → sort(conv_id, turn_idx)                     # stable turn order (per-row invariant)
+      → map_batches(TurnExtractor actor pool)       # F3/F4 base construction
+      → entity dimension (partial agg + groupby)    # F7/F8 TypeNodePass analog
+      → canonicalization (union-find over aliases)  # O14/NodeFilter generalized
+      → linking (broadcast joins)                   # O5/O10 Linker/CallLinker analog
+      → materialize nodes/edges (+ per-conv passes) # S8 + F5 CfgCreationPass analog
+      → schema-facts validation                     # cpgvalidator analog
+
+Each step is an overlay pass (numbered parquet delta dir + ledger,
+`ProtoCpgLoader.scala:57-75` semantics) so the job is resumable per pass and
+every delta carries per-file row-count metrics (lineage).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .. import ids, schema
+from ..functions.cc import canonical_map
+from ..functions.joins import broadcast_join
+from ..sources.transcripts import ensure_transcripts
+from ..stages.extract import TurnExtractor
+from .passes import Pass, PassContext, PipelineRunner
+
+DEFAULT_PARAMS = {
+    "num_partitions": 16,  # hash-join/shuffle width
+    "extract_concurrency": None,  # None = size to cluster, leaving headroom
+    "extract_batch_size": 8192,
+    "cc_distributed": None,  # None = auto by edge count
+}
+
+
+def _p(ctx: PassContext, key: str):
+    v = ctx.params.get(key, DEFAULT_PARAMS[key])
+    if key == "extract_concurrency" and v is None:
+        import ray
+
+        # leave ≥2 CPUs for the read/sort/write stages so the actor pool
+        # never starves the rest of the streaming pipeline
+        v = max(1, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# pass 00 — base extraction
+# ---------------------------------------------------------------------------
+
+
+def run_base(ctx: PassContext) -> dict:
+    """Stable-sorted read + actor-pool extraction → long record table."""
+    import ray.data
+
+    ds = ray.data.read_parquet(ensure_transcripts(ctx.sf_dir))
+    ds = ds.sort(["conv_id", "turn_idx"])  # the mandated stable order
+    records = ds.map_batches(
+        TurnExtractor,
+        batch_format="pandas",
+        batch_size=_p(ctx, "extract_batch_size"),
+        concurrency=_p(ctx, "extract_concurrency"),
+    )
+    return {"records": records}
+
+
+# ---------------------------------------------------------------------------
+# pass 01 — entity dimension (distinct mention keys, partial-agg first)
+# ---------------------------------------------------------------------------
+
+
+def run_entities(ctx: PassContext) -> dict:
+    """Distinct mention keys + counts. Pre-aggregates inside map_batches so
+    the groupby shuffles key partials, not raw mentions (SURVEY.md §2.5,
+    the `Global.usedTypes` → emitted-column + aggregate replacement)."""
+    from ray.data.aggregate import Sum
+
+    records = ctx.read("base", "records", columns=["kind", "key"])
+
+    def partial_counts(t: pd.DataFrame) -> pd.DataFrame:
+        m = t.loc[t["kind"] == "mention", "key"].value_counts()
+        return pd.DataFrame({"key": m.index, "n": m.to_numpy(np.int64)})
+
+    partials = records.map_batches(partial_counts, batch_format="pandas")
+    entity_keys = partials.groupby("key").aggregate(Sum("n", alias_name="n_mentions"))
+    return {"entity_keys": entity_keys}
+
+
+# ---------------------------------------------------------------------------
+# pass 02 — canonicalization (alias pairs → union-find → canonical map)
+# ---------------------------------------------------------------------------
+
+
+def run_canonicalize(ctx: PassContext) -> dict:
+    """Alias pairs → connected components → (node, component) map.
+
+    The map is a vocab-scale dimension table; it is emitted as a delta and
+    *broadcast* into later link stages (never re-shuffled per batch)."""
+    records = ctx.read("base", "records", columns=["kind", "pred", "key", "obj_key"])
+
+    def alias_pairs(t: pd.DataFrame) -> pd.DataFrame:
+        f = t[(t["kind"] == "fact") & (t["pred"] == schema.ALIAS_PRED)]
+        out = pd.DataFrame({"a": f["key"], "b": f["obj_key"]})
+        return out.drop_duplicates()  # per-batch partial dedup
+
+    pairs = records.map_batches(alias_pairs, batch_format="pandas")
+    import pyarrow as pa
+
+    cmap = canonical_map(
+        pairs,
+        distributed=_p(ctx, "cc_distributed"),
+        num_partitions=_p(ctx, "num_partitions"),
+    )
+    return {"canon_map": pa.Table.from_pandas(cmap, preserve_index=False)}
+
+
+# ---------------------------------------------------------------------------
+# pass 03 — linking: canonical triples + mention→entity links
+# ---------------------------------------------------------------------------
+
+
+def _dedup_triples(triples):
+    """Exact (subj,pred,obj) dedup keeping the earliest stating turn —
+    min over a composite sort key (NodeFilter.scala:12-27 first-wins analog,
+    made order-free)."""
+    from ray.data.aggregate import Min
+
+    def with_sortkey(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["sortkey"] = t["conv_id"] + "|" + t["turn_idx"].astype(np.int64).astype(str).str.zfill(9)
+        t = t.drop(columns=["conv_id", "turn_idx"])
+        # per-batch partial min — the combiner before the groupby shuffle
+        return t.groupby(["subj", "pred", "obj"], as_index=False)["sortkey"].min()
+
+    def split_sortkey(t: pd.DataFrame) -> pd.DataFrame:
+        parts = t["sortkey"].str.rsplit("|", n=1, expand=True)
+        t = t.drop(columns=["sortkey"])
+        t["conv_id"] = parts[0]
+        t["turn_idx"] = parts[1].astype(np.int32)
+        return t
+
+    return (
+        triples.map_batches(with_sortkey, batch_format="pandas")
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Min("sortkey", alias_name="sortkey"))
+        .map_batches(split_sortkey, batch_format="pandas")
+    )
+
+
+def run_link(ctx: PassContext) -> dict:
+    """Broadcast-join the canonical map onto facts and mentions.
+
+    Linker/CallLinker analog (`Linker.scala:122-130` builds driver maps and
+    probes per row; here: `ray.put` once, vectorized merge per batch).
+    Unresolved keys keep themselves (log-and-continue soft-fail,
+    `Linker.scala:244-266` — no row is dropped)."""
+    cmap = ctx.read_table("canonicalize", "canon_map").to_pandas()
+    canon = cmap.rename(columns={"node": "key", "component": "canon"})
+
+    facts = ctx.read(
+        "base", "records", columns=["kind", "pred", "key", "obj_key", "conv_id", "turn_idx"]
+    ).map_batches(lambda t: t[t["kind"] == "fact"], batch_format="pandas")
+
+    linked = broadcast_join(facts, canon, on="key")
+    linked = broadcast_join(
+        linked, canon.rename(columns={"key": "obj_key", "canon": "obj_canon"}), on="obj_key"
+    )
+
+    def finish_facts(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["subj"] = t["canon"].fillna(t["key"])
+        t["obj"] = t["obj_canon"].fillna(t["obj_key"])
+        return t[["subj", "pred", "obj", "conv_id", "turn_idx"]]
+
+    all_facts = linked.map_batches(finish_facts, batch_format="pandas")
+    # linked_keys: canonical keys that participate in ANY fact (incl. alias)
+    # → drives is_external (placeholder-entity) flags in materialize
+    from ray.data.aggregate import Count
+
+    def fact_keys(t: pd.DataFrame) -> pd.DataFrame:
+        ks = pd.concat([t["subj"], t["obj"]], ignore_index=True).drop_duplicates()
+        return pd.DataFrame({"canon": ks})
+
+    linked_keys = (
+        all_facts.map_batches(fact_keys, batch_format="pandas")
+        .groupby("canon")
+        .aggregate(Count(alias_name="n_facts"))
+    )
+
+    triples = _dedup_triples(
+        all_facts.map_batches(
+            lambda t: t[t["pred"] != schema.ALIAS_PRED], batch_format="pandas"
+        )
+    )
+
+    mentions = ctx.read(
+        "base", "records", columns=["kind", "conv_id", "turn_idx", "ordinal", "surface", "key"]
+    ).map_batches(lambda t: t[t["kind"] == "mention"], batch_format="pandas")
+    mention_links = broadcast_join(mentions, canon, on="key").map_batches(
+        lambda t: t.assign(canon=t["canon"].fillna(t["key"]))[
+            ["conv_id", "turn_idx", "ordinal", "surface", "key", "canon"]
+        ],
+        batch_format="pandas",
+    )
+    return {"triples": triples, "mention_links": mention_links, "linked_keys": linked_keys}
+
+
+# ---------------------------------------------------------------------------
+# pass 04 — materialize CPG-shaped nodes + edges
+# ---------------------------------------------------------------------------
+
+
+def _empty_str(n: int) -> pd.Series:
+    return pd.Series([None] * n, dtype="object")
+
+
+def _as_np(v):
+    """Positional semantics: strip pandas indexes before frame assembly."""
+    return v.to_numpy() if isinstance(v, pd.Series) else v
+
+
+def _nodes_frame(n: int, **cols) -> pd.DataFrame:
+    out = pd.DataFrame(
+        {
+            "id": _as_np(cols["id"]),
+            "label": _as_np(cols["label"]),
+            "name": _as_np(cols.get("name", _empty_str(n))),
+            "full_name": _as_np(cols.get("full_name", _empty_str(n))),
+            "code": _as_np(cols.get("code", _empty_str(n))),
+            "order": pd.array(_as_np(cols.get("order", [None] * n)), dtype="Int32"),
+            "conv_id": _as_np(cols.get("conv_id", _empty_str(n))),
+            "turn_idx": pd.array(_as_np(cols.get("turn_idx", [None] * n)), dtype="Int32"),
+            "is_external": pd.array(_as_np(cols.get("is_external", [None] * n)), dtype="boolean"),
+            "overlay": _as_np(cols["overlay"]),
+        }
+    )
+    return out
+
+
+def _edges_frame(n: int, **cols) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "src": _as_np(cols["src"]),
+            "dst": _as_np(cols["dst"]),
+            "label": _as_np(cols["label"]),
+            "variable": _as_np(cols.get("variable", _empty_str(n))),
+            "order": pd.array(_as_np(cols.get("order", [None] * n)), dtype="Int32"),
+            "overlay": _as_np(cols["overlay"]),
+        }
+    )
+
+
+def _turn_key(conv, idx) -> pd.Series:
+    c = pd.Series(_as_np(conv)).astype(str)
+    i = pd.Series(_as_np(idx)).astype(np.int64).astype(str)
+    return c + ":" + i
+
+
+def run_materialize(ctx: PassContext) -> dict:
+    """Emit the nodes and edges tables (NODES_SCHEMA / EDGES_SCHEMA).
+
+    All ids are content hashes (ids.py) so every stage can mint the id of
+    any node it references without coordination — the replacement for the
+    reference's KeyPool + single-writer apply (`ParallelCpgPass.scala:86-121`).
+    Per-conversation NEXT_TURN edges come from a `groupby(conv_id).map_groups`
+    — the CfgCreationPass per-method pattern (`CfgCreationPass.scala:28-36`).
+    """
+    import ray.data
+
+    overlay = "materialize"
+
+    # --- turn-level nodes/edges from the (text-pruned!) transcript read ----
+    turns = ray.data.read_parquet(
+        ensure_transcripts(ctx.sf_dir), columns=["conv_id", "turn_idx", "role", "tool"]
+    )
+
+    def turn_nodes(t: pd.DataFrame) -> pd.DataFrame:
+        n = len(t)
+        tk = _turn_key(t["conv_id"], t["turn_idx"])
+        return _nodes_frame(
+            n,
+            id=ids.hash_series([pd.Series(["TURN"] * n), tk]),
+            label=schema.TURN,
+            name=tk,
+            full_name=tk,
+            order=t["turn_idx"].to_numpy(),
+            conv_id=t["conv_id"].to_numpy(),
+            turn_idx=t["turn_idx"].to_numpy(),
+            overlay=overlay,
+        )
+
+    def turn_edges(t: pd.DataFrame) -> pd.DataFrame:
+        tk = _turn_key(t["conv_id"], t["turn_idx"])
+        n = len(t)
+        turn_ids = ids.hash_series([pd.Series(["TURN"] * n), tk])
+        conv_ids = ids.node_ids(schema.CONVERSATION, t["conv_id"])
+        frames = [
+            _edges_frame(
+                n, src=conv_ids, dst=turn_ids, label=schema.AST,
+                order=t["turn_idx"].to_numpy(), overlay=overlay,
+            )
+        ]
+        spk_ids = ids.node_ids(schema.SPEAKER, t["role"])
+        frames.append(
+            _edges_frame(n, src=turn_ids, dst=spk_ids, label=schema.SPOKEN_BY, overlay=overlay)
+        )
+        toolmask = (t["role"] == "tool") & t["tool"].fillna("").ne("")
+        tt = t[toolmask]
+        if len(tt):
+            ttk = _turn_key(tt["conv_id"], tt["turn_idx"])
+            frames.append(
+                _edges_frame(
+                    len(tt),
+                    src=ids.hash_series([pd.Series(["TURN"] * len(tt)), ttk]),
+                    dst=ids.node_ids(schema.TOOL, tt["tool"]),
+                    label=schema.USES_TOOL,
+                    overlay=overlay,
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def next_turn_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        if len(g) < 2:
+            return _edges_frame(0, src=[], dst=[], label=[], overlay=[])
+        tk = _turn_key(g["conv_id"], g["turn_idx"])
+        tid = ids.hash_series([pd.Series(["TURN"] * len(g)), tk])
+        return _edges_frame(
+            len(g) - 1, src=tid[:-1], dst=tid[1:], label=schema.NEXT_TURN, overlay=overlay
+        )
+
+    # --- dimension nodes (conversation / speaker / tool) -------------------
+    from ray.data.aggregate import Count
+
+    conv_dim = turns.groupby("conv_id").aggregate(Count(alias_name="n_turns"))
+
+    def conv_nodes(t: pd.DataFrame) -> pd.DataFrame:
+        n = len(t)
+        return _nodes_frame(
+            n,
+            id=ids.node_ids(schema.CONVERSATION, t["conv_id"]),
+            label=schema.CONVERSATION,
+            name=t["conv_id"].to_numpy(),
+            full_name=t["conv_id"].to_numpy(),
+            conv_id=t["conv_id"].to_numpy(),
+            overlay=overlay,
+        )
+
+    def dim_partials(t: pd.DataFrame) -> pd.DataFrame:
+        roles = t["role"].drop_duplicates()
+        tools = t.loc[(t["role"] == "tool") & t["tool"].fillna("").ne(""), "tool"].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "label": [schema.SPEAKER] * len(roles) + [schema.TOOL] * len(tools),
+                "key": pd.concat([roles, tools], ignore_index=True),
+            }
+        )
+
+    dims = turns.map_batches(dim_partials, batch_format="pandas").groupby(
+        ["label", "key"]
+    ).aggregate(Count(alias_name="n"))
+
+    def dim_nodes(t: pd.DataFrame) -> pd.DataFrame:
+        n = len(t)
+        return _nodes_frame(
+            n,
+            id=ids.hash_series([t["label"], t["key"]]),
+            label=t["label"].to_numpy(),
+            name=t["key"].to_numpy(),
+            full_name=t["key"].to_numpy(),
+            overlay=overlay,
+        )
+
+    # --- mention nodes + AST/CONTAINS/REF edges ----------------------------
+    mlinks = ctx.read("link", "mention_links")
+
+    def mention_key(t: pd.DataFrame) -> pd.Series:
+        return (
+            t["conv_id"].astype(str)
+            + ":"
+            + t["turn_idx"].astype(np.int64).astype(str)
+            + ":"
+            + t["ordinal"].astype(np.int64).astype(str)
+        )
+
+    def mention_nodes(t: pd.DataFrame) -> pd.DataFrame:
+        n = len(t)
+        return _nodes_frame(
+            n,
+            id=ids.hash_series([pd.Series(["MENTION"] * n), mention_key(t)]),
+            label=schema.MENTION,
+            name=t["key"].to_numpy(),
+            full_name=t["canon"].to_numpy(),
+            code=t["surface"].to_numpy(),
+            order=t["ordinal"].to_numpy(),
+            conv_id=t["conv_id"].to_numpy(),
+            turn_idx=t["turn_idx"].to_numpy(),
+            overlay=overlay,
+        )
+
+    def mention_edges(t: pd.DataFrame) -> pd.DataFrame:
+        n = len(t)
+        mid = ids.hash_series([pd.Series(["MENTION"] * n), mention_key(t)])
+        tk = _turn_key(t["conv_id"], t["turn_idx"])
+        tid = ids.hash_series([pd.Series(["TURN"] * n), tk])
+        cid = ids.node_ids(schema.CONVERSATION, t["conv_id"])
+        eid = ids.node_ids(schema.ENTITY, t["canon"])
+        return pd.concat(
+            [
+                _edges_frame(n, src=tid, dst=mid, label=schema.AST,
+                             order=t["ordinal"].to_numpy(), overlay=overlay),
+                _edges_frame(n, src=cid, dst=mid, label=schema.CONTAINS, overlay=overlay),
+                _edges_frame(n, src=mid, dst=eid, label=schema.REF, overlay=overlay),
+            ],
+            ignore_index=True,
+        )
+
+    # --- entity nodes (canonical; is_external = no fact participation) ----
+    entity_keys = ctx.read_table("entities", "entity_keys").to_pandas()
+    cmap = ctx.read_table("canonicalize", "canon_map").to_pandas()
+    linked = set(ctx.read_table("link", "linked_keys", columns=["canon"])["canon"].to_pylist())
+    ek = entity_keys.merge(cmap, left_on="key", right_on="node", how="left")
+    ek["canon"] = ek["component"].fillna(ek["key"])
+    ents = (
+        ek.groupby("canon", as_index=False)
+        .agg(n_mentions=("n_mentions", "sum"))
+        .sort_values("canon", ignore_index=True)  # usedTypes.sorted analog
+    )
+    n = len(ents)
+    entity_nodes = _nodes_frame(
+        n,
+        id=ids.node_ids(schema.ENTITY, ents["canon"]),
+        label=schema.ENTITY,
+        name=ents["canon"].to_numpy(),
+        full_name=ents["canon"].to_numpy(),
+        is_external=[c not in linked for c in ents["canon"]],
+        overlay=overlay,
+    )
+
+    # --- FACT edges from triples ------------------------------------------
+    triples = ctx.read("link", "triples")
+
+    def fact_edges(t: pd.DataFrame) -> pd.DataFrame:
+        n = len(t)
+        return _edges_frame(
+            n,
+            src=ids.node_ids(schema.ENTITY, t["subj"]),
+            dst=ids.node_ids(schema.ENTITY, t["obj"]),
+            label=schema.FACT,
+            variable=t["pred"].to_numpy(),
+            overlay=overlay,
+        )
+
+    # --- META_DATA node (exactly one; carries the overlay ledger) ---------
+    meta = _nodes_frame(
+        1,
+        id=[ids.node_id_scalar(schema.META_DATA, "kg")],
+        label=schema.META_DATA,
+        name="transcript-kg",
+        full_name="codepropertygraph_ray/0.1.0",
+        overlay="base",
+    )
+
+    import pyarrow as pa
+
+    node_tbl_schema = schema.NODES_SCHEMA
+
+    def to_nodes_arrow(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(df, schema=node_tbl_schema, preserve_index=False)
+
+    nodes = (
+        turns.map_batches(turn_nodes, batch_format="pandas")
+        .union(conv_dim.map_batches(conv_nodes, batch_format="pandas"))
+        .union(dims.map_batches(dim_nodes, batch_format="pandas"))
+        .union(mlinks.map_batches(mention_nodes, batch_format="pandas"))
+        .union(ray.data.from_pandas(pd.concat([entity_nodes, meta], ignore_index=True)))
+        .map_batches(to_nodes_arrow, batch_format="pandas")
+    )
+
+    edge_tbl_schema = schema.EDGES_SCHEMA
+
+    def to_edges_arrow(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(df, schema=edge_tbl_schema, preserve_index=False)
+
+    edges = (
+        turns.map_batches(turn_edges, batch_format="pandas")
+        .union(
+            turns.groupby("conv_id").map_groups(next_turn_edges, batch_format="pandas")
+        )
+        .union(mlinks.map_batches(mention_edges, batch_format="pandas"))
+        .union(triples.map_batches(fact_edges, batch_format="pandas"))
+        .map_batches(to_edges_arrow, batch_format="pandas")
+    )
+
+    return {"nodes": nodes, "edges": edges}
+
+
+# ---------------------------------------------------------------------------
+# pass 05 — schema-facts validation (cpgvalidator analog)
+# ---------------------------------------------------------------------------
+
+
+def run_validate(ctx: PassContext) -> dict:
+    from ..stages.validate import validate_graph
+
+    nodes = ctx.read("materialize", "nodes")
+    edges = ctx.read("materialize", "edges")
+    return {"violations": validate_graph(nodes, edges, num_partitions=_p(ctx, "num_partitions"))}
+
+
+# ---------------------------------------------------------------------------
+# pipeline assembly
+# ---------------------------------------------------------------------------
+
+PASSES = [
+    Pass("base", run_base),
+    Pass("entities", run_entities, depends_on=("base",)),
+    Pass("canonicalize", run_canonicalize, depends_on=("base",)),
+    Pass("link", run_link, depends_on=("base", "canonicalize")),
+    Pass("materialize", run_materialize, depends_on=("entities", "link")),
+    Pass("validate", run_validate, depends_on=("materialize",)),
+]
+
+
+def build_kg(sf_dir: str, out_dir: str, params: dict | None = None) -> PipelineRunner:
+    """Run (or resume) the full pipeline; returns the runner (ledger has
+    per-pass metrics; ctx has delta dirs for nodes/edges/triples)."""
+    runner = PipelineRunner(PASSES, out_dir=out_dir, sf_dir=sf_dir, params=params)
+    runner.run()
+    return runner

@@ -1,0 +1,195 @@
+"""Overlay-pass framework: ordered, additive, resumable, metered.
+
+Re-expresses the reference's layering machinery over parquet delta dirs:
+
+* every pass is a pure function ``tables-so-far → delta tables`` — the
+  DiffGraph idea (`codepropertygraph/.../passes/CpgPass.scala:17-41`,
+  `DiffGraph.scala:114-146`) with Arrow tables as the delta representation;
+* each applied pass is serialized under a **numbered directory**
+  ``{index:02d}_{name}/{table}/`` and re-applied in sorted numeric order,
+  exactly the overlay-zip layout and ordering of
+  `ProtoCpgLoader.scala:57-75`;
+* a ledger of applied passes enables skip-if-done resumption, the
+  semantics of `semanticcpg/.../layers/LayerCreator.scala:18-29` +
+  `Overlays.appendOverlayName` (`Overlays.scala:9-17`);
+* per-pass and per-output-file (≈ per partition) row-count/latency metrics
+  are recorded in the ledger — the lineage/metrics requirement of the
+  north rule (the reference only logs wall clock, `CpgPass.scala:130-139`).
+
+Inverse overlays (`DiffGraphProtoSerializer.scala:65-87`) map to simply
+deleting a pass directory + its ledger entry — see ``undo_pass``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pyarrow.parquet as pq
+
+LEDGER = "ledger.json"
+SUCCESS = "_SUCCESS"
+
+
+@dataclass
+class PassContext:
+    """Handed to each pass; passes exchange data only through overlay dirs
+    (pure function of prior parquet state ⇒ byte-stable resumption)."""
+
+    out_dir: str
+    sf_dir: str
+    params: dict = field(default_factory=dict)
+    _dirs: dict[str, str] = field(default_factory=dict)  # "pass/table" → dir
+
+    def delta_dir(self, pass_name: str, table: str) -> str:
+        key = f"{pass_name}/{table}"
+        if key not in self._dirs:
+            raise KeyError(f"no delta written for {key}; have {sorted(self._dirs)}")
+        return self._dirs[key]
+
+    def has_delta(self, pass_name: str, table: str) -> bool:
+        return f"{pass_name}/{table}" in self._dirs
+
+    def read(self, pass_name: str, table: str, columns: list[str] | None = None):
+        import ray.data
+
+        return ray.data.read_parquet(self.delta_dir(pass_name, table), columns=columns)
+
+    def read_table(self, pass_name: str, table: str, columns=None):
+        """Driver-side Arrow materialization — only for vocab-scale deltas."""
+        import pyarrow.dataset as pads
+
+        d = pads.dataset(self.delta_dir(pass_name, table))
+        return d.to_table(columns=columns)
+
+
+@dataclass
+class Pass:
+    """`CpgPassBase` analog: name + dependencies + run()→named deltas.
+
+    ``run(ctx)`` returns ``{table_name: ray.data.Dataset | pyarrow.Table}``;
+    the runner writes each to the pass's numbered overlay directory.
+    """
+
+    name: str
+    run: Callable[[PassContext], dict]
+    depends_on: tuple[str, ...] = ()
+
+
+def _file_metrics(table_dir: str) -> list[dict]:
+    out = []
+    if not os.path.isdir(table_dir):  # empty delta → writer may skip the dir
+        return out
+    for f in sorted(os.listdir(table_dir)):
+        p = os.path.join(table_dir, f)
+        if f.endswith(".parquet") and os.path.isfile(p):
+            md = pq.read_metadata(p)
+            out.append({"file": f, "rows": md.num_rows, "bytes": os.path.getsize(p)})
+    return out
+
+
+class PipelineRunner:
+    """`Scpg.create` analog (`semanticcpg/.../layers/Scpg.scala:43-49`):
+    iterate the ordered pass list; apply + serialize + store each; skip
+    passes already in the ledger (resume)."""
+
+    def __init__(self, passes: list[Pass], out_dir: str, sf_dir: str, params: dict | None = None):
+        self.passes = passes
+        self.out_dir = out_dir
+        self.sf_dir = sf_dir
+        self.ctx = PassContext(out_dir=out_dir, sf_dir=sf_dir, params=params or {})
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- ledger -------------------------------------------------------------
+    @property
+    def _ledger_path(self) -> str:
+        return os.path.join(self.out_dir, LEDGER)
+
+    def ledger(self) -> dict:
+        if os.path.exists(self._ledger_path):
+            with open(self._ledger_path) as f:
+                return json.load(f)
+        return {"applied": [], "metrics": {}}
+
+    def _save_ledger(self, led: dict) -> None:
+        tmp = self._ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(led, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._ledger_path)
+
+    def _pass_dir(self, idx: int, name: str) -> str:
+        return os.path.join(self.out_dir, f"{idx:02d}_{name}")
+
+    # -- execution ----------------------------------------------------------
+    def run(self) -> dict:
+        led = self.ledger()
+        applied = set(led["applied"])
+        for idx, p in enumerate(self.passes):
+            pdir = self._pass_dir(idx, p.name)
+            if p.name in applied and os.path.exists(os.path.join(pdir, SUCCESS)):
+                self._register_outputs(p.name, pdir)
+                continue  # resume-by-skip (LayerCreator.scala:18-29)
+            missing = [d for d in p.depends_on if d not in applied]
+            if missing:
+                raise RuntimeError(f"pass {p.name} missing deps {missing}")
+            if os.path.exists(pdir):
+                shutil.rmtree(pdir)  # partial output from a crashed run
+            t0 = time.perf_counter()
+            deltas = p.run(self.ctx)
+            metrics: dict = {"tables": {}}
+            for tname, data in deltas.items():
+                tdir = os.path.join(pdir, tname)
+                _write_delta(data, tdir)
+                metrics["tables"][tname] = {
+                    "files": _file_metrics(tdir),
+                    "rows": sum(m["rows"] for m in _file_metrics(tdir)),
+                }
+                self.ctx._dirs[f"{p.name}/{tname}"] = tdir
+            metrics["wall_sec"] = round(time.perf_counter() - t0, 4)
+            os.makedirs(pdir, exist_ok=True)
+            with open(os.path.join(pdir, SUCCESS), "w") as f:
+                f.write("ok\n")
+            led["applied"].append(p.name)
+            led["metrics"][p.name] = metrics
+            applied.add(p.name)
+            self._save_ledger(led)
+        return led
+
+    def _register_outputs(self, pass_name: str, pdir: str) -> None:
+        for tname in sorted(os.listdir(pdir)):
+            tdir = os.path.join(pdir, tname)
+            if os.path.isdir(tdir):
+                self.ctx._dirs[f"{pass_name}/{tname}"] = tdir
+
+    def undo_pass(self, name: str) -> None:
+        """Inverse-overlay semantics: drop the pass's delta dir + ledger row
+        (`CpgOverlayLoader.loadInverse` / `DiffGraph.scala:258-298` analog).
+        Later passes must be undone first (they may depend on it)."""
+        led = self.ledger()
+        if name not in led["applied"]:
+            return
+        pos = led["applied"].index(name)
+        for later in led["applied"][pos:]:
+            idx = [p.name for p in self.passes].index(later)
+            pdir = self._pass_dir(idx, later)
+            if os.path.exists(pdir):
+                shutil.rmtree(pdir)
+            led["metrics"].pop(later, None)
+        led["applied"] = led["applied"][:pos]
+        self._save_ledger(led)
+
+
+def _write_delta(data, tdir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    if isinstance(data, pa.Table):
+        os.makedirs(tdir, exist_ok=True)
+        pqt.write_table(data, os.path.join(tdir, "part-0.parquet"))
+    else:  # ray.data.Dataset — streamed, multi-file (resumable layout)
+        data.write_parquet(tdir)
+        os.makedirs(tdir, exist_ok=True)  # zero-row writes may skip the dir

@@ -1,0 +1,143 @@
+"""Graph schema for the transcript knowledge graph.
+
+Plays the role of the reference's declarative, codegen'd schema JSONs
+(`schema/src/main/resources/schemas/base.json:67-602` — node types with
+allowed keys and allowed out-edges with degree cardinalities) transposed to
+the transcript domain (SURVEY.md §8). Both the pipeline (builder) and the
+validator pass consume these facts, mirroring how the reference's
+cpgvalidator re-imports the generated schema facts
+(`cpgvalidator/.../validators/OutFactsValidator.scala:19-105`).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Node labels (the reference's nodeTypes, base.json:67-602, transposed)
+# ---------------------------------------------------------------------------
+
+META_DATA = "META_DATA"
+CONVERSATION = "CONVERSATION"  # FILE analog
+TURN = "TURN"  # METHOD/statement analog (ordered by `order` = turn_idx)
+MENTION = "MENTION"  # CALL-site analog (carries linking key `full_name`)
+ENTITY = "ENTITY"  # TYPE/TYPE_DECL analog (canonical, deduped, sorted)
+TOOL = "TOOL"  # dimension node
+SPEAKER = "SPEAKER"  # dimension node
+
+NODE_LABELS = [META_DATA, CONVERSATION, TURN, MENTION, ENTITY, TOOL, SPEAKER]
+
+# ---------------------------------------------------------------------------
+# Edge labels (base.json:616-636 + enhancements.json:247-258, transposed)
+# ---------------------------------------------------------------------------
+
+AST = "AST"  # CONVERSATION→TURN, TURN→MENTION (ORDER as data column)
+NEXT_TURN = "NEXT_TURN"  # TURN→TURN, the CFG-successor analog
+REF = "REF"  # MENTION→ENTITY, the linking edge (Linker.scala:33-42)
+USES_TOOL = "USES_TOOL"  # TURN→TOOL (EVAL_TYPE-style dimension link)
+SPOKEN_BY = "SPOKEN_BY"  # TURN→SPEAKER
+CONTAINS = "CONTAINS"  # CONVERSATION→MENTION shortcut (ContainsEdgePass)
+FACT = "FACT"  # ENTITY→ENTITY with `variable`=predicate
+#   (the REACHING_DEF-with-VARIABLE-property analog, enhancements.json:256)
+
+EDGE_LABELS = [AST, NEXT_TURN, REF, USES_TOOL, SPOKEN_BY, CONTAINS, FACT]
+
+# Allowed (src_label, edge_label, dst_label) combos — the "outEdges" facts.
+EDGE_FACTS: list[tuple[str, str, str]] = [
+    (CONVERSATION, AST, TURN),
+    (TURN, AST, MENTION),
+    (TURN, NEXT_TURN, TURN),
+    (MENTION, REF, ENTITY),
+    (TURN, USES_TOOL, TOOL),
+    (TURN, SPOKEN_BY, SPEAKER),
+    (CONVERSATION, CONTAINS, MENTION),
+    (ENTITY, FACT, ENTITY),
+]
+
+# Out-degree cardinality facts per (src_label, edge_label):
+#   (min_out, max_out) with None = unbounded — the "0-1:n" style facts
+#   of base.json (e.g. base.json:96-103).
+OUT_DEGREE_FACTS: dict[tuple[str, str], tuple[int, int | None]] = {
+    (CONVERSATION, AST): (1, None),  # every conversation has ≥1 turn
+    (TURN, AST): (0, None),
+    (TURN, NEXT_TURN): (0, 1),  # linear thread: at most one successor
+    (MENTION, REF): (1, 1),  # every mention links to exactly one entity
+    (TURN, USES_TOOL): (0, 1),
+    (TURN, SPOKEN_BY): (1, 1),
+    (CONVERSATION, CONTAINS): (0, None),
+    (ENTITY, FACT): (0, None),
+}
+
+# ---------------------------------------------------------------------------
+# Table schemas (the Arrow transposition of the property model, SURVEY.md §1.6)
+# ---------------------------------------------------------------------------
+
+TRANSCRIPTS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+NODES_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("label", pa.string()),
+        ("name", pa.string()),
+        ("full_name", pa.string()),  # canonical key — FULL_NAME analog
+        ("code", pa.string()),  # surface text — CODE analog
+        ("order", pa.int32()),  # ORDER analog (base.json:23)
+        ("conv_id", pa.string()),  # provenance
+        ("turn_idx", pa.int32()),  # provenance
+        ("is_external", pa.bool_()),  # placeholder/stub flag (base.json:26)
+        ("overlay", pa.string()),  # which pass emitted the row
+    ]
+)
+
+EDGES_SCHEMA = pa.schema(
+    [
+        ("src", pa.int64()),
+        ("dst", pa.int64()),
+        ("label", pa.string()),
+        ("variable", pa.string()),  # edge property slot (REACHING_DEF.VARIABLE)
+        ("order", pa.int32()),  # child order as data, never block order
+        ("overlay", pa.string()),
+    ]
+)
+
+TRIPLES_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("conv_id", pa.string()),  # lineage: first stating conversation
+        ("turn_idx", pa.int32()),  # lineage: first stating turn
+    ]
+)
+
+# Predicate vocabulary of the synthetic corpus; `alias_of` is the
+# canonicalization signal and never becomes a triple.
+ALIAS_PRED = "alias_of"
+FACT_PREDS = [
+    "works_at",
+    "located_in",
+    "reports_to",
+    "uses",
+    "created",
+    "partnered_with",
+    "acquired",
+    "depends_on",
+]
+
+# Extraction grammar (THE shared spec — the Ray stages, the pure-Python
+# oracle and the DuckDB oracle SQL all implement exactly this):
+#   mention   : @[Surface Form]            → regex MENTION_RE, in text order
+#   fact      : @[subj] <pred> @[obj]      → regex FACT_RE (non-overlapping)
+#   key       : lower(surface), non-[a-z0-9] runs → single space, trim
+MENTION_RE = r"@\[([^\]]{1,200})\]"
+FACT_RE = r"@\[([^\]]{1,200})\] <([a-z_]{1,40})> @\[([^\]]{1,200})\]"
+NORM_STRIP_RE = r"[^a-z0-9]+"

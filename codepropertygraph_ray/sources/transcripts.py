@@ -1,0 +1,183 @@
+"""Deterministic synthetic transcript corpus (the pipeline's input table).
+
+`BASELINE.json.input_hint` fixes the input shape: a Parquet table of
+multi-turn conversation / agent transcripts with columns
+``(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp)``. No such table exists in /root/testdata, so we synthesize it
+deterministically (seeded, content a pure function of (seed, sf)) — the
+transcript-domain analog of the reference's fixture strategy, where test
+sources are compiled on the fly per suite
+(`semanticcpg-tests/.../testfixtures/CodeToCpgSuite.scala:14-49`).
+
+Generator knobs exercise exactly the hard parts SURVEY.md §7.4 lists:
+heavy-tailed turns-per-conversation (skew), alias pools (linking +
+canonicalization via union-find), cross-conversation shared entities
+(global connected components), and unresolvable mentions (placeholder/stub
+semantics, the MethodStubCreator/TypeDeclStubCreator analog,
+`semanticcpg/.../MethodStubCreator.scala:16-108`).
+
+Rows are written in a deterministically *shuffled* order so that the
+pipeline's stable sort by (conv_id, turn_idx) is load-bearing (the per-row
+invariant in BASELINE.json: per-turn text equality under stable turn order).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from random import Random
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schema import ALIAS_PRED, FACT_PREDS, TRANSCRIPTS_SCHEMA
+
+SEED = 42
+CACHE_ROOT = "/tmp/graft_transcripts"
+
+_ADJ = [
+    "acme", "globex", "initech", "umbrella", "stark", "wayne", "hooli",
+    "vandelay", "wonka", "tyrell", "cyberdyne", "aperture", "massive",
+    "pied", "dunder", "sterling", "bluth", "prestige", "oceanic", "virtucon",
+]
+_NOUN = [
+    "corp", "labs", "systems", "industries", "dynamics", "partners",
+    "holdings", "networks", "logistics", "analytics", "robotics", "media",
+    "capital", "energy", "biotech", "software", "ventures", "group",
+    "foundry", "works",
+]
+_NOISE = (
+    "ok sure let me check that for you . the deployment pipeline looks fine "
+    "today and metrics are nominal . please review the attached summary when "
+    "you get a chance . thanks for the update i will follow up tomorrow"
+).split()
+_TOOLS = ["search", "calculator", "browser", "code_interpreter", "db_query"]
+
+
+def sf_of_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+def _entity_forms(i: int) -> list[str]:
+    """Surface forms of entity i. Forms normalize to *distinct* mention keys
+    (so only stated alias_of facts can merge them — that is the union-find
+    workload), while the embedded index keeps entities mutually disjoint."""
+    adj = _ADJ[i % len(_ADJ)]
+    noun = _NOUN[(i // len(_ADJ)) % len(_NOUN)]
+    base = f"{adj} {noun} {i}"
+    return [
+        base.title(),                                 # "Acme Corp 7"  (primary)
+        f"{adj.upper()} {noun.capitalize()}son {i}",  # "ACME Corpson 7"
+        f"{adj[:3]}{noun[:3]} {i}",                   # "acmcor 7"
+        f"The {adj.title()} {noun.title()} {i} Team",
+    ]
+
+
+def _n_conversations(sf: float) -> int:
+    return max(8, int(300_000 * sf))
+
+
+def _n_entities(sf: float) -> int:
+    return max(50, int(50_000 * sf))
+
+
+def generate_conversation(conv_index: int, sf: float) -> list[dict]:
+    """All rows of one conversation — a pure function of (SEED, sf, index),
+    so generation parallelizes trivially and is stable at any parallelism."""
+    rng = Random(SEED * 1_000_003 + conv_index)
+    n_ent = _n_entities(sf)
+    conv_id = f"conv-{conv_index:07d}"
+
+    if conv_index == 0:
+        n_turns = 500  # the skew fixture: one very long conversation
+    else:
+        r = rng.random()
+        if r < 0.10:
+            n_turns = rng.randint(1, 3)
+        elif r < 0.70:
+            n_turns = rng.randint(4, 12)
+        elif r < 0.95:
+            n_turns = rng.randint(13, 40)
+        else:
+            n_turns = rng.randint(80, 150)
+
+    base_ts = 1_700_000_000_000_000 + conv_index * 86_400_000_000  # µs
+    rows = []
+    for turn_idx in range(n_turns):
+        role = "tool" if rng.random() < 0.08 else ("user", "assistant")[turn_idx % 2]
+        tool = rng.choice(_TOOLS) if role == "tool" else ""
+        sents = []
+        n_sent = rng.choices([0, 1, 2, 3], weights=[15, 40, 30, 15])[0]
+        for _ in range(n_sent):
+            kind = rng.random()
+            if kind < 0.45:  # fact sentence
+                s_i, o_i = rng.randrange(n_ent), rng.randrange(n_ent)
+                s = rng.choice(_entity_forms(s_i))
+                o = rng.choice(_entity_forms(o_i))
+                pred = rng.choice(FACT_PREDS)
+                sents.append(f"fyi @[{s}] <{pred}> @[{o}] .")
+            elif kind < 0.65:  # alias sentence → canonicalization signal
+                e_i = rng.randrange(n_ent)
+                forms = _entity_forms(e_i)
+                a = rng.choice(forms[1:])
+                sents.append(f"note @[{a}] <{ALIAS_PRED}> @[{forms[0]}] .")
+            elif kind < 0.90:  # plain mention
+                e_i = rng.randrange(n_ent)
+                sents.append(f"we discussed @[{rng.choice(_entity_forms(e_i))}] earlier .")
+            else:  # unresolvable mention → placeholder entity
+                k = rng.randrange(10 * n_ent)
+                sents.append(f"someone raised @[unknown item {k}] again .")
+        noise = " ".join(rng.choices(_NOISE, k=rng.randint(3, 12)))
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": turn_idx,
+                "role": role,
+                "text": (noise + " " + " ".join(sents)).strip(),
+                "tool": tool,
+                "ts": base_ts + turn_idx * 7_000_000,
+            }
+        )
+    return rows
+
+
+def generate_table(sf: float) -> pa.Table:
+    rows: list[dict] = []
+    for ci in range(_n_conversations(sf)):
+        rows.extend(generate_conversation(ci, sf))
+    # deterministic on-disk shuffle: the stable sort must be load-bearing
+    perm = np.arange(len(rows))
+    Random(SEED + 987).shuffle(perm)
+    df = pd.DataFrame([rows[i] for i in perm])
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return pa.Table.from_pandas(df, schema=TRANSCRIPTS_SCHEMA, preserve_index=False)
+
+
+def transcripts_path(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(CACHE_ROOT, name, "transcripts.parquet")
+
+
+def ensure_transcripts(sf_dir: str, force: bool = False) -> str:
+    """Idempotently materialize the corpus for a testdata sf dir; atomic
+    write (tmp + rename) so concurrent callers see whole files only."""
+    path = transcripts_path(sf_dir)
+    if os.path.exists(path) and not force:
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    table = generate_table(sf_of_dir(sf_dir))
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp, row_group_size=16_384)
+    os.replace(tmp, path)
+    return path
+
+
+def read_transcripts(sf_dir: str, columns: list[str] | None = None):
+    """→ ray.data.Dataset over the corpus (column-pruned at the read)."""
+    import ray.data
+
+    return ray.data.read_parquet(ensure_transcripts(sf_dir), columns=columns)

@@ -1,0 +1,136 @@
+"""Unit tests: ids, normalization, extractor, union-find, pass framework.
+
+Analog of the reference's infra unit level (SURVEY.md §5.1:
+KeyPoolTests / DiffGraphTest / CpgPassTests).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from codepropertygraph_ray import ids, oracle, schema
+from codepropertygraph_ray.functions.cc import cc_local
+from codepropertygraph_ray.stages.extract import TurnExtractor, normalize_series
+
+
+def test_ids_deterministic_and_label_scoped():
+    a = ids.node_ids("ENTITY", ["acme corp 1", "acme corp 2"])
+    b = ids.node_ids("ENTITY", ["acme corp 1", "acme corp 2"])
+    assert list(a) == list(b)  # StableOutputTests analog
+    c = ids.node_ids("MENTION", ["acme corp 1"])
+    assert c[0] != a[0]  # same key, different label → different id
+    assert all(x > 0 for x in a)
+
+
+def test_normalize_matches_oracle():
+    cases = ["Acme Corp 7", "ACME--Corp...7", "  The ACME corp 7 Team ", "héllo wörld"]
+    s = normalize_series(pd.Series(cases))
+    for raw, got in zip(cases, s):
+        assert got == oracle.normalize(raw)
+
+
+def test_extractor_truth_table():
+    """Exact expected rows for a hand-written turn — the
+    CfgCreationPassTests truth-table analog (micro-fixture #1)."""
+    ex = TurnExtractor()
+    batch = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": [0, 1, 0],
+            "text": [
+                "hello @[Acme Corp 1] and @[Foo-Bar 2] .",
+                "fyi @[Acme Corp 1] <works_at> @[Foo Bar 2] .",
+                "",  # empty text turn (micro-fixture #7)
+            ],
+        }
+    )
+    out = ex(batch)
+    mentions = out[out["kind"] == "mention"]
+    assert list(mentions["surface"]) == ["Acme Corp 1", "Foo-Bar 2", "Acme Corp 1", "Foo Bar 2"]
+    assert list(mentions["ordinal"]) == [0, 1, 0, 1]
+    assert list(mentions["key"]) == ["acme corp 1", "foo bar 2", "acme corp 1", "foo bar 2"]
+    facts = out[out["kind"] == "fact"]
+    assert len(facts) == 1
+    f = facts.iloc[0]
+    assert (f["key"], f["pred"], f["obj_key"]) == ("acme corp 1", "works_at", "foo bar 2")
+
+
+def test_extractor_unicode_and_null():
+    ex = TurnExtractor()
+    batch = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": [0, 1],
+            "text": ["héllo @[Ünïcode Éntity 9] " + "x" * 10_000, None],
+        }
+    )
+    out = ex(batch)
+    # non-ascii chars act as separators; exact form defined by the oracle
+    assert list(out["key"]) == [oracle.normalize("Ünïcode Éntity 9")]
+    assert list(out["surface"]) == ["Ünïcode Éntity 9"]
+
+
+def test_cc_local_components():
+    pairs = pd.DataFrame({"a": ["b", "c", "x"], "b": ["a", "b", "y"]})
+    out = cc_local(pairs)
+    comp = dict(zip(out["node"], out["component"]))
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_union_find_oracle_alias_chain():
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "text": "note @[B] <alias_of> @[A] ."},
+        {"conv_id": "c1", "turn_idx": 1, "text": "note @[C] <alias_of> @[B] ."},
+        {"conv_id": "c2", "turn_idx": 0, "text": "fyi @[C] <uses> @[D] ."},
+    ]
+    res = oracle.run_oracle(rows)
+    assert res.canonical == {"a": "a", "b": "a", "c": "a", "d": "d"}
+    assert res.triples == {("a", "uses", "d")}
+    assert res.entities == {"a": False, "d": False}
+
+
+def test_pass_framework_resume_and_undo(tmp_path):
+    import pyarrow as pa
+
+    from codepropertygraph_ray.pipelines.passes import Pass, PipelineRunner
+
+    calls = []
+
+    def mk(name):
+        def run(ctx):
+            calls.append(name)
+            return {"t": pa.table({"x": [1, 2]})}
+
+        return Pass(name, run)
+
+    passes = [mk("p0"), mk("p1")]
+    r1 = PipelineRunner(passes, str(tmp_path), sf_dir="unused")
+    r1.run()
+    assert calls == ["p0", "p1"]
+    # resume skips
+    r2 = PipelineRunner(passes, str(tmp_path), sf_dir="unused")
+    r2.run()
+    assert calls == ["p0", "p1"]
+    # undo p1 → only p1 re-runs (inverse-overlay semantics)
+    r2.undo_pass("p1")
+    r3 = PipelineRunner(passes, str(tmp_path), sf_dir="unused")
+    r3.run()
+    assert calls == ["p0", "p1", "p1"]
+
+
+def test_generator_is_deterministic():
+    from codepropertygraph_ray.sources.transcripts import generate_conversation
+
+    a = generate_conversation(3, 0.001)
+    b = generate_conversation(3, 0.001)
+    assert a == b
+    assert all(r["conv_id"] == "conv-0000003" for r in a)
+    assert [r["turn_idx"] for r in a] == list(range(len(a)))
+
+
+def test_schema_facts_cover_pipeline_edges():
+    srcs = {s for s, _, _ in schema.EDGE_FACTS}
+    dsts = {d for _, _, d in schema.EDGE_FACTS}
+    assert srcs | dsts <= set(schema.NODE_LABELS)
+    assert {l for _, l, _ in schema.EDGE_FACTS} == set(schema.EDGE_LABELS)
