@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript→KG pipeline at sf0.001.
+``queries()`` exposes every implemented operator/pipeline from SURVEY.md §2
+(KG pipeline surfaces, relational operator archetypes, text analysis,
+dedup, similarity search). ``oracle_sql()`` pairs each SQL-expressible one
+with DuckDB SQL over the same inputs (the transcript corpus is a
+deterministic synthetic parquet — its absolute path is embedded in the
+SQL; the testdata tables are the driver's pre-registered views).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +17,336 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF01 = "/root/testdata/sf0.01"
+
+# regex literals shared with codepropertygraph_ray.schema (no quotes inside,
+# so they embed safely in single-quoted SQL strings)
+_M = r"@\[([^\]]{1,200})\]"
+_F1 = r"@\[([^\]]{1,200})\] <([a-z_]{1,40})> @\[([^\]]{1,200})\]"
+_NORM = "trim(regexp_replace(lower(%s), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _transcripts_path() -> str:
+    from codepropertygraph_ray.sources.transcripts import ensure_transcripts
+
+    return ensure_transcripts(SF01)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 → the triples Dataset."""
+    from codepropertygraph_ray.pipelines import queries as q
+
+    return q.triples("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from codepropertygraph_ray.functions import dedup, relational, similarity, text
+    from codepropertygraph_ray.pipelines import queries as kgq
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
+    return {
+        # --- KG pipeline surfaces (the north-rule flagship) ---------------
+        "kg_mentions": kgq.mentions,
+        "kg_facts": kgq.facts,
+        "kg_entity_keys": kgq.entity_keys,
+        "kg_canonical_map": kgq.canonical_map,
+        "kg_triples": kgq.triples,
+        "kg_entity_stats": kgq.entity_stats,
+        "kg_conv_stats": kgq.conv_stats,
+        "kg_tool_usage": kgq.tool_usage,
+        "kg_external_entities": kgq.external_entities,
+        "kg_next_turn_pairs": kgq.next_turn_pairs,
+        "kg_node_label_counts": kgq.node_label_counts,
+        # --- relational operator archetypes (SURVEY.md §2 analogs) --------
+        "rel_q1_pricing": relational.q1_pricing,
+        "rel_nation_revenue": relational.nation_revenue,
+        "rel_parts_without_lineitems": relational.parts_without_lineitems,
+        "rel_customers_with_orders": relational.customers_with_orders,
+        "rel_distinct_part_types": relational.distinct_part_types,
+        "rel_dedup_docs_exact": relational.dedup_docs_exact,
+        "rel_orders_by_priority": relational.orders_by_priority,
+        "rel_top_orders": relational.top_orders,
+        "rel_events_hourly": relational.events_hourly,
+        "rel_part_type_tokens": relational.part_type_tokens,
+        "rel_events_extract_k": relational.events_extract_k,
+        "rel_shipped_monthly": relational.shipped_monthly,
+        # --- training-data ops: text analysis -----------------------------
+        "text_token_stats": text.token_stats,
+        "text_quality": text.quality_signals,
+        "text_lang_id": text.lang_id,  # heuristic — no SQL oracle
+        "text_simhash": text.simhash64,  # keyed hash — no SQL oracle
+        "text_fingerprint": text.fingerprint,  # rolling hash — no SQL oracle
+        # --- training-data ops: dedup --------------------------------------
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # no SQL oracle
+        # --- training-data ops: similarity search --------------------------
+        "sim_knn_bruteforce": similarity.knn_bruteforce,
+        "sim_knn_lsh": similarity.knn_lsh,  # approximate — no SQL oracle
+        "sim_embedding_dups": similarity.embedding_dups,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _kg_sql() -> dict[str, str]:
+    P = _transcripts_path()
+    t = f"read_parquet('{P}')"
+    key = _NORM % "surface"
+
+    mentions = f"""
+      SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+             CAST(unnest(generate_series(1, len(regexp_extract_all(text, '{_M}', 1)))) - 1 AS INTEGER) AS ordinal,
+             unnest(regexp_extract_all(text, '{_M}', 1)) AS surface
+      FROM {t}
     """
-    return {}
+    mentions_keyed = f"SELECT conv_id, turn_idx, ordinal, surface, {key} AS key FROM ({mentions})"
+
+    facts = f"""
+      SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+             CAST(unnest(generate_series(1, len(regexp_extract_all(text, '{_F1}', 1)))) - 1 AS INTEGER) AS ordinal,
+             unnest(regexp_extract_all(text, '{_F1}', 1)) AS s_surface,
+             unnest(regexp_extract_all(text, '{_F1}', 2)) AS pred,
+             unnest(regexp_extract_all(text, '{_F1}', 3)) AS o_surface
+      FROM {t}
+    """
+    facts_keyed = f"""
+      SELECT conv_id, turn_idx, ordinal,
+             {_NORM % 's_surface'} AS subj_key, pred,
+             {_NORM % 'o_surface'} AS obj_key
+      FROM ({facts})
+    """
+
+    canon = f"""
+      WITH RECURSIVE
+      mk AS (SELECT DISTINCT key FROM ({mentions_keyed})),
+      ap AS (SELECT DISTINCT subj_key AS a, obj_key AS b
+             FROM ({facts_keyed}) WHERE pred = 'alias_of'),
+      e(a, b) AS (SELECT a, b FROM ap UNION SELECT b, a FROM ap),
+      reach(node, r) AS (
+        SELECT key, key FROM mk
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r
+      )
+      SELECT node AS key, min(r) AS canon FROM reach GROUP BY node
+    """
+
+    linked = f"""
+      SELECT DISTINCT canon FROM (
+        SELECT coalesce(cs.canon, f.subj_key) AS canon
+        FROM ({facts_keyed}) f LEFT JOIN ({canon}) cs ON cs.key = f.subj_key
+        UNION ALL
+        SELECT coalesce(co.canon, f.obj_key) AS canon
+        FROM ({facts_keyed}) f LEFT JOIN ({canon}) co ON co.key = f.obj_key
+      )
+    """
+
+    triples_all = f"""
+      SELECT coalesce(cs.canon, f.subj_key) AS subj, f.pred,
+             coalesce(co.canon, f.obj_key) AS obj, f.conv_id, f.turn_idx
+      FROM ({facts_keyed}) f
+      LEFT JOIN ({canon}) cs ON cs.key = f.subj_key
+      LEFT JOIN ({canon}) co ON co.key = f.obj_key
+      WHERE f.pred <> 'alias_of'
+    """
+    triples = f"""
+      SELECT subj, pred, obj,
+             split_part(mink, '|', 1) AS conv_id,
+             CAST(split_part(mink, '|', 2) AS INTEGER) AS turn_idx
+      FROM (
+        SELECT subj, pred, obj,
+               min(conv_id || '|' || lpad(CAST(turn_idx AS VARCHAR), 9, '0')) AS mink
+        FROM ({triples_all}) GROUP BY subj, pred, obj
+      )
+    """
+
+    entity_stats = f"""
+      SELECT c.canon,
+             CAST(count(*) AS BIGINT) AS n_mentions,
+             (l.canon IS NULL) AS is_external
+      FROM ({mentions_keyed}) m
+      JOIN ({canon}) c ON c.key = m.key
+      LEFT JOIN ({linked}) l ON l.canon = c.canon
+      GROUP BY c.canon, l.canon
+    """
+
+    return {
+        "kg_mentions": mentions_keyed,
+        "kg_facts": facts_keyed,
+        "kg_entity_keys": f"SELECT key, CAST(count(*) AS BIGINT) AS n_mentions FROM ({mentions_keyed}) GROUP BY key",
+        "kg_canonical_map": canon,
+        "kg_triples": triples,
+        "kg_entity_stats": entity_stats,
+        "kg_conv_stats": f"""
+          SELECT tt.conv_id, tt.n_turns,
+                 coalesce(m.n_mentions, 0) AS n_mentions,
+                 coalesce(fx.n_facts, 0) AS n_facts
+          FROM (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM {t} GROUP BY conv_id) tt
+          LEFT JOIN (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_mentions
+                     FROM ({mentions_keyed}) GROUP BY conv_id) m ON m.conv_id = tt.conv_id
+          LEFT JOIN (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_facts
+                     FROM ({facts_keyed}) GROUP BY conv_id) fx ON fx.conv_id = tt.conv_id
+        """,
+        "kg_tool_usage": f"""
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_turns FROM {t}
+          WHERE role = 'tool' AND tool IS NOT NULL AND tool <> '' GROUP BY tool
+        """,
+        "kg_external_entities": f"SELECT canon FROM ({entity_stats}) WHERE is_external",
+        "kg_next_turn_pairs": f"""
+          SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, next_turn_idx FROM (
+            SELECT conv_id, turn_idx,
+                   CAST(lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INTEGER) AS next_turn_idx
+            FROM {t}
+          ) WHERE next_turn_idx IS NOT NULL
+        """,
+        "kg_node_label_counts": f"""
+          SELECT 'TURN' AS label, CAST(count(*) AS BIGINT) AS n_nodes FROM {t}
+          UNION ALL SELECT 'CONVERSATION', count(DISTINCT conv_id) FROM {t}
+          UNION ALL SELECT 'MENTION', count(*) FROM ({mentions_keyed})
+          UNION ALL SELECT 'ENTITY', count(DISTINCT canon) FROM ({canon})
+          UNION ALL SELECT 'TOOL', count(DISTINCT tool) FROM {t} WHERE role = 'tool' AND tool <> ''
+          UNION ALL SELECT 'SPEAKER', count(DISTINCT role) FROM {t}
+          UNION ALL SELECT 'META_DATA', 1
+        """,
+    }
+
+
+def _rel_sql() -> dict[str, str]:
+    return {
+        "rel_q1_pricing": """
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_quantity), 2) AS sum_qty,
+                 round(sum(l_extendedprice), 2) AS sum_base_price,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                 round(sum(l_quantity) / count(*), 4) AS avg_qty,
+                 round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+                 CAST(count(*) AS BIGINT) AS count_order
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_nation_revenue": """
+          SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation ON n_nationkey = c_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          GROUP BY r_name, n_name
+        """,
+        "rel_parts_without_lineitems": """
+          SELECT p_partkey, p_name FROM part
+          WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem)
+        """,
+        "rel_customers_with_orders": """
+          SELECT c_custkey, c_name FROM customer
+          WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders)
+        """,
+        "rel_distinct_part_types": "SELECT DISTINCT p_type FROM part ORDER BY p_type",
+        "rel_dedup_docs_exact": """
+          SELECT text, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+          FROM documents GROUP BY text
+        """,
+        "rel_orders_by_priority": """
+          SELECT o_orderpriority, min(o_orderkey) AS first_order,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_orderpriority
+        """,
+        "rel_top_orders": """
+          SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "rel_events_hourly": """
+          SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 round(sum(value), 2) AS sum_value
+          FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "rel_part_type_tokens": """
+          SELECT token, CAST(count(*) AS BIGINT) AS n_parts FROM (
+            SELECT unnest(string_split(p_type, ' ')) AS token FROM part
+          ) GROUP BY token
+        """,
+        "rel_events_extract_k": """
+          SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+          FROM events
+        """,
+        "rel_shipped_monthly": """
+          SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS month_epoch,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_items
+          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          GROUP BY date_trunc('month', l_shipdate)
+        """,
+    }
+
+
+def _ops_sql() -> dict[str, str]:
+    from codepropertygraph_ray.functions.dedup import JACCARD_THRESHOLD, SHINGLE_W
+    from codepropertygraph_ray.functions.similarity import DUP_COS_THRESHOLD, KNN_K, N_QUERIES
+    from codepropertygraph_ray.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    # distinct word shingles per doc via lateral position unnest
+    shingle_rows = f"""
+      SELECT DISTINCT doc_id,
+             list_aggregate(toks[i:i + {SHINGLE_W - 1}], 'string_agg', ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(toks) - {SHINGLE_W - 1})) AS i)
+    """
+    return {
+        "text_token_stats": r"""
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_distinct,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents
+        """,
+        "text_quality": f"""
+          SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(words, w -> w IN ({stop_list}))) AS BIGINT) AS n_stopwords,
+                 CAST(coalesce(list_max(list_apply(words, w -> length(w))), 0) AS BIGINT) AS longest_word,
+                 CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+          FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents)
+        """,
+        "dedup_ngram_jaccard": f"""
+          WITH sh AS ({shingle_rows}),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+          )
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) >= {JACCARD_THRESHOLD}
+        """,
+        "sim_knn_bruteforce": f"""
+          WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                     WHERE vec_id < {N_QUERIES}),
+          scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS cos
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+          )
+          SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+            FROM scored
+          ) WHERE rnk <= {KNN_K}
+        """,
+        "sim_embedding_dups": f"""
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {DUP_COS_THRESHOLD}
+        """,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {}
+    out.update(_kg_sql())
+    out.update(_rel_sql())
+    out.update(_ops_sql())
+    return out

@@ -1,0 +1,345 @@
+"""Relational operator archetypes over the testdata tables.
+
+Each function here is the Ray-Data re-expression of an operator family the
+reference implements imperatively (SURVEY.md §2 maps each): groupby
+canonicalization (`NamespaceCreator.scala:22-28`), global distinct+sort
+(`TypeNodePass.scala:7-21`), anti/semi-join stub logic
+(`TypeDeclStubCreator.scala:14-50`, `StubRemovalPass.scala:13-27`),
+multi-hop linking joins (`CallLinker.scala:42-84`), exact dedup
+(`NodeFilter.scala:12-27`), per-row decoration maps
+(`MethodDecoratorPass.scala:18-64`), and list-column explode+join
+(`Linker.linkToMultiple`, `Linker.scala:88-102`).
+
+Scale discipline: column-pruned reads, per-batch partial aggregation before
+every groupby (shuffle partials not rows), broadcast key-set semi/anti
+joins, vectorized pandas/numpy batch bodies.
+
+All outputs name their computed columns exactly as the paired oracle SQL in
+``__ray_entry__.py`` does (driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .joins import broadcast_join, broadcast_semi_filter
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# groupby-aggregate with per-batch partials (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing(sf_dir: str):
+    """Pricing summary per (returnflag, linestatus) — the partial-agg
+    combiner pattern: one row per key per batch enters the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.assign(disc_price=t["l_extendedprice"] * (1 - t["l_discount"]), n=1)
+        g = t.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("n", "sum"),
+        )
+        return g
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["avg_qty"] = (t["sum_qty"] / t["count_order"]).round(4)
+        t["avg_price"] = (t["sum_base_price"] / t["count_order"]).round(4)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            t[c] = t[c].round(2)
+        return t
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# multi-hop dimension linking (CallLinker static-dispatch join chain)
+# ---------------------------------------------------------------------------
+
+
+def nation_revenue(sf_dir: str):
+    """orders ⋈ customer ⋈ nation ⋈ region → revenue per (region, nation).
+
+    The fact stream (orders) flows through broadcast joins against the
+    dimension chain — the reference's name→node map probes re-expressed as
+    map-side joins (`Linker.scala:122-130`)."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )[["c_custkey", "n_name", "r_name"]]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, on="o_custkey", right_on="c_custkey")
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.assign(n=1)
+        return t.groupby(["r_name", "n_name"], as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("n", "sum")
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+    )
+    return out.map_batches(
+        lambda t: t.assign(revenue=t["revenue"].round(2)), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# anti / semi joins (stub creation / removal archetypes)
+# ---------------------------------------------------------------------------
+
+
+def parts_without_lineitems(sf_dir: str):
+    """Parts never referenced by any lineitem — TypeDeclStubCreator's
+    left-anti 'which full_names lack a TYPE_DECL' (`TypeDeclStubCreator.
+    scala:14-50`), via broadcast key-set anti filter."""
+    used = _read(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey")
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    out = broadcast_semi_filter(parts, used, on="p_partkey", keep=False).to_pandas()
+    if out.empty:  # preserve schema when every part is referenced
+        out = pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                            "p_name": pd.Series(dtype="object")})
+    return out
+
+
+def customers_with_orders(sf_dir: str):
+    """Semi join (StubRemovalPass 'has a real definition' check)."""
+    have = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return broadcast_semi_filter(cust, have, on="c_custkey", keep=True)
+
+
+# ---------------------------------------------------------------------------
+# global distinct + sort (TypeNodePass)
+# ---------------------------------------------------------------------------
+
+
+def distinct_part_types(sf_dir: str):
+    """Distinct p_type, sorted — `usedTypes.sorted` (`TypeNodePass.scala:11`).
+    Per-batch dedup partials → groupby → sort."""
+    ds = _read(sf_dir, "part", ["p_type"])
+    partials = ds.map_batches(lambda t: t.drop_duplicates(), batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    return (
+        partials.groupby("p_type")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .sort("p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (NodeFilter)
+# ---------------------------------------------------------------------------
+
+
+def dedup_docs_exact(sf_dir: str):
+    """Group documents by identical text; keep min doc_id — the TYPE-node
+    exact dedup (`NodeFilter.scala:15-26`) with deterministic first-wins."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        g = t.groupby("text", as_index=False).agg(keep_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("text")
+        .aggregate(Min("keep_id", alias_name="keep_id"), Sum("n_copies", alias_name="n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# canonical groupby (NamespaceCreator)
+# ---------------------------------------------------------------------------
+
+
+def orders_by_priority(sf_dir: str):
+    """One canonical row per priority group + representative member —
+    `NamespaceCreator.scala:22-28` (groupby name → canonical node)."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        return t.groupby("o_orderpriority", as_index=False).agg(
+            first_order=("o_orderkey", "min"), n_orders=("o_orderkey", "size")
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Min("first_order", alias_name="first_order"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort + limit (deterministic top-k)
+# ---------------------------------------------------------------------------
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Top-k orders by totalprice, orderkey tiebreak (order-as-data
+    discipline, SURVEY.md §4 'ordering assumptions')."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    # local top-k per batch, then global top-k — never a full sort
+    def local_topk(t: pd.DataFrame) -> pd.DataFrame:
+        return t.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time bucketing (the streaming-shaped groupby window)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1h window per user over the events log: batch groupby over
+    (user, hour) — Ray Data has no watermarks; windows are keys
+    (ray_guide 'Streaming-shaped workloads')."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        # astype('datetime64[s]') first: arrow timestamp[us] surfaces as
+        # datetime64[us] in pandas, so a bare int64 view would be µs
+        hour = t["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        g = pd.DataFrame({"user_id": t["user_id"], "hour_epoch": hour, "value": t["value"], "n": 1})
+        return g.groupby(["user_id", "hour_epoch"], as_index=False).agg(
+            n_events=("n", "sum"), sum_value=("value", "sum")
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "hour_epoch"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda t: t.assign(sum_value=t["sum_value"].round(2)), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# list-column explode + aggregate (linkToMultiple)
+# ---------------------------------------------------------------------------
+
+
+def part_type_tokens(sf_dir: str):
+    """Explode p_type into tokens and count — the list-column link pattern
+    (`Linker.linkToMultiple`, `Linker.scala:88-102`: explode → join)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "part", ["p_type"])
+
+    def explode(t: pd.DataFrame) -> pd.DataFrame:
+        toks = t["p_type"].str.split(" ").explode()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index, "n_parts": vc.to_numpy(np.int64)})
+
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n_parts", alias_name="n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-row decode/decoration map (MethodDecoratorPass / proto decode)
+# ---------------------------------------------------------------------------
+
+
+def events_extract_k(sf_dir: str):
+    """Vectorized JSON-ish field extraction from the props string — the
+    per-row decode stage (`ProtoToCpg.addNodes` property decode,
+    `ProtoToCpg.scala:46-75`), kept fully vectorized."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def extract(t: pd.DataFrame) -> pd.DataFrame:
+        k = t["props"].str.extract(r'"k": (\d+)', expand=False).astype("Int64")
+        return pd.DataFrame({"event_id": t["event_id"], "k": k})
+
+    return ds.map_batches(extract, batch_format="pandas")
+
+
+def shipped_monthly(sf_dir: str):
+    """Filter (pushed to the read) + monthly revenue — pruned-read +
+    vectorized-predicate archetype."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= pc.scalar(pd.Timestamp("1995-01-01"))),
+    )
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        month = (
+            t["l_shipdate"].dt.to_period("M").dt.to_timestamp()
+            .astype("datetime64[s]").astype("int64")
+        )
+        rev = t["l_extendedprice"] * (1 - t["l_discount"])
+        g = pd.DataFrame({"month_epoch": month, "revenue": rev, "n": 1})
+        return g.groupby("month_epoch", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("n", "sum")
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("month_epoch")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items"))
+    )
+    return out.map_batches(
+        lambda t: t.assign(revenue=t["revenue"].round(2)), batch_format="pandas"
+    )

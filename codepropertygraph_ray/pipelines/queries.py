@@ -1,0 +1,214 @@
+"""Query surface over the KG pipeline outputs (the driver-contract entries).
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame whose
+columns match the paired DuckDB oracle SQL in ``__ray_entry__.py`` exactly.
+The underlying pipeline run is resumable and cached per sf dir (overlay
+ledger semantics) so the first KG query pays the build and the rest are
+parquet reads — mirroring how the reference loads a stored CPG once and
+serves many traversals (`CpgLoader.scala:22-41`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from .kg import build_kg
+
+KG_OUT_ROOT = "/tmp/graft_kg_out"
+
+
+def kg_runner(sf_dir: str):
+    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return build_kg(sf_dir, os.path.join(KG_OUT_ROOT, name))
+
+
+def mentions(sf_dir: str):
+    """(conv_id, turn_idx, ordinal, surface, key) — extraction surface."""
+    r = kg_runner(sf_dir)
+    ds = r.ctx.read("base", "records",
+                    columns=["kind", "conv_id", "turn_idx", "ordinal", "surface", "key"])
+    return ds.map_batches(
+        lambda t: t[t["kind"] == "mention"].drop(columns=["kind"]),
+        batch_format="pandas",
+    )
+
+
+def facts(sf_dir: str):
+    """(conv_id, turn_idx, ordinal, subj_key, pred, obj_key) — raw facts."""
+    r = kg_runner(sf_dir)
+    ds = r.ctx.read("base", "records",
+                    columns=["kind", "conv_id", "turn_idx", "ordinal", "key", "pred", "obj_key"])
+    return ds.map_batches(
+        lambda t: t[t["kind"] == "fact"]
+        .drop(columns=["kind"])
+        .rename(columns={"key": "subj_key"}),
+        batch_format="pandas",
+    )
+
+
+def entity_keys(sf_dir: str):
+    """(key, n_mentions) — the distinct-mention-key dimension."""
+    return kg_runner(sf_dir).ctx.read("entities", "entity_keys")
+
+
+def canonical_map(sf_dir: str):
+    """(key, canon) for EVERY distinct mention key (un-aliased → itself)."""
+    r = kg_runner(sf_dir)
+    ek = r.ctx.read_table("entities", "entity_keys", columns=["key"]).to_pandas()
+    cm = r.ctx.read_table("canonicalize", "canon_map").to_pandas()
+    out = ek.merge(cm, left_on="key", right_on="node", how="left")
+    out["canon"] = out["component"].fillna(out["key"])
+    return out[["key", "canon"]].sort_values("key", ignore_index=True)
+
+
+def triples(sf_dir: str):
+    """(subj, pred, obj, conv_id, turn_idx) — canonical triples with
+    earliest-stating-turn lineage. THE flagship output."""
+    r = kg_runner(sf_dir)
+    ds = r.ctx.read("link", "triples")
+    return ds.map_batches(
+        lambda t: t.assign(turn_idx=t["turn_idx"].astype("int32"))[
+            ["subj", "pred", "obj", "conv_id", "turn_idx"]
+        ],
+        batch_format="pandas",
+    )
+
+
+def entity_stats(sf_dir: str):
+    """(canon, n_mentions, is_external) per canonical entity."""
+    r = kg_runner(sf_dir)
+    nodes = r.ctx.read("materialize", "nodes", columns=["label", "full_name", "is_external"])
+    ents = nodes.map_batches(
+        lambda t: t[t["label"] == "ENTITY"][["full_name", "is_external"]].rename(
+            columns={"full_name": "canon"}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    cm = canonical_map(sf_dir)
+    ek = r.ctx.read_table("entities", "entity_keys").to_pandas()
+    counts = (
+        ek.merge(cm, on="key")
+        .groupby("canon", as_index=False)["n_mentions"]
+        .sum()
+    )
+    out = ents.merge(counts, on="canon", how="left")
+    out["n_mentions"] = out["n_mentions"].fillna(0).astype("int64")
+    return out.sort_values("canon", ignore_index=True)
+
+
+def conv_stats(sf_dir: str):
+    """(conv_id, n_turns, n_mentions, n_facts) — per-conversation rollup."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.transcripts import ensure_transcripts
+
+    import ray.data
+
+    r = kg_runner(sf_dir)
+    rec = r.ctx.read("base", "records", columns=["kind", "conv_id"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            t.assign(m=(t["kind"] == "mention").astype("int64"),
+                     f=(t["kind"] == "fact").astype("int64"))
+            .groupby("conv_id", as_index=False)
+            .agg(n_mentions=("m", "sum"), n_facts=("f", "sum"))
+        )
+        return g
+
+    per_conv = (
+        rec.map_batches(partial, batch_format="pandas")
+        .groupby("conv_id")
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"),
+                   Sum("n_facts", alias_name="n_facts"))
+    ).to_pandas()
+
+    turns = ray.data.read_parquet(ensure_transcripts(sf_dir), columns=["conv_id"])
+    tc = (
+        turns.map_batches(
+            lambda t: t.groupby("conv_id", as_index=False).agg(n_turns=("conv_id", "size")),
+            batch_format="pandas",
+        )
+        .groupby("conv_id")
+        .aggregate(Sum("n_turns", alias_name="n_turns"))
+    ).to_pandas()
+    out = tc.merge(per_conv, on="conv_id", how="left")
+    for c in ("n_mentions", "n_facts"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return out[["conv_id", "n_turns", "n_mentions", "n_facts"]]
+
+
+def tool_usage(sf_dir: str):
+    """(tool, n_turns) — dimension rollup over tool turns."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.transcripts import ensure_transcripts
+
+    ds = ray.data.read_parquet(ensure_transcripts(sf_dir), columns=["role", "tool"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        tt = t[(t["role"] == "tool") & t["tool"].fillna("").ne("")]
+        vc = tt["tool"].value_counts()
+        return pd.DataFrame({"tool": vc.index, "n_turns": vc.to_numpy(np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("tool")
+        .aggregate(Sum("n_turns", alias_name="n_turns"))
+    )
+
+
+def external_entities(sf_dir: str):
+    """(canon) — canonical entities with zero fact participation (the
+    placeholder/stub population, MethodStubCreator analog)."""
+    es = entity_stats(sf_dir)
+    return es.loc[es["is_external"], ["canon"]].reset_index(drop=True)
+
+
+def next_turn_pairs(sf_dir: str):
+    """(conv_id, turn_idx, next_turn_idx) — the NEXT_TURN (CFG-successor)
+    relation, built per conversation group."""
+    import ray.data
+
+    from ..sources.transcripts import ensure_transcripts
+
+    ds = ray.data.read_parquet(ensure_transcripts(sf_dir), columns=["conv_id", "turn_idx"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"conv_id": pd.Series([], dtype="string"),
+                 "turn_idx": pd.Series([], dtype="int32"),
+                 "next_turn_idx": pd.Series([], dtype="int32")}
+            )
+        t = g["turn_idx"].to_numpy()
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"].to_numpy()[:-1],
+             "turn_idx": t[:-1].astype("int32"),
+             "next_turn_idx": t[1:].astype("int32")}
+        )
+
+    return ds.groupby("conv_id").map_groups(pairs, batch_format="pandas")
+
+
+def node_label_counts(sf_dir: str):
+    """(label, n_nodes) — graph-shape summary (well-formedness surface)."""
+    from ray.data.aggregate import Sum
+
+    r = kg_runner(sf_dir)
+    nodes = r.ctx.read("materialize", "nodes", columns=["label"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        vc = t["label"].value_counts()
+        return pd.DataFrame({"label": vc.index, "n_nodes": vc.to_numpy(np.int64)})
+
+    return (
+        nodes.map_batches(partial, batch_format="pandas")
+        .groupby("label")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+    )

@@ -1,0 +1,78 @@
+"""Driver-contract sanity: entry()/queries()/oracle_sql() shape + a fast
+spot-check of representative queries against DuckDB at sf0.001.
+
+The full 33-query side-by-side at sf0.01 runs via tools/check_oracles.py
+(and by the driver itself); here we keep the pytest loop fast.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+SPOT_QUERIES = [
+    "rel_q1_pricing",
+    "rel_dedup_docs_exact",
+    "rel_orders_by_priority",
+    "rel_part_type_tokens",
+    "sim_knn_bruteforce",
+    "text_quality",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_queries_and_oracles_align(entrymod):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 30
+    unknown = set(oracles) - set(qs)
+    assert not unknown, f"oracle without query: {unknown}"
+    # every SQL-expressible op is oracled; the documented exceptions aren't
+    no_oracle = set(qs) - set(oracles)
+    assert no_oracle == {
+        "text_lang_id", "text_simhash", "text_fingerprint",
+        "dedup_minhash_lsh", "sim_knn_lsh",
+    }
+
+
+def test_entry_returns_rows(ray_session, entrymod):
+    res = entrymod.entry()
+    import ray.data
+
+    assert isinstance(res, ray.data.Dataset)
+    df = res.to_pandas()
+    assert len(df) > 0
+    assert list(df.columns) == ["subj", "pred", "obj", "conv_id", "turn_idx"]
+
+
+@pytest.mark.parametrize("name", SPOT_QUERIES)
+def test_query_matches_oracle_spot(ray_session, entrymod, con, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracles import compare, to_pandas
+
+    ray_df = to_pandas(entrymod.queries()[name](SF))
+    sql_df = con.sql(entrymod.oracle_sql()[name]).df()
+    assert compare(name, ray_df, sql_df) is None
