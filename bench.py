@@ -1,0 +1,139 @@
+"""Benchmark harness (the driver runs this per round → BENCH_r{N}.json).
+
+Headline: full transcript→KG pipeline wall time at $GRAFT_SF_DIR (default
+sf0.1), fresh output dir, reported as seconds plus derived triples/sec
+(the BASELINE.json metric). Individual operator pipelines are timed into
+``queries``.
+
+``--scaling``: the same job in two fresh processes at num_cpus=8 and 32
+(the sandbox evidence for the N→4N cluster-scaling criterion) plus the
+scaling efficiency. Results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_OUT = "/tmp/graft_bench_kg_out"
+
+# operator pipelines timed individually (names match __ray_entry__.queries)
+TIMED_QUERIES = [
+    "rel_q1_pricing",
+    "rel_nation_revenue",
+    "rel_events_hourly",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_knn_bruteforce",
+    "text_token_stats",
+]
+
+
+def _consume(res) -> int:
+    """Fully execute a query result; return row count."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    return len(res)
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    from codepropertygraph_ray.pipelines.kg import build_kg
+    from codepropertygraph_ray.sources.transcripts import ensure_transcripts
+
+    # untimed warm-up: corpus generation + one page-cache read
+    path = ensure_transcripts(SF_DIR)
+    ray.data.read_parquet(path).count()
+
+    # headline: full pipeline, fresh
+    shutil.rmtree(BENCH_OUT, ignore_errors=True)
+    t0 = time.perf_counter()
+    runner = build_kg(SF_DIR, BENCH_OUT)
+    pipeline_sec = time.perf_counter() - t0
+    led = runner.ledger()
+    n_triples = led["metrics"]["link"]["tables"]["triples"]["rows"]
+    n_turns = ray.data.read_parquet(path).count()
+
+    queries = {
+        p: round(m["wall_sec"], 3)
+        for p, m in led["metrics"].items()
+    }
+    qs = entrymod.queries()
+    for name in TIMED_QUERIES:
+        t0 = time.perf_counter()
+        _consume(qs[name](SF_DIR))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "kg_pipeline_wall_sec",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_turns": n_turns,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / pipeline_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 vs 32 → scaling efficiency."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t8,
+        "sec_32": t32,
+        "triples_per_sec_8": results[8]["triples_per_sec"],
+        "triples_per_sec_32": results[32]["triples_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        out = run_bench()
+        print(json.dumps(out))
+        import ray
+
+        ray.shutdown()

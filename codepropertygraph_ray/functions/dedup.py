@@ -59,37 +59,33 @@ def ngram_jaccard_pairs(sf_dir: str):
     J = inter / (|A| + |B| - inter). The per-shingle pair fan-out is the
     skew hazard; a stop-shingle cap (drop shingles in > MAX_DF docs) bounds
     it — the salting/cap discipline of SURVEY.md §7.4."""
-    from ray.data.aggregate import Sum
+    from .agg import hash_agg, hash_groupby
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     shingled = ds.map_batches(_shingle_rows, batch_format="pandas")
 
     # |A| per doc (broadcast — dimension-sized)
-    sizes = (
+    sizes = hash_agg(
         shingled.map_batches(
             lambda t: t.groupby("doc_id", as_index=False).agg(n=("shingle", "size")),
             batch_format="pandas",
-        )
-        .groupby("doc_id")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+        ),
+        "doc_id",
+        n=("n", "sum"),
+    ).to_pandas()
     size_ref = ray.put(dict(zip(sizes["doc_id"], sizes["n"])))
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "ninter": pd.Series([], dtype="int64")})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b], "ninter": 1})
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a shingle co-locate → vectorized self-merge
+        m = g.merge(g, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        pc = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        return pc.rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b", "size": "ninter"})
 
-    pair_counts = (
-        shingled.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Sum("ninter", alias_name="ninter"))
+    pair_counts = hash_agg(
+        hash_groupby(shingled, "shingle", pairs_in_bucket),
+        ["id_a", "id_b"],
+        ninter=("ninter", "sum"),
     )
 
     def verify(t: pd.DataFrame) -> pd.DataFrame:
@@ -156,25 +152,26 @@ def minhash_lsh_pairs(sf_dir: str):
     pairs are verified. (No SQL oracle — probabilistic recall; tests assert
     candidates ⊆ exact pairs after verification and recall on planted dups.)
     """
-    from ray.data.aggregate import Sum
+    from .agg import hash_agg, hash_groupby
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     bands = ds.map_batches(MinHasher, batch_format="pandas", concurrency=2)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+        # all rows of any LSH bucket co-locate → vectorized self-merge
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return m[["doc_id_x", "doc_id_y"]].drop_duplicates().rename(
+            columns={"doc_id_x": "id_a", "doc_id_y": "id_b"}
+        )
 
     candidates = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Sum("id_a", alias_name="_s"))  # distinct pairs
-        .drop_columns(["_s"])
+        hash_agg(
+            hash_groupby(bands, ["band_id", "band_hash"], bucket_pairs),
+            ["id_a", "id_b"],
+            _n=("id_a", "size"),  # distinct pairs across bands
+        )
+        .drop_columns(["_n"])
         .to_pandas()
     )
 

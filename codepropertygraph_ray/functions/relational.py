@@ -172,7 +172,7 @@ def distinct_part_types(sf_dir: str):
 def dedup_docs_exact(sf_dir: str):
     """Group documents by identical text; keep min doc_id — the TYPE-node
     exact dedup (`NodeFilter.scala:15-26`) with deterministic first-wins."""
-    from ray.data.aggregate import Min, Sum
+    from .agg import hash_agg
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -180,10 +180,11 @@ def dedup_docs_exact(sf_dir: str):
         g = t.groupby("text", as_index=False).agg(keep_id=("doc_id", "min"), n_copies=("doc_id", "size"))
         return g
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("text")
-        .aggregate(Min("keep_id", alias_name="keep_id"), Sum("n_copies", alias_name="n_copies"))
+    return hash_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        "text",
+        keep_id=("keep_id", "min"),
+        n_copies=("n_copies", "sum"),
     )
 
 
@@ -246,7 +247,7 @@ def events_hourly(sf_dir: str):
     """Tumbling 1h window per user over the events log: batch groupby over
     (user, hour) — Ray Data has no watermarks; windows are keys
     (ray_guide 'Streaming-shaped workloads')."""
-    from ray.data.aggregate import Sum
+    from .agg import hash_agg
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
@@ -259,10 +260,11 @@ def events_hourly(sf_dir: str):
             n_events=("n", "sum"), sum_value=("value", "sum")
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "hour_epoch"])
-        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    out = hash_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id", "hour_epoch"],
+        n_events=("n_events", "sum"),
+        sum_value=("sum_value", "sum"),
     )
     return out.map_batches(
         lambda t: t.assign(sum_value=t["sum_value"].round(2)), batch_format="pandas"

@@ -74,9 +74,10 @@ def run_base(ctx: PassContext) -> dict:
 
 def run_entities(ctx: PassContext) -> dict:
     """Distinct mention keys + counts. Pre-aggregates inside map_batches so
-    the groupby shuffles key partials, not raw mentions (SURVEY.md §2.5,
-    the `Global.usedTypes` → emitted-column + aggregate replacement)."""
-    from ray.data.aggregate import Sum
+    the bucketed groupby shuffles key partials, not raw mentions
+    (SURVEY.md §2.5, the `Global.usedTypes` → emitted-column + aggregate
+    replacement)."""
+    from ..functions.agg import hash_agg
 
     records = ctx.read("base", "records", columns=["kind", "key"])
 
@@ -85,7 +86,7 @@ def run_entities(ctx: PassContext) -> dict:
         return pd.DataFrame({"key": m.index, "n": m.to_numpy(np.int64)})
 
     partials = records.map_batches(partial_counts, batch_format="pandas")
-    entity_keys = partials.groupby("key").aggregate(Sum("n", alias_name="n_mentions"))
+    entity_keys = hash_agg(partials, "key", n_mentions=("n", "sum"))
     return {"entity_keys": entity_keys}
 
 
@@ -126,13 +127,13 @@ def _dedup_triples(triples):
     """Exact (subj,pred,obj) dedup keeping the earliest stating turn —
     min over a composite sort key (NodeFilter.scala:12-27 first-wins analog,
     made order-free)."""
-    from ray.data.aggregate import Min
+    from ..functions.agg import hash_agg
 
     def with_sortkey(t: pd.DataFrame) -> pd.DataFrame:
         t = t.copy()
         t["sortkey"] = t["conv_id"] + "|" + t["turn_idx"].astype(np.int64).astype(str).str.zfill(9)
         t = t.drop(columns=["conv_id", "turn_idx"])
-        # per-batch partial min — the combiner before the groupby shuffle
+        # per-batch partial min — the combiner before the bucketed shuffle
         return t.groupby(["subj", "pred", "obj"], as_index=False)["sortkey"].min()
 
     def split_sortkey(t: pd.DataFrame) -> pd.DataFrame:
@@ -142,12 +143,12 @@ def _dedup_triples(triples):
         t["turn_idx"] = parts[1].astype(np.int32)
         return t
 
-    return (
-        triples.map_batches(with_sortkey, batch_format="pandas")
-        .groupby(["subj", "pred", "obj"])
-        .aggregate(Min("sortkey", alias_name="sortkey"))
-        .map_batches(split_sortkey, batch_format="pandas")
+    deduped = hash_agg(
+        triples.map_batches(with_sortkey, batch_format="pandas"),
+        ["subj", "pred", "obj"],
+        sortkey=("sortkey", "min"),
     )
+    return deduped.map_batches(split_sortkey, batch_format="pandas")
 
 
 def run_link(ctx: PassContext) -> dict:
@@ -176,19 +177,6 @@ def run_link(ctx: PassContext) -> dict:
         return t[["subj", "pred", "obj", "conv_id", "turn_idx"]]
 
     all_facts = linked.map_batches(finish_facts, batch_format="pandas")
-    # linked_keys: canonical keys that participate in ANY fact (incl. alias)
-    # → drives is_external (placeholder-entity) flags in materialize
-    from ray.data.aggregate import Count
-
-    def fact_keys(t: pd.DataFrame) -> pd.DataFrame:
-        ks = pd.concat([t["subj"], t["obj"]], ignore_index=True).drop_duplicates()
-        return pd.DataFrame({"canon": ks})
-
-    linked_keys = (
-        all_facts.map_batches(fact_keys, batch_format="pandas")
-        .groupby("canon")
-        .aggregate(Count(alias_name="n_facts"))
-    )
 
     triples = _dedup_triples(
         all_facts.map_batches(
@@ -205,7 +193,7 @@ def run_link(ctx: PassContext) -> dict:
         ],
         batch_format="pandas",
     )
-    return {"triples": triples, "mention_links": mention_links, "linked_keys": linked_keys}
+    return {"triples": triples, "mention_links": mention_links}
 
 
 # ---------------------------------------------------------------------------
@@ -323,19 +311,29 @@ def run_materialize(ctx: PassContext) -> dict:
         return pd.concat(frames, ignore_index=True)
 
     def next_turn_edges(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        if len(g) < 2:
-            return _edges_frame(0, src=[], dst=[], label=[], overlay=[])
+        # one bucket of whole conversations; vectorized across them:
+        # sort by (conv, idx), pair row i with i+1 where conv is unchanged
+        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
         tk = _turn_key(g["conv_id"], g["turn_idx"])
         tid = ids.hash_series([pd.Series(["TURN"] * len(g)), tk])
+        same = (g["conv_id"].shift(-1) == g["conv_id"]).to_numpy()
+        same[-1:] = False
+        n = int(same.sum())
         return _edges_frame(
-            len(g) - 1, src=tid[:-1], dst=tid[1:], label=schema.NEXT_TURN, overlay=overlay
+            n, src=tid[:-1][same[:-1]], dst=tid[1:][same[:-1]],
+            label=schema.NEXT_TURN, overlay=overlay,
         )
 
     # --- dimension nodes (conversation / speaker / tool) -------------------
     from ray.data.aggregate import Count
 
-    conv_dim = turns.groupby("conv_id").aggregate(Count(alias_name="n_turns"))
+    from ..functions.agg import hash_agg
+
+    conv_partials = turns.map_batches(
+        lambda t: t.groupby("conv_id", as_index=False).agg(n=("conv_id", "size")),
+        batch_format="pandas",
+    )
+    conv_dim = hash_agg(conv_partials, "conv_id", n_turns=("n", "sum"))
 
     def conv_nodes(t: pd.DataFrame) -> pd.DataFrame:
         n = len(t)
@@ -419,9 +417,14 @@ def run_materialize(ctx: PassContext) -> dict:
         )
 
     # --- entity nodes (canonical; is_external = no fact participation) ----
+    # linked = canonical keys in ANY fact: triple endpoints ∪ alias
+    # participants (= every canon_map component — those keys appeared in an
+    # alias_of fact by construction). Derived from already-written deltas,
+    # so no extra scan of the records table.
     entity_keys = ctx.read_table("entities", "entity_keys").to_pandas()
     cmap = ctx.read_table("canonicalize", "canon_map").to_pandas()
-    linked = set(ctx.read_table("link", "linked_keys", columns=["canon"])["canon"].to_pylist())
+    tri = ctx.read_table("link", "triples", columns=["subj", "obj"]).to_pandas()
+    linked = set(tri["subj"]) | set(tri["obj"]) | set(cmap["component"])
     ek = entity_keys.merge(cmap, left_on="key", right_on="node", how="left")
     ek["canon"] = ek["component"].fillna(ek["key"])
     ents = (
@@ -485,10 +488,16 @@ def run_materialize(ctx: PassContext) -> dict:
     def to_edges_arrow(df: pd.DataFrame) -> pa.Table:
         return pa.Table.from_pandas(df, schema=edge_tbl_schema, preserve_index=False)
 
+    from ..functions.agg import hash_groupby
+
     edges = (
         turns.map_batches(turn_edges, batch_format="pandas")
         .union(
-            turns.groupby("conv_id").map_groups(next_turn_edges, batch_format="pandas")
+            hash_groupby(
+                turns.select_columns(["conv_id", "turn_idx"]),
+                "conv_id",
+                next_turn_edges,
+            )
         )
         .union(mlinks.map_batches(mention_edges, batch_format="pandas"))
         .union(triples.map_batches(fact_edges, batch_format="pandas"))

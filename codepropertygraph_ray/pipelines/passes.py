@@ -191,5 +191,8 @@ def _write_delta(data, tdir: str) -> None:
         os.makedirs(tdir, exist_ok=True)
         pqt.write_table(data, os.path.join(tdir, "part-0.parquet"))
     else:  # ray.data.Dataset — streamed, multi-file (resumable layout)
-        data.write_parquet(tdir)
+        # coalesce tiny blocks into ≥128k-row files: downstream passes
+        # re-read every delta, and hundreds of 15k-row files cost more in
+        # per-file overhead than they buy in parallelism
+        data.write_parquet(tdir, min_rows_per_file=131_072)
         os.makedirs(tdir, exist_ok=True)  # zero-row writes may skip the dir

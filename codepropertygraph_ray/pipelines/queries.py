@@ -119,21 +119,23 @@ def conv_stats(sf_dir: str):
         )
         return g
 
-    per_conv = (
-        rec.map_batches(partial, batch_format="pandas")
-        .groupby("conv_id")
-        .aggregate(Sum("n_mentions", alias_name="n_mentions"),
-                   Sum("n_facts", alias_name="n_facts"))
+    from ..functions.agg import hash_agg
+
+    per_conv = hash_agg(
+        rec.map_batches(partial, batch_format="pandas"),
+        "conv_id",
+        n_mentions=("n_mentions", "sum"),
+        n_facts=("n_facts", "sum"),
     ).to_pandas()
 
     turns = ray.data.read_parquet(ensure_transcripts(sf_dir), columns=["conv_id"])
-    tc = (
+    tc = hash_agg(
         turns.map_batches(
             lambda t: t.groupby("conv_id", as_index=False).agg(n_turns=("conv_id", "size")),
             batch_format="pandas",
-        )
-        .groupby("conv_id")
-        .aggregate(Sum("n_turns", alias_name="n_turns"))
+        ),
+        "conv_id",
+        n_turns=("n_turns", "sum"),
     ).to_pandas()
     out = tc.merge(per_conv, on="conv_id", how="left")
     for c in ("n_mentions", "n_facts"):
@@ -176,24 +178,23 @@ def next_turn_pairs(sf_dir: str):
 
     from ..sources.transcripts import ensure_transcripts
 
+    from ..functions.agg import hash_groupby
+
     ds = ray.data.read_parquet(ensure_transcripts(sf_dir), columns=["conv_id", "turn_idx"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"conv_id": pd.Series([], dtype="string"),
-                 "turn_idx": pd.Series([], dtype="int32"),
-                 "next_turn_idx": pd.Series([], dtype="int32")}
-            )
+        # bucket of whole conversations → vectorized shift across them
+        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        same = (g["conv_id"].shift(-1) == g["conv_id"]).to_numpy()
         t = g["turn_idx"].to_numpy()
+        keep = same[:-1] if len(same) else same
         return pd.DataFrame(
-            {"conv_id": g["conv_id"].to_numpy()[:-1],
-             "turn_idx": t[:-1].astype("int32"),
-             "next_turn_idx": t[1:].astype("int32")}
+            {"conv_id": g["conv_id"].to_numpy()[:-1][keep],
+             "turn_idx": t[:-1][keep].astype("int32"),
+             "next_turn_idx": t[1:][keep].astype("int32")}
         )
 
-    return ds.groupby("conv_id").map_groups(pairs, batch_format="pandas")
+    return hash_groupby(ds, "conv_id", pairs)
 
 
 def node_label_counts(sf_dir: str):

@@ -12,146 +12,155 @@ Checks (each emits violation rows; a valid graph yields ZERO rows):
 2. edge (src_label, label, dst_label) ∈ EDGE_FACTS   (OutFacts/InFacts)
 3. no dangling edge endpoints (the ProtoToCpg dangling-edge warning,
    `ProtoToCpg.scala:81-89`, promoted to a check)
-4. out-degree cardinality bounds per OUT_DEGREE_FACTS (e.g. ≤1 NEXT_TURN,
+4. out-degree cardinality bounds per OUT_DEGREE_FACTS (≤1 NEXT_TURN,
    exactly one REF per MENTION — the "0-1:n" facts of base.json)
 
-Scale shape: label resolution is two hash joins of edges against the
-(id,label) projection of nodes (`join_auto` broadcasts when the node dim is
-small); degree checks are partial-aggregated groupbys.
+Execution shape (cost-conscious: exactly THREE dataset executions):
+
+* one scan of ``nodes`` fetching the (id,label) dimension — driver-side
+  checks 1 come for free from it; the dim is broadcast for edge labeling.
+  (At corpus scales where (id,label) outgrows the broadcast budget this
+  switches to the shuffle-join path — ``num_partitions`` is the knob.)
+* one scan of ``edges`` doing dangling/edge-fact checks + REF counting
+  against the broadcast dim;
+* one groupby over edge (src,label) degree partials for the bounds check.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 
 from .. import schema
-from ..functions.joins import join_auto
+from ..functions.joins import get_broadcast
 
 
 def _viol(check, detail_series) -> pd.DataFrame:
-    d = pd.Series(detail_series).astype(str)
-    return pd.DataFrame({"check": [check] * len(d), "detail": d.to_numpy()})
+    d = pd.Series(detail_series).astype("string")
+    return pd.DataFrame({"check": pd.Series([check] * len(d), dtype="string"),
+                         "detail": d.to_numpy()})
+
+
+_EMPTY = pd.DataFrame({"check": pd.Series([], dtype="string"),
+                       "detail": pd.Series([], dtype="string")})
 
 
 def validate_graph(nodes, edges, num_partitions: int = 16):
     """nodes, edges: ray Datasets → Dataset of (check, detail) violations."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    # dtype "string" so empty blocks carry arrow string (not null) type
-    empty = pd.DataFrame({"check": pd.Series([], dtype="string"),
-                          "detail": pd.Series([], dtype="string")})
+    # ---- execution 1: node dimension + driver-side node checks ----------
+    dim = nodes.select_columns(["id", "label"]).to_pandas()
+    driver_viols = [_EMPTY]
+    bad_labels = dim.loc[~dim["label"].isin(schema.NODE_LABELS), "label"].drop_duplicates()
+    if len(bad_labels):
+        driver_viols.append(_viol("unknown_node_label", bad_labels))
+    vc = dim["id"].value_counts()
+    dups = vc[vc > 1]
+    if len(dups):
+        driver_viols.append(_viol("duplicate_node_id", dups.index.astype(str)))
+    if (dim["label"] == schema.META_DATA).sum() != 1:
+        driver_viols.append(_viol("meta_data_count", ["expected exactly 1"]))
+    n_mentions = int((dim["label"] == schema.MENTION).sum())
 
-    # -- 1a. unknown node labels -------------------------------------------
-    def bad_labels(t: pd.DataFrame) -> pd.DataFrame:
-        bad = t.loc[~t["label"].isin(schema.NODE_LABELS), "label"].drop_duplicates()
-        return _viol("unknown_node_label", bad) if len(bad) else empty
+    # broadcast lookup = (sorted int64 ids, int8 label codes): plasma-zero-
+    # copy numpy arrays + np.searchsorted — 100× faster per batch than a
+    # Series.map(dict) probe at 10^6+ nodes (measured 1.3 s vs 0.011 s on a
+    # 14k-row batch), and the dominant validator cost at scale.
+    id_order = np.argsort(dim["id"].to_numpy(np.int64), kind="stable")
+    ids_sorted = dim["id"].to_numpy(np.int64)[id_order]
+    label_cat = pd.Categorical(dim["label"])
+    label_names = list(label_cat.categories)
+    codes_sorted = label_cat.codes.astype(np.int16)[id_order]
+    label_of = ray.put((ids_sorted, codes_sorted, label_names))
+    allowed = frozenset(schema.EDGE_FACTS)
 
-    v_labels = nodes.map_batches(bad_labels, batch_format="pandas")
+    def _lookup(ids: np.ndarray, table) -> np.ndarray:
+        ids_s, codes, _names = table
+        pos = np.clip(np.searchsorted(ids_s, ids), 0, len(ids_s) - 1)
+        found = ids_s[pos] == ids
+        out = np.where(found, codes[pos], -1)
+        return out
 
-    # -- 1b. duplicate node ids (same id must mean same content row) -------
-    def id_partials(t: pd.DataFrame) -> pd.DataFrame:
-        vc = t["id"].value_counts()
-        return pd.DataFrame({"id": vc.index.to_numpy(), "n": vc.to_numpy(np.int64)})
-
-    dup_ids = (
-        nodes.map_batches(id_partials, batch_format="pandas")
-        .groupby("id")
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(
-            lambda t: _viol("duplicate_node_id", t.loc[t["n"] > 1, "id"])
-            if (t["n"] > 1).any()
-            else empty,
-            batch_format="pandas",
-        )
-    )
-
-    # -- 2+3. resolve endpoint labels via joins ----------------------------
-    node_dim = nodes.select_columns(["id", "label"]).rename_columns(
-        {"id": "nid", "label": "node_label"}
-    )
-    def _ren(frm: str, to: str):
-        # rename via a pandas stage: Dataset.rename_columns assumes arrow
-        # blocks and breaks on pandas-format blocks from broadcast joins
-        return lambda t: t.rename(columns={frm: to})
-
-    e = edges.select_columns(["src", "dst", "label"])
-    e = join_auto(e, node_dim, on="src", right_on="nid", how="left",
-                  num_partitions=num_partitions)
-    e = e.map_batches(_ren("node_label", "src_label"), batch_format="pandas")
-    e = join_auto(e, node_dim, on="dst", right_on="nid", how="left",
-                  num_partitions=num_partitions)
-    e = e.map_batches(_ren("node_label", "dst_label"), batch_format="pandas")
-
-    allowed = {(s, l, d) for (s, l, d) in schema.EDGE_FACTS}
-
+    # ---- execution 2: edge-fact + dangling checks, REF count ------------
     def edge_checks(t: pd.DataFrame) -> pd.DataFrame:
+        table = get_broadcast(label_of)
+        names = table[2]
+        src_c = _lookup(t["src"].to_numpy(np.int64), table)
+        dst_c = _lookup(t["dst"].to_numpy(np.int64), table)
         out = []
-        dangling = t["src_label"].isna() | t["dst_label"].isna()
+        dangling = (src_c < 0) | (dst_c < 0)
         if dangling.any():
             out.append(_viol("dangling_edge", t.loc[dangling, "label"].drop_duplicates()))
-        ok = t[~dangling]
-        combos = ok[["src_label", "label", "dst_label"]].drop_duplicates()
-        bad = combos[
-            [tuple(r) not in allowed for r in combos.itertuples(index=False)]
+        ok = ~dangling
+        combos = pd.DataFrame(
+            {"s": src_c[ok], "l": t.loc[ok, "label"].to_numpy(), "d": dst_c[ok]}
+        ).drop_duplicates()
+        bad = [
+            f"{names[s]}-{l}->{names[d]}"
+            for s, l, d in combos.itertuples(index=False)
+            if (names[s], l, names[d]) not in allowed
         ]
-        if len(bad):
-            out.append(
-                _viol("edge_fact", bad.apply(lambda r: f"{r.src_label}-{r.label}->{r.dst_label}", axis=1))
-            )
-        return pd.concat(out, ignore_index=True) if out else empty
+        if bad:
+            out.append(_viol("edge_fact", bad))
+        # REF-count partial rides along as a pseudo-violation row
+        nref = int((t["label"] == schema.REF).sum())
+        out.append(_viol("_ref_partial", [str(nref)]))
+        return pd.concat(out, ignore_index=True) if out else _EMPTY
 
-    v_edges = e.map_batches(edge_checks, batch_format="pandas")
+    echecks = edges.select_columns(["src", "dst", "label"]).map_batches(
+        edge_checks, batch_format="pandas"
+    ).to_pandas()
+    ref_rows = echecks["check"] == "_ref_partial"
+    n_refs = echecks.loc[ref_rows, "detail"].astype(int).sum()
+    echecks = echecks[~ref_rows]
+    if n_refs != n_mentions:  # every MENTION has exactly one REF out-edge
+        driver_viols.append(
+            _viol("mention_ref_count", [f"mentions={n_mentions} refs={n_refs}"])
+        )
 
-    # -- 4. out-degree bounds ----------------------------------------------
-    def degree_partials(t: pd.DataFrame) -> pd.DataFrame:
-        g = t.groupby(["src", "label"], as_index=False).size()
-        return g.rename(columns={"size": "n"})
-
-    deg = (
-        edges.select_columns(["src", "label"])
-        .map_batches(degree_partials, batch_format="pandas")
-        .groupby(["src", "label"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
-    # max-bound check needs src's node label → reuse the label join
-    deg = join_auto(deg, node_dim, on="src", right_on="nid", how="left",
-                    num_partitions=num_partitions)
-
+    # ---- execution 3: out-degree bounds (distributed groupby) -----------
     max_bounds = {
         (sl, el): mx
         for (sl, el), (_mn, mx) in schema.OUT_DEGREE_FACTS.items()
         if mx is not None
     }
+    bounds_ref = ray.put(max_bounds)
+
+    from ..functions.agg import hash_agg
+
+    def degree_partials(t: pd.DataFrame) -> pd.DataFrame:
+        g = t.groupby(["src", "label"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
 
     def degree_checks(t: pd.DataFrame) -> pd.DataFrame:
-        lim = t.apply(lambda r: max_bounds.get((r["node_label"], r["label"]), None), axis=1)
-        over = t[lim.notna() & (t["n"] > lim.fillna(np.inf))]
+        table = get_broadcast(label_of)
+        names = table[2]
+        mb = get_broadcast(bounds_ref)
+        src_c = _lookup(t["src"].to_numpy(np.int64), table)
+        src_l = pd.Series([names[c] if c >= 0 else None for c in src_c], index=t.index)
+        lim = pd.Series(
+            [mb.get((s, l)) for s, l in zip(src_l, t["label"])], index=t.index,
+            dtype="float64",
+        )
+        over = t[lim.notna() & (t["n"] > lim)]
         if not len(over):
-            return empty
+            return _EMPTY
+        src_l_over = src_l[over.index]
         return _viol(
             "out_degree_exceeded",
-            over.apply(lambda r: f"{r['node_label']}:{r['label']}={r['n']}", axis=1),
+            [f"{s}:{l}={n}" for s, l, n in zip(src_l_over, over["label"], over["n"])],
         )
 
-    v_deg = deg.map_batches(degree_checks, batch_format="pandas")
+    v_deg = hash_agg(
+        edges.select_columns(["src", "label"]).map_batches(
+            degree_partials, batch_format="pandas"
+        ),
+        ["src", "label"],
+        n=("n", "sum"),
+    ).map_batches(degree_checks, batch_format="pandas")
 
-    # min-degree: every MENTION must have exactly one REF out-edge; a mention
-    # with zero REF edges never reaches the edges table, so compare counts.
-    def count_label(ds, label, col="label"):
-        return ds.map_batches(
-            lambda t, lb=label: pd.DataFrame({"n": [int((t[col] == lb).sum())]}),
-            batch_format="pandas",
-        ).sum("n") or 0
-
-    n_mentions = count_label(nodes, schema.MENTION)
-    n_refs = count_label(edges, schema.REF)
-    extra = (
-        [{"check": "mention_ref_count", "detail": f"mentions={n_mentions} refs={n_refs}"}]
-        if n_mentions != n_refs
-        else []
-    )
-    v_extra = ray.data.from_items(extra) if extra else ray.data.from_pandas(empty)
-
-    return v_labels.union(dup_ids).union(v_edges).union(v_deg).union(v_extra)
+    driver_df = pd.concat(driver_viols + [echecks], ignore_index=True)
+    return ray.data.from_pandas(driver_df).union(v_deg)
