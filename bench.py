@@ -84,11 +84,14 @@ def run_bench() -> dict:
         p: round(m["wall_sec"], 3)
         for p, m in led["metrics"].items()
     }
-    qs = entrymod.queries()
-    for name in TIMED_QUERIES:
-        t0 = time.perf_counter()
-        _consume(qs[name](SF_DIR))
-        queries[name] = round(time.perf_counter() - t0, 3)
+    # operator queries need the testdata tables; skip when benching a
+    # transcripts-only corpus (e.g. synthetic sf0.4 for the scaling run)
+    if os.path.exists(os.path.join(SF_DIR, "lineitem.parquet")):
+        qs = entrymod.queries()
+        for name in TIMED_QUERIES:
+            t0 = time.perf_counter()
+            _consume(qs[name](SF_DIR))
+            queries[name] = round(time.perf_counter() - t0, 3)
 
     return {
         "metric": "kg_pipeline_wall_sec",
@@ -104,16 +107,27 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 vs 32 → scaling efficiency."""
+    """Same job, fresh processes, num_cpus=8 vs 32 → scaling efficiency.
+
+    Sandbox run-to-run variance is large (same 32-cpu job measured 46-90 s
+    across repeats); each level runs SCALING_REPS times (default 2) and
+    reports the minimum — the standard noisy-machine protocol.
+    """
+    reps = int(os.environ.get("SCALING_REPS", "2"))
     results = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(reps):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[ncpu] = best
     t8, t32 = results[8]["value"], results[32]["value"]
     eff = (t8 / t32) / (32 / 8)
     return {

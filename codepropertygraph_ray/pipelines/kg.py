@@ -30,21 +30,14 @@ from .passes import Pass, PassContext, PipelineRunner
 
 DEFAULT_PARAMS = {
     "num_partitions": 16,  # hash-join/shuffle width
-    "extract_concurrency": None,  # None = size to cluster, leaving headroom
-    "extract_batch_size": 8192,
+    "extract_concurrency": None,  # None = stateless tasks; int = actor pool
+    "extract_batch_size": 16384,
     "cc_distributed": None,  # None = auto by edge count
 }
 
 
 def _p(ctx: PassContext, key: str):
-    v = ctx.params.get(key, DEFAULT_PARAMS[key])
-    if key == "extract_concurrency" and v is None:
-        import ray
-
-        # leave ≥2 CPUs for the read/sort/write stages so the actor pool
-        # never starves the rest of the streaming pipeline
-        v = max(1, int(ray.cluster_resources().get("CPU", 4)) - 2)
-    return v
+    return ctx.params.get(key, DEFAULT_PARAMS[key])
 
 
 # ---------------------------------------------------------------------------
@@ -53,17 +46,38 @@ def _p(ctx: PassContext, key: str):
 
 
 def run_base(ctx: PassContext) -> dict:
-    """Stable-sorted read + actor-pool extraction → long record table."""
+    """Stable-sorted read + vectorized extraction → long record table.
+
+    Extraction runs as stateless tasks with a per-process compiled-pattern
+    cache (see stages/extract.py — measured faster than an actor pool for
+    this light state); pass ``extract_concurrency`` to force a pool for
+    heavy extractor state. Read block count is sized so the sort shuffle
+    moves ~32 MB blocks instead of hundreds of slivers."""
+    import os
+
     import ray.data
 
-    ds = ray.data.read_parquet(ensure_transcripts(ctx.sf_dir))
+    from ..stages.extract import extract_batch
+
+    path = ensure_transcripts(ctx.sf_dir)
+    nbytes = os.path.getsize(path)
+    nblocks = max(16, nbytes // (32 << 20))
+    ds = ray.data.read_parquet(path, override_num_blocks=nblocks)
     ds = ds.sort(["conv_id", "turn_idx"])  # the mandated stable order
-    records = ds.map_batches(
-        TurnExtractor,
-        batch_format="pandas",
-        batch_size=_p(ctx, "extract_batch_size"),
-        concurrency=_p(ctx, "extract_concurrency"),
-    )
+    conc = ctx.params.get("extract_concurrency")
+    if conc:
+        records = ds.map_batches(
+            TurnExtractor,
+            batch_format="pandas",
+            batch_size=_p(ctx, "extract_batch_size"),
+            concurrency=conc,
+        )
+    else:
+        records = ds.map_batches(
+            extract_batch,
+            batch_format="pandas",
+            batch_size=_p(ctx, "extract_batch_size"),
+        )
     return {"records": records}
 
 
@@ -125,30 +139,22 @@ def run_canonicalize(ctx: PassContext) -> dict:
 
 def _dedup_triples(triples):
     """Exact (subj,pred,obj) dedup keeping the earliest stating turn —
-    min over a composite sort key (NodeFilter.scala:12-27 first-wins analog,
-    made order-free)."""
-    from ..functions.agg import hash_agg
+    first row under (conv_id, turn_idx) order (NodeFilter.scala:12-27
+    first-wins analog, made order-free: the winner is the lexicographic
+    minimum, not whichever partition arrived first)."""
+    from ..functions.agg import hash_groupby
 
-    def with_sortkey(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.copy()
-        t["sortkey"] = t["conv_id"] + "|" + t["turn_idx"].astype(np.int64).astype(str).str.zfill(9)
-        t = t.drop(columns=["conv_id", "turn_idx"])
-        # per-batch partial min — the combiner before the bucketed shuffle
-        return t.groupby(["subj", "pred", "obj"], as_index=False)["sortkey"].min()
+    keys = ["subj", "pred", "obj"]
 
-    def split_sortkey(t: pd.DataFrame) -> pd.DataFrame:
-        parts = t["sortkey"].str.rsplit("|", n=1, expand=True)
-        t = t.drop(columns=["sortkey"])
-        t["conv_id"] = parts[0]
-        t["turn_idx"] = parts[1].astype(np.int32)
-        return t
+    def local_first(t: pd.DataFrame) -> pd.DataFrame:
+        # vectorized min-by-(conv,turn): sort then keep first per key —
+        # used both as the per-batch combiner and the per-bucket reducer
+        return t.sort_values(keys + ["conv_id", "turn_idx"]).drop_duplicates(
+            keys, keep="first"
+        )
 
-    deduped = hash_agg(
-        triples.map_batches(with_sortkey, batch_format="pandas"),
-        ["subj", "pred", "obj"],
-        sortkey=("sortkey", "min"),
-    )
-    return deduped.map_batches(split_sortkey, batch_format="pandas")
+    partials = triples.map_batches(local_first, batch_format="pandas")
+    return hash_groupby(partials, keys, local_first)
 
 
 def run_link(ctx: PassContext) -> dict:
@@ -157,43 +163,50 @@ def run_link(ctx: PassContext) -> dict:
     Linker/CallLinker analog (`Linker.scala:122-130` builds driver maps and
     probes per row; here: `ray.put` once, vectorized merge per batch).
     Unresolved keys keep themselves (log-and-continue soft-fail,
-    `Linker.scala:244-266` — no row is dropped)."""
+    `Linker.scala:244-266` — no row is dropped).
+
+    ONE scan of the records delta links mentions and facts in the same
+    batch body (mention_links delta); canonical triples then dedup from the
+    already-linked fact rows of that delta — records is never read twice.
+    """
+    import ray
+
     cmap = ctx.read_table("canonicalize", "canon_map").to_pandas()
-    canon = cmap.rename(columns={"node": "key", "component": "canon"})
+    canon_ref = ray.put(dict(zip(cmap["node"], cmap["component"])))
+    from ..functions.joins import get_broadcast
 
-    facts = ctx.read(
-        "base", "records", columns=["kind", "pred", "key", "obj_key", "conv_id", "turn_idx"]
-    ).map_batches(lambda t: t[t["kind"] == "fact"], batch_format="pandas")
-
-    linked = broadcast_join(facts, canon, on="key")
-    linked = broadcast_join(
-        linked, canon.rename(columns={"key": "obj_key", "canon": "obj_canon"}), on="obj_key"
+    records = ctx.read(
+        "base",
+        "records",
+        columns=["kind", "conv_id", "turn_idx", "ordinal", "surface", "key", "pred", "obj_key"],
     )
 
-    def finish_facts(t: pd.DataFrame) -> pd.DataFrame:
+    def link_records(t: pd.DataFrame) -> pd.DataFrame:
+        cm = get_broadcast(canon_ref)
         t = t.copy()
-        t["subj"] = t["canon"].fillna(t["key"])
-        t["obj"] = t["obj_canon"].fillna(t["obj_key"])
-        return t[["subj", "pred", "obj", "conv_id", "turn_idx"]]
+        # canon(key): pandas map + fillna(self) — the soft-fail default
+        t["canon"] = t["key"].map(cm).fillna(t["key"])
+        t["obj_canon"] = t["obj_key"].map(cm).fillna(t["obj_key"])
+        return t
 
-    all_facts = linked.map_batches(finish_facts, batch_format="pandas")
+    linked_records = records.map_batches(link_records, batch_format="pandas")
 
-    triples = _dedup_triples(
-        all_facts.map_batches(
-            lambda t: t[t["pred"] != schema.ALIAS_PRED], batch_format="pandas"
+    # triples: a DEFERRED delta — computed after mention_links is on disk,
+    # reading the written files back (records is scanned exactly once)
+    def fact_rows(t: pd.DataFrame) -> pd.DataFrame:
+        f = t[(t["kind"] == "fact") & (t["pred"] != schema.ALIAS_PRED)]
+        return f.rename(columns={"canon": "subj", "obj_canon": "obj"})[
+            ["subj", "pred", "obj", "conv_id", "turn_idx"]
+        ]
+
+    def triples_from_delta(c: PassContext):
+        linked = c.read(
+            "link", "mention_links",
+            columns=["kind", "pred", "conv_id", "turn_idx", "canon", "obj_canon"],
         )
-    )
+        return _dedup_triples(linked.map_batches(fact_rows, batch_format="pandas"))
 
-    mentions = ctx.read(
-        "base", "records", columns=["kind", "conv_id", "turn_idx", "ordinal", "surface", "key"]
-    ).map_batches(lambda t: t[t["kind"] == "mention"], batch_format="pandas")
-    mention_links = broadcast_join(mentions, canon, on="key").map_batches(
-        lambda t: t.assign(canon=t["canon"].fillna(t["key"]))[
-            ["conv_id", "turn_idx", "ordinal", "surface", "key", "canon"]
-        ],
-        batch_format="pandas",
-    )
-    return {"triples": triples, "mention_links": mention_links}
+    return {"mention_links": linked_records, "triples": triples_from_delta}
 
 
 # ---------------------------------------------------------------------------
@@ -325,55 +338,50 @@ def run_materialize(ctx: PassContext) -> dict:
         )
 
     # --- dimension nodes (conversation / speaker / tool) -------------------
-    from ray.data.aggregate import Count
-
+    # ONE scan + ONE bucketed shuffle covers all three dimensions: partials
+    # emit (label, key) for CONVERSATION / SPEAKER / TOOL alike
     from ..functions.agg import hash_agg
 
-    conv_partials = turns.map_batches(
-        lambda t: t.groupby("conv_id", as_index=False).agg(n=("conv_id", "size")),
-        batch_format="pandas",
-    )
-    conv_dim = hash_agg(conv_partials, "conv_id", n_turns=("n", "sum"))
-
-    def conv_nodes(t: pd.DataFrame) -> pd.DataFrame:
-        n = len(t)
-        return _nodes_frame(
-            n,
-            id=ids.node_ids(schema.CONVERSATION, t["conv_id"]),
-            label=schema.CONVERSATION,
-            name=t["conv_id"].to_numpy(),
-            full_name=t["conv_id"].to_numpy(),
-            conv_id=t["conv_id"].to_numpy(),
-            overlay=overlay,
-        )
-
     def dim_partials(t: pd.DataFrame) -> pd.DataFrame:
+        convs = t["conv_id"].drop_duplicates()
         roles = t["role"].drop_duplicates()
         tools = t.loc[(t["role"] == "tool") & t["tool"].fillna("").ne(""), "tool"].drop_duplicates()
         return pd.DataFrame(
             {
-                "label": [schema.SPEAKER] * len(roles) + [schema.TOOL] * len(tools),
-                "key": pd.concat([roles, tools], ignore_index=True),
+                "label": [schema.CONVERSATION] * len(convs)
+                + [schema.SPEAKER] * len(roles)
+                + [schema.TOOL] * len(tools),
+                "key": pd.concat([convs, roles, tools], ignore_index=True),
             }
         )
 
-    dims = turns.map_batches(dim_partials, batch_format="pandas").groupby(
-        ["label", "key"]
-    ).aggregate(Count(alias_name="n"))
+    dims = hash_agg(
+        turns.map_batches(dim_partials, batch_format="pandas"),
+        ["label", "key"],
+        _n=("key", "size"),
+    )
 
     def dim_nodes(t: pd.DataFrame) -> pd.DataFrame:
         n = len(t)
+        is_conv = (t["label"] == schema.CONVERSATION).to_numpy()
         return _nodes_frame(
             n,
             id=ids.hash_series([t["label"], t["key"]]),
             label=t["label"].to_numpy(),
             name=t["key"].to_numpy(),
             full_name=t["key"].to_numpy(),
+            conv_id=np.where(is_conv, t["key"], None),
             overlay=overlay,
         )
 
     # --- mention nodes + AST/CONTAINS/REF edges ----------------------------
-    mlinks = ctx.read("link", "mention_links")
+    mlinks = ctx.read(
+        "link", "mention_links",
+        columns=["kind", "conv_id", "turn_idx", "ordinal", "surface", "key", "canon"],
+    ).map_batches(
+        lambda t: t[t["kind"] == "mention"].drop(columns=["kind"]),
+        batch_format="pandas",
+    )
 
     def mention_key(t: pd.DataFrame) -> pd.Series:
         return (
@@ -419,28 +427,57 @@ def run_materialize(ctx: PassContext) -> dict:
     # --- entity nodes (canonical; is_external = no fact participation) ----
     # linked = canonical keys in ANY fact: triple endpoints ∪ alias
     # participants (= every canon_map component — those keys appeared in an
-    # alias_of fact by construction). Derived from already-written deltas,
-    # so no extra scan of the records table.
-    entity_keys = ctx.read_table("entities", "entity_keys").to_pandas()
+    # alias_of fact by construction). Fully distributed: the entity vocab
+    # is never driver-materialized (it grows with the corpus); only the
+    # canon map and the linked-canon set (both vocab-dimension) broadcast.
+    from ..functions.agg import hash_groupby
+    from ..functions.joins import get_broadcast
+
     cmap = ctx.read_table("canonicalize", "canon_map").to_pandas()
-    tri = ctx.read_table("link", "triples", columns=["subj", "obj"]).to_pandas()
-    linked = set(tri["subj"]) | set(tri["obj"]) | set(cmap["component"])
-    ek = entity_keys.merge(cmap, left_on="key", right_on="node", how="left")
-    ek["canon"] = ek["component"].fillna(ek["key"])
-    ents = (
-        ek.groupby("canon", as_index=False)
-        .agg(n_mentions=("n_mentions", "sum"))
-        .sort_values("canon", ignore_index=True)  # usedTypes.sorted analog
+    cmap_ref = ray.put(dict(zip(cmap["node"], cmap["component"])))
+    tri_keys = ctx.read("link", "triples", columns=["subj", "obj"])
+
+    def tri_key_partials(t: pd.DataFrame) -> pd.DataFrame:
+        ks = pd.concat([t["subj"], t["obj"]], ignore_index=True).drop_duplicates()
+        return pd.DataFrame({"canon": ks})
+
+    linked_canons = (
+        hash_groupby(
+            tri_keys.map_batches(tri_key_partials, batch_format="pandas"),
+            "canon",
+            lambda g: g.drop_duplicates("canon"),
+        )
+        .to_pandas()["canon"]
     )
-    n = len(ents)
-    entity_nodes = _nodes_frame(
-        n,
-        id=ids.node_ids(schema.ENTITY, ents["canon"]),
-        label=schema.ENTITY,
-        name=ents["canon"].to_numpy(),
-        full_name=ents["canon"].to_numpy(),
-        is_external=[c not in linked for c in ents["canon"]],
-        overlay=overlay,
+    linked_ref = ray.put(frozenset(linked_canons) | frozenset(cmap["component"]))
+
+    entity_keys = ctx.read("entities", "entity_keys")
+
+    def canon_partials(t: pd.DataFrame) -> pd.DataFrame:
+        cm = get_broadcast(cmap_ref)
+        t = t.copy()
+        t["canon"] = t["key"].map(cm).fillna(t["key"])
+        return t.groupby("canon", as_index=False).agg(n_mentions=("n_mentions", "sum"))
+
+    def entity_nodes_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        linked = get_broadcast(linked_ref)
+        ents = g.groupby("canon", as_index=False).agg(n_mentions=("n_mentions", "sum"))
+        ents = ents.sort_values("canon", ignore_index=True)  # usedTypes.sorted
+        n = len(ents)
+        return _nodes_frame(
+            n,
+            id=ids.node_ids(schema.ENTITY, ents["canon"]),
+            label=schema.ENTITY,
+            name=ents["canon"].to_numpy(),
+            full_name=ents["canon"].to_numpy(),
+            is_external=[c not in linked for c in ents["canon"]],
+            overlay=overlay,
+        )
+
+    entity_nodes_ds = hash_groupby(
+        entity_keys.map_batches(canon_partials, batch_format="pandas"),
+        "canon",
+        entity_nodes_of_bucket,
     )
 
     # --- FACT edges from triples ------------------------------------------
@@ -476,10 +513,10 @@ def run_materialize(ctx: PassContext) -> dict:
 
     nodes = (
         turns.map_batches(turn_nodes, batch_format="pandas")
-        .union(conv_dim.map_batches(conv_nodes, batch_format="pandas"))
         .union(dims.map_batches(dim_nodes, batch_format="pandas"))
         .union(mlinks.map_batches(mention_nodes, batch_format="pandas"))
-        .union(ray.data.from_pandas(pd.concat([entity_nodes, meta], ignore_index=True)))
+        .union(entity_nodes_ds)
+        .union(ray.data.from_pandas(meta))
         .map_batches(to_nodes_arrow, batch_format="pandas")
     )
 

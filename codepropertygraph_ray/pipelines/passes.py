@@ -143,6 +143,11 @@ class PipelineRunner:
             metrics: dict = {"tables": {}}
             for tname, data in deltas.items():
                 tdir = os.path.join(pdir, tname)
+                if callable(data):
+                    # deferred delta: computed AFTER earlier tables of this
+                    # pass are on disk, so it can read them back instead of
+                    # re-executing their lineage
+                    data = data(self.ctx)
                 _write_delta(data, tdir)
                 metrics["tables"][tname] = {
                     "files": _file_metrics(tdir),

@@ -104,7 +104,9 @@ def generate_conversation(conv_index: int, sf: float) -> list[dict]:
         else:
             n_turns = rng.randint(80, 150)
 
-    base_ts = 1_700_000_000_000_000 + conv_index * 86_400_000_000  # µs
+    # 1h between conversation starts, wrapped at 100k so µs timestamps stay
+    # inside pandas' datetime64[ns] range at any sf
+    base_ts = 1_700_000_000_000_000 + (conv_index % 100_000) * 3_600_000_000  # µs
     rows = []
     for turn_idx in range(n_turns):
         role = "tool" if rng.random() < 0.08 else ("user", "assistant")[turn_idx % 2]

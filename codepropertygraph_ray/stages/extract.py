@@ -52,10 +52,20 @@ def normalize_series(s: pd.Series) -> pd.Series:
 
 
 class TurnExtractor:
-    """Actor-pool stage: transcripts batch → long-format extraction records."""
+    """Extraction stage: transcripts batch → long-format extraction records.
+
+    Usable two ways:
+    * as stateless tasks via ``extract_batch`` (default): the compiled
+      extractor is cached once per worker PROCESS — same amortization as an
+      actor pool, but elastic and with zero pool-startup latency (measured:
+      tasks 2.6-3.9 s vs actor pool 4.6-4.9 s for the same sf0.1 extract);
+    * as an actor pool via ``map_batches(TurnExtractor, concurrency=N)``
+      when the state is genuinely heavy (model weights, big gazetteers) —
+      the MinHasher stage (functions/dedup.py) keeps that shape.
+    """
 
     def __init__(self) -> None:
-        # once per actor (ParallelCpgPass-part analog, state amortized)
+        # once per actor/process (ParallelCpgPass-part analog)
         self.mention_pat = re.compile(MENTION_RE)
         self.fact_pat = re.compile(FACT_RE)
 
@@ -113,3 +123,13 @@ class TurnExtractor:
         out["turn_idx"] = out["turn_idx"].astype("int32")
         out["ordinal"] = out["ordinal"].astype("int32")
         return out
+
+
+# per-worker-process extractor cache for the stateless-task path
+_PROCESS_EXTRACTOR: list[TurnExtractor] = []
+
+
+def extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    if not _PROCESS_EXTRACTOR:
+        _PROCESS_EXTRACTOR.append(TurnExtractor())
+    return _PROCESS_EXTRACTOR[0](batch)

@@ -49,31 +49,59 @@ _EMPTY = pd.DataFrame({"check": pd.Series([], dtype="string"),
 def validate_graph(nodes, edges, num_partitions: int = 16):
     """nodes, edges: ray Datasets → Dataset of (check, detail) violations."""
     import ray.data
-    from ray.data.aggregate import Sum
 
-    # ---- execution 1: node dimension + driver-side node checks ----------
-    dim = nodes.select_columns(["id", "label"]).to_pandas()
+    # ---- execution 1: node dimension (numeric!) + node checks -----------
+    # The label→code mapping happens distributed so the driver only pulls
+    # two numeric columns (id:int64, code:int16) — pulling the label
+    # STRINGS serialized the validator at scale (700 MB of pandas objects
+    # for 7M nodes). Unknown-label details are fetched lazily only if any
+    # code is -1 (the exceptional path pays the extra scan, not the common
+    # one). At 10^9+ nodes the dim itself outgrows one machine — then this
+    # lookup shards by id range; the threshold note in AGENTS/BASELINE.
+    label_names = list(schema.NODE_LABELS)
+    code_of_label = {name: i for i, name in enumerate(label_names)}
+
+    def node_dim_batch(t: pd.DataFrame) -> pd.DataFrame:
+        code = t["label"].map(code_of_label).fillna(-1).astype("int16")
+        return pd.DataFrame({"id": t["id"].astype("int64"), "code": code})
+
+    dim = nodes.select_columns(["id", "label"]).map_batches(
+        node_dim_batch, batch_format="pandas"
+    ).to_pandas()
     driver_viols = [_EMPTY]
-    bad_labels = dim.loc[~dim["label"].isin(schema.NODE_LABELS), "label"].drop_duplicates()
-    if len(bad_labels):
-        driver_viols.append(_viol("unknown_node_label", bad_labels))
-    vc = dim["id"].value_counts()
-    dups = vc[vc > 1]
-    if len(dups):
-        driver_viols.append(_viol("duplicate_node_id", dups.index.astype(str)))
-    if (dim["label"] == schema.META_DATA).sum() != 1:
-        driver_viols.append(_viol("meta_data_count", ["expected exactly 1"]))
-    n_mentions = int((dim["label"] == schema.MENTION).sum())
+    codes_all = dim["code"].to_numpy(np.int16)
+    if (codes_all < 0).any():  # exceptional path: name the unknown labels
+        bad = (
+            nodes.select_columns(["label"])
+            .map_batches(
+                lambda t: t.loc[~t["label"].isin(label_names), ["label"]].drop_duplicates(),
+                batch_format="pandas",
+            )
+            .to_pandas()["label"].drop_duplicates()
+        )
+        driver_viols.append(_viol("unknown_node_label", bad))
 
-    # broadcast lookup = (sorted int64 ids, int8 label codes): plasma-zero-
+    ids_all = dim["id"].to_numpy(np.int64)
+    id_order = np.argsort(ids_all, kind="stable")
+    ids_sorted = ids_all[id_order]
+    dup_mask = np.zeros(len(ids_sorted), dtype=bool)
+    if len(ids_sorted) > 1:
+        eq = ids_sorted[1:] == ids_sorted[:-1]
+        dup_mask[1:] = eq
+    if dup_mask.any():
+        driver_viols.append(
+            _viol("duplicate_node_id", np.unique(ids_sorted[dup_mask]).astype(str))
+        )
+    counts = np.bincount(codes_all[codes_all >= 0], minlength=len(label_names))
+    if counts[code_of_label[schema.META_DATA]] != 1:
+        driver_viols.append(_viol("meta_data_count", ["expected exactly 1"]))
+    n_mentions = int(counts[code_of_label[schema.MENTION]])
+
+    # broadcast lookup = (sorted int64 ids, int16 label codes): plasma-zero-
     # copy numpy arrays + np.searchsorted — 100× faster per batch than a
     # Series.map(dict) probe at 10^6+ nodes (measured 1.3 s vs 0.011 s on a
     # 14k-row batch), and the dominant validator cost at scale.
-    id_order = np.argsort(dim["id"].to_numpy(np.int64), kind="stable")
-    ids_sorted = dim["id"].to_numpy(np.int64)[id_order]
-    label_cat = pd.Categorical(dim["label"])
-    label_names = list(label_cat.categories)
-    codes_sorted = label_cat.codes.astype(np.int16)[id_order]
+    codes_sorted = codes_all[id_order]
     label_of = ray.put((ids_sorted, codes_sorted, label_names))
     allowed = frozenset(schema.EDGE_FACTS)
 
@@ -84,16 +112,52 @@ def validate_graph(nodes, edges, num_partitions: int = 16):
         out = np.where(found, codes[pos], -1)
         return out
 
-    # ---- execution 2: edge-fact + dangling checks, REF count ------------
-    def edge_checks(t: pd.DataFrame) -> pd.DataFrame:
+    # ---- execution 2: ONE edges scan does everything edge-side ----------
+    # Per batch: dangling + edge-fact checks, a REF-count partial, and
+    # (src,label) degree partials. All ride one combined frame through the
+    # bucketed shuffle; the per-bucket reducer finishes degree bounds and
+    # passes violation rows through. One execution instead of three.
+    max_bounds = {
+        (sl, el): mx
+        for (sl, el), (_mn, mx) in schema.OUT_DEGREE_FACTS.items()
+        if mx is not None
+    }
+    bounds_ref = ray.put(max_bounds)
+
+    _combined_empty = pd.DataFrame(
+        {"check": pd.Series([], dtype="string"),
+         "detail": pd.Series([], dtype="string"),
+         "src": pd.Series([], dtype="int64"),
+         "label": pd.Series([], dtype="string"),
+         "n": pd.Series([], dtype="int64")}
+    )
+
+    def _as_combined(viol_df: pd.DataFrame | None, deg_df: pd.DataFrame | None):
+        frames = []
+        if viol_df is not None and len(viol_df):
+            v = viol_df.copy()
+            v["src"] = np.int64(-1)
+            v["label"] = pd.Series([""] * len(v), dtype="string")
+            v["n"] = np.int64(0)
+            frames.append(v)
+        if deg_df is not None and len(deg_df):
+            d = deg_df.copy()
+            d["check"] = pd.Series([None] * len(d), dtype="string")
+            d["detail"] = pd.Series([None] * len(d), dtype="string")
+            frames.append(d[["check", "detail", "src", "label", "n"]])
+        if not frames:
+            return _combined_empty
+        return pd.concat(frames, ignore_index=True)[_combined_empty.columns]
+
+    def edge_scan(t: pd.DataFrame) -> pd.DataFrame:
         table = get_broadcast(label_of)
         names = table[2]
         src_c = _lookup(t["src"].to_numpy(np.int64), table)
         dst_c = _lookup(t["dst"].to_numpy(np.int64), table)
-        out = []
+        viols = []
         dangling = (src_c < 0) | (dst_c < 0)
         if dangling.any():
-            out.append(_viol("dangling_edge", t.loc[dangling, "label"].drop_duplicates()))
+            viols.append(_viol("dangling_edge", t.loc[dangling, "label"].drop_duplicates()))
         ok = ~dangling
         combos = pd.DataFrame(
             {"s": src_c[ok], "l": t.loc[ok, "label"].to_numpy(), "d": dst_c[ok]}
@@ -104,63 +168,56 @@ def validate_graph(nodes, edges, num_partitions: int = 16):
             if (names[s], l, names[d]) not in allowed
         ]
         if bad:
-            out.append(_viol("edge_fact", bad))
-        # REF-count partial rides along as a pseudo-violation row
-        nref = int((t["label"] == schema.REF).sum())
-        out.append(_viol("_ref_partial", [str(nref)]))
+            viols.append(_viol("edge_fact", bad))
+        viols.append(_viol("_ref_partial", [str(int((t["label"] == schema.REF).sum()))]))
+        deg = t.groupby(["src", "label"], as_index=False).size().rename(columns={"size": "n"})
+        return _as_combined(pd.concat(viols, ignore_index=True), deg)
+
+    def bucket_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        table = get_broadcast(label_of)
+        names = table[2]
+        mb = get_broadcast(bounds_ref)
+        passthrough = g[g["check"].notna()][["check", "detail"]]
+        deg = g[g["check"].isna()].groupby(["src", "label"], as_index=False)["n"].sum()
+        out = [passthrough]
+        if len(deg):
+            src_c = _lookup(deg["src"].to_numpy(np.int64), table)
+            src_l = [names[c] if c >= 0 else None for c in src_c]
+            lim = np.array(
+                [mb.get((s, l), np.nan) for s, l in zip(src_l, deg["label"])],
+                dtype="float64",
+            )
+            over = ~np.isnan(lim) & (deg["n"].to_numpy() > lim)
+            if over.any():
+                out.append(
+                    _viol(
+                        "out_degree_exceeded",
+                        [
+                            f"{s}:{l}={n}"
+                            for s, l, n, o in zip(src_l, deg["label"], deg["n"], over)
+                            if o
+                        ],
+                    )
+                )
         return pd.concat(out, ignore_index=True) if out else _EMPTY
 
-    echecks = edges.select_columns(["src", "dst", "label"]).map_batches(
-        edge_checks, batch_format="pandas"
+    from ..functions.agg import hash_groupby
+
+    edge_results = hash_groupby(
+        edges.select_columns(["src", "dst", "label"]).map_batches(
+            edge_scan, batch_format="pandas"
+        ),
+        ["src", "label"],
+        bucket_reduce,
     ).to_pandas()
-    ref_rows = echecks["check"] == "_ref_partial"
-    n_refs = echecks.loc[ref_rows, "detail"].astype(int).sum()
-    echecks = echecks[~ref_rows]
+
+    ref_rows = edge_results["check"] == "_ref_partial"
+    n_refs = edge_results.loc[ref_rows, "detail"].astype(int).sum()
+    edge_results = edge_results[~ref_rows]
     if n_refs != n_mentions:  # every MENTION has exactly one REF out-edge
         driver_viols.append(
             _viol("mention_ref_count", [f"mentions={n_mentions} refs={n_refs}"])
         )
 
-    # ---- execution 3: out-degree bounds (distributed groupby) -----------
-    max_bounds = {
-        (sl, el): mx
-        for (sl, el), (_mn, mx) in schema.OUT_DEGREE_FACTS.items()
-        if mx is not None
-    }
-    bounds_ref = ray.put(max_bounds)
-
-    from ..functions.agg import hash_agg
-
-    def degree_partials(t: pd.DataFrame) -> pd.DataFrame:
-        g = t.groupby(["src", "label"], as_index=False).size()
-        return g.rename(columns={"size": "n"})
-
-    def degree_checks(t: pd.DataFrame) -> pd.DataFrame:
-        table = get_broadcast(label_of)
-        names = table[2]
-        mb = get_broadcast(bounds_ref)
-        src_c = _lookup(t["src"].to_numpy(np.int64), table)
-        src_l = pd.Series([names[c] if c >= 0 else None for c in src_c], index=t.index)
-        lim = pd.Series(
-            [mb.get((s, l)) for s, l in zip(src_l, t["label"])], index=t.index,
-            dtype="float64",
-        )
-        over = t[lim.notna() & (t["n"] > lim)]
-        if not len(over):
-            return _EMPTY
-        src_l_over = src_l[over.index]
-        return _viol(
-            "out_degree_exceeded",
-            [f"{s}:{l}={n}" for s, l, n in zip(src_l_over, over["label"], over["n"])],
-        )
-
-    v_deg = hash_agg(
-        edges.select_columns(["src", "label"]).map_batches(
-            degree_partials, batch_format="pandas"
-        ),
-        ["src", "label"],
-        n=("n", "sum"),
-    ).map_batches(degree_checks, batch_format="pandas")
-
-    driver_df = pd.concat(driver_viols + [echecks], ignore_index=True)
-    return ray.data.from_pandas(driver_df).union(v_deg)
+    driver_df = pd.concat(driver_viols + [edge_results], ignore_index=True)
+    return ray.data.from_pandas(driver_df.reset_index(drop=True))
