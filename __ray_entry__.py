@@ -40,7 +40,13 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from codepropertygraph_ray.functions import dedup, relational, similarity, text
+    from codepropertygraph_ray.functions import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
     from codepropertygraph_ray.pipelines import queries as kgq
 
     return {
@@ -56,6 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_external_entities": kgq.external_entities,
         "kg_next_turn_pairs": kgq.next_turn_pairs,
         "kg_node_label_counts": kgq.node_label_counts,
+        "kg_reaching_mentions": kgq.reaching_mentions_pairs,
+        "kg_fact_closure": kgq.fact_closure,
+        "kg_dump_context": kgq.dump_turn_context,
+        "kg_dot_export": kgq.dot_export,  # DOT sink — no SQL oracle
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -82,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,  # approximate — no SQL oracle
         "sim_embedding_dups": similarity.embedding_dups,
+        # --- multimodal plumbing (decode stub) -----------------------------
+        "mm_media_features": multimodal.media_features,  # no SQL oracle
     }
 
 
@@ -199,6 +211,33 @@ def _kg_sql() -> dict[str, str]:
                    CAST(lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INTEGER) AS next_turn_idx
             FROM {t}
           ) WHERE next_turn_idx IS NOT NULL
+        """,
+        "kg_reaching_mentions": f"""
+          SELECT conv_id, src_turn_idx, dst_turn_idx, variable FROM (
+            SELECT conv_id, turn_idx AS src_turn_idx,
+                   CAST(lead(turn_idx) OVER (
+                     PARTITION BY conv_id, key ORDER BY turn_idx
+                   ) AS INTEGER) AS dst_turn_idx,
+                   key AS variable
+            FROM (SELECT DISTINCT conv_id, turn_idx, key FROM ({mentions_keyed}))
+          ) WHERE dst_turn_idx IS NOT NULL
+        """,
+        "kg_fact_closure": f"""
+          WITH RECURSIVE
+          tri AS (SELECT DISTINCT subj, obj FROM ({triples_all})),
+          seed AS (SELECT min(subj) AS s FROM tri),
+          fc_reach(name, d) AS (
+            SELECT s, 0 FROM seed
+            UNION
+            SELECT tri.obj, fc_reach.d + 1 FROM fc_reach
+            JOIN tri ON tri.subj = fc_reach.name WHERE fc_reach.d < 3
+          )
+          SELECT DISTINCT name AS full_name FROM fc_reach
+        """,
+        "kg_dump_context": f"""
+          SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text
+          FROM {t}
+          WHERE conv_id = 'conv-0000000' AND turn_idx BETWEEN 9 AND 11
         """,
         "kg_node_label_counts": f"""
           SELECT 'TURN' AS label, CAST(count(*) AS BIGINT) AS n_nodes FROM {t}

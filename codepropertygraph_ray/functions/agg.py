@@ -67,3 +67,57 @@ def hash_agg(ds, keys: list[str] | str, num_buckets: int = DEFAULT_BUCKETS, **na
         return g.groupby(keys_l, as_index=False).agg(**named_aggs)
 
     return hash_groupby(ds, keys_l, agg, num_buckets=num_buckets)
+
+
+def salted_agg(
+    ds,
+    keys: list[str] | str,
+    num_buckets: int = DEFAULT_BUCKETS,
+    salt: int = 8,
+    **named_aggs,
+):
+    """Two-stage aggregation for HOT keys (SURVEY.md §7.4 'salt hot keys').
+
+    ``hash_agg`` co-locates every row of a key in one bucket; a single key
+    holding a large fraction of all rows (the long-conversation / frequent-
+    entity skew) then serializes into one straggler task. ``salted_agg``
+    first aggregates on (key, salt) where salt spreads each key's rows over
+    ``salt`` sub-groups (round 1 shrinks the hot key to ``salt`` partial
+    rows), then re-aggregates the partials on the key alone (round 2 is
+    tiny). Only valid for algebraic aggregations (sum/min/max/count-as-sum
+    — anything expressible as a merge of partials).
+    """
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+
+    # count-style partials must re-merge with sum in round 2
+    MERGE = {"sum": "sum", "min": "min", "max": "max", "count": "sum", "size": "sum"}
+    round2 = {}
+    for out_col, (in_col, how) in named_aggs.items():
+        if how not in MERGE:
+            raise ValueError(f"salted_agg supports algebraic aggs only, got {how!r}")
+        round2[out_col] = (out_col, MERGE[how])
+
+    def add_salt(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        # deterministic spread: hash of the row position within the batch
+        # is NOT stable across runs — use a content hash of all agg inputs
+        in_cols = [c for c, _ in named_aggs.values()]
+        t["_salt"] = (hash_series([t[c] for c in keys_l + in_cols]) % salt).astype("int32")
+        return t
+
+    stage1 = hash_agg(
+        ds.map_batches(add_salt, batch_format="pandas"),
+        keys_l + ["_salt"],
+        num_buckets=num_buckets,
+        **named_aggs,
+    )
+
+    def drop_salt(t: pd.DataFrame) -> pd.DataFrame:
+        return t.drop(columns=["_salt"])
+
+    return hash_agg(
+        stage1.map_batches(drop_salt, batch_format="pandas"),
+        keys_l,
+        num_buckets=num_buckets,
+        **round2,
+    )

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+
+Training-data pipelines carry image/audio/video as opaque ``binary``
+columns with typed metadata and run decode / feature-extract / resize /
+frame-sample as actor-pool ``map_batches`` stages. The image/audio codecs
+are NOT in this container, so the decode kernel is STUBBED: a clearly
+marked deterministic fake (or ``NotImplementedError`` in strict mode). The
+Ray-side plumbing — schema, batch sizing for wide binary rows, actor
+signature, output layout — is real and tested.
+
+Scale notes (ray_guide 'Memory-aware'): binary payloads make rows wide, so
+these stages run with SMALL ``batch_size`` and arrow batch format (pandas
+would copy the buffers into object cells); block size is governed by
+``DataContext.target_max_block_size``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..ids import hash_series
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),  # opaque encoded bytes
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # nullable metadata
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+class MediaDecoder:
+    """Actor-pool stage: media batch → fixed-dim feature vectors.
+
+    ``__init__`` is where a real deployment loads the codec/model ONCE per
+    actor (the reference's pass-state pattern, SURVEY.md §2.6). In this
+    container there is no codec, so:
+
+    * ``strict=True``  → raises NotImplementedError at decode time;
+    * ``strict=False`` → deterministic fake features derived from the
+      payload bytes via the repo's keyed SipHash — stable across runs and
+      parallelism, so downstream stages (similarity, dedup) are testable.
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        # real version: self.model = load_codec_and_model()  # once per actor
+
+    def _fake_features(self, payloads: list[bytes | None]) -> np.ndarray:
+        import pandas as pd
+
+        base = hash_series(
+            [pd.Series([(p or b"").hex() for p in payloads])]
+        ).astype(np.uint64)
+        # expand one hash into FEATURE_DIM deterministic floats in [0, 1)
+        mults = (np.arange(FEATURE_DIM, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) + np.uint64(1)
+        vals = (base[:, None] * mults[None, :]) >> np.uint64(11)
+        return (vals % np.uint64(1 << 24)).astype(np.float32) / np.float32(1 << 24)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "media codecs are not available in this environment; "
+                "run with strict=False for deterministic fake features"
+            )
+        payloads = batch.column("payload").to_pylist()
+        feats = self._fake_features(payloads)
+        sizes = pa.array(
+            [len(p) if p is not None else 0 for p in payloads], pa.int64()
+        )
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "n_bytes": sizes,
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.ravel(), pa.float32()), FEATURE_DIM
+                ),
+            }
+        )
+
+
+def decode_media(media_ds, batch_size: int = 64, concurrency=2, strict: bool = False):
+    """media Dataset → features Dataset via the actor-pool decode stage.
+
+    Small batch_size on purpose: payload bytes × batch_size × concurrency
+    must fit each worker's heap (wide-binary-row rule)."""
+    return media_ds.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synthetic_media(sf_dir: str, kind: str = "image"):
+    """Deterministic fake media table derived from the documents table
+    (payload = utf-8 text bytes) — gives the plumbing a real input without
+    external data."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").to_pylist()
+        n = len(text)
+        payload = pa.array([(t or "").encode() for t in text], pa.binary())
+        return pa.table(
+            {
+                "media_id": batch.column("doc_id"),
+                "kind": pa.array([kind] * n),
+                "payload": payload,
+                "mime": pa.array(["application/octet-stream"] * n),
+                "width": pa.array([None] * n, pa.int32()),
+                "height": pa.array([None] * n, pa.int32()),
+                "duration_ms": pa.array([None] * n, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
+
+
+def media_features(sf_dir: str):
+    """queries() surface: synthetic media → decode stub → (media_id, kind,
+    n_bytes, features). Rows-only check (no SQL oracle: feature fakes are
+    keyed-hash-derived)."""
+    return decode_media(synthetic_media(sf_dir))

@@ -210,7 +210,22 @@ def run_link(ctx: PassContext) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# pass 04 — materialize CPG-shaped nodes + edges
+# pass 04 — reaching-mentions overlay (ReachingDefPass analog)
+# ---------------------------------------------------------------------------
+
+
+def run_reaching(ctx: PassContext) -> dict:
+    """Per-conversation mention-reaches-turn pairs (stages/reaching.py)."""
+    from ..stages.reaching import reaching_mentions
+
+    mentions = ctx.read(
+        "link", "mention_links", columns=["kind", "conv_id", "turn_idx", "key"]
+    ).map_batches(lambda t: t[t["kind"] == "mention"], batch_format="pandas")
+    return {"reaching": reaching_mentions(mentions)}
+
+
+# ---------------------------------------------------------------------------
+# pass 05 — materialize CPG-shaped nodes + edges
 # ---------------------------------------------------------------------------
 
 
@@ -480,6 +495,22 @@ def run_materialize(ctx: PassContext) -> dict:
         entity_nodes_of_bucket,
     )
 
+    # --- REACHES edges from the reaching overlay --------------------------
+    reaching = ctx.read("reaching", "reaching")
+
+    def reaches_edges(t: pd.DataFrame) -> pd.DataFrame:
+        n = len(t)
+        src_tk = _turn_key(t["conv_id"], t["src_turn_idx"])
+        dst_tk = _turn_key(t["conv_id"], t["dst_turn_idx"])
+        return _edges_frame(
+            n,
+            src=ids.hash_series([pd.Series(["TURN"] * n), src_tk]),
+            dst=ids.hash_series([pd.Series(["TURN"] * n), dst_tk]),
+            label=schema.REACHES,
+            variable=t["variable"].to_numpy(),
+            overlay="reaching",
+        )
+
     # --- FACT edges from triples ------------------------------------------
     triples = ctx.read("link", "triples")
 
@@ -538,6 +569,7 @@ def run_materialize(ctx: PassContext) -> dict:
         )
         .union(mlinks.map_batches(mention_edges, batch_format="pandas"))
         .union(triples.map_batches(fact_edges, batch_format="pandas"))
+        .union(reaching.map_batches(reaches_edges, batch_format="pandas"))
         .map_batches(to_edges_arrow, batch_format="pandas")
     )
 
@@ -566,7 +598,8 @@ PASSES = [
     Pass("entities", run_entities, depends_on=("base",)),
     Pass("canonicalize", run_canonicalize, depends_on=("base",)),
     Pass("link", run_link, depends_on=("base", "canonicalize")),
-    Pass("materialize", run_materialize, depends_on=("entities", "link")),
+    Pass("reaching", run_reaching, depends_on=("link",)),
+    Pass("materialize", run_materialize, depends_on=("entities", "link", "reaching")),
     Pass("validate", run_validate, depends_on=("materialize",)),
 ]
 

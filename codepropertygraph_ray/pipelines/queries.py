@@ -213,3 +213,52 @@ def node_label_counts(sf_dir: str):
         .groupby("label")
         .aggregate(Sum("n_nodes", alias_name="n_nodes"))
     )
+
+
+def reaching_mentions_pairs(sf_dir: str):
+    """(conv_id, src_turn_idx, dst_turn_idx, variable) — the REACHING_DEF
+    overlay rows (stages/reaching.py)."""
+    return kg_runner(sf_dir).ctx.read("reaching", "reaching")
+
+
+def fact_closure(sf_dir: str):
+    """(full_name) — entities reachable within 3 FACT hops of the
+    lexicographically-first fact subject, via the traversal DSL's
+    repeat-out expansion (callgraphextension analog). SQL oracle:
+    depth-bounded recursive CTE."""
+    from ..traversal import GraphView
+
+    r = kg_runner(sf_dir)
+    tri = r.ctx.read_table("link", "triples", columns=["subj"]).to_pandas()
+    if tri.empty:
+        return pd.DataFrame({"full_name": pd.Series(dtype="object")})
+    seed = tri["subj"].min()
+    g = GraphView.from_runner(r)
+    closure = g.entities().name_exact(seed).repeat_out("FACT", max_depth=3, emit=True)
+    out = closure.to_pandas()[["full_name"]].drop_duplicates().sort_values(
+        "full_name", ignore_index=True
+    )
+    return out
+
+
+def dump_turn_context(sf_dir: str):
+    """(conv_id, turn_idx, role, text) around turn 10 of the first
+    conversation — the CodeDumper analog (stages/export.py)."""
+    from ..stages.export import dump_context
+
+    targets = pd.DataFrame({"conv_id": ["conv-0000000"], "turn_idx": [10]})
+    ds = dump_context(sf_dir, targets, around=1)
+    return ds.map_batches(
+        lambda t: t.assign(turn_idx=t["turn_idx"].astype("int32"))[
+            ["conv_id", "turn_idx", "role", "text"]
+        ],
+        batch_format="pandas",
+    )
+
+
+def dot_export(sf_dir: str):
+    """(conv_id, dot) — per-conversation Graphviz text (DOT sink, S11).
+    Rows-only check (dot strings are deterministic but not SQL-buildable)."""
+    from ..stages.export import conversation_dot
+
+    return conversation_dot(sf_dir)

@@ -40,7 +40,11 @@ CONTAINS = "CONTAINS"  # CONVERSATION→MENTION shortcut (ContainsEdgePass)
 FACT = "FACT"  # ENTITY→ENTITY with `variable`=predicate
 #   (the REACHING_DEF-with-VARIABLE-property analog, enhancements.json:256)
 
-EDGE_LABELS = [AST, NEXT_TURN, REF, USES_TOOL, SPOKEN_BY, CONTAINS, FACT]
+REACHES = "REACHES"  # TURN→TURN with `variable`=mention key — the
+#   REACHING_DEF-with-VARIABLE dataflow overlay (enhancements.json:256,
+#   ReachingDefPass.scala:27-103), see stages/reaching.py
+
+EDGE_LABELS = [AST, NEXT_TURN, REF, USES_TOOL, SPOKEN_BY, CONTAINS, FACT, REACHES]
 
 # Allowed (src_label, edge_label, dst_label) combos — the "outEdges" facts.
 EDGE_FACTS: list[tuple[str, str, str]] = [
@@ -52,6 +56,7 @@ EDGE_FACTS: list[tuple[str, str, str]] = [
     (TURN, SPOKEN_BY, SPEAKER),
     (CONVERSATION, CONTAINS, MENTION),
     (ENTITY, FACT, ENTITY),
+    (TURN, REACHES, TURN),
 ]
 
 # Out-degree cardinality facts per (src_label, edge_label):
@@ -66,6 +71,7 @@ OUT_DEGREE_FACTS: dict[tuple[str, str], tuple[int, int | None]] = {
     (TURN, SPOKEN_BY): (1, 1),
     (CONVERSATION, CONTAINS): (0, None),
     (ENTITY, FACT): (0, None),
+    (TURN, REACHES): (0, None),  # one per distinct key mentioned in the turn
 }
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,7 @@ def test_queries_and_oracles_align(entrymod):
     assert no_oracle == {
         "text_lang_id", "text_simhash", "text_fingerprint",
         "dedup_minhash_lsh", "sim_knn_lsh",
+        "kg_dot_export", "mm_media_features",
     }
 
 

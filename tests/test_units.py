@@ -134,3 +134,35 @@ def test_schema_facts_cover_pipeline_edges():
     dsts = {d for _, _, d in schema.EDGE_FACTS}
     assert srcs | dsts <= set(schema.NODE_LABELS)
     assert {l for _, l, _ in schema.EDGE_FACTS} == set(schema.EDGE_LABELS)
+
+
+def test_hash_agg_and_salted_agg_equal(ray_session):
+    import ray.data
+
+    from codepropertygraph_ray.functions.agg import hash_agg, salted_agg
+
+    df = pd.DataFrame(
+        {
+            "k": ["hot"] * 500 + [f"k{i}" for i in range(100)],
+            "v": list(range(500)) + [1] * 100,
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    a = (
+        hash_agg(ds, "k", total=("v", "sum"), n=("v", "size"))
+        .to_pandas().sort_values("k", ignore_index=True)
+    )
+    ds2 = ray.data.from_pandas(df).repartition(8)
+    b = (
+        salted_agg(ds2, "k", salt=4, total=("v", "sum"), n=("v", "size"))
+        .to_pandas().sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a.loc[a["k"] == "hot", "total"].iloc[0]) == sum(range(500))
+
+
+def test_salted_agg_rejects_non_algebraic():
+    from codepropertygraph_ray.functions.agg import salted_agg
+
+    with pytest.raises(ValueError):
+        salted_agg(None, "k", avg=("v", "mean"))
