@@ -59,9 +59,15 @@ def run_base(ctx: PassContext) -> dict:
 
     from ..stages.extract import extract_batch
 
+    import ray
+
     path = ensure_transcripts(ctx.sf_dir)
     nbytes = os.path.getsize(path)
-    nblocks = max(16, nbytes // (32 << 20))
+    # width scales with BOTH data and cluster: every stage downstream of
+    # the sort inherits this block count, so fewer blocks than ~2×CPUs
+    # caps the whole base pass below cluster width
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nblocks = max(2 * ncpu, nbytes // (32 << 20))
     ds = ray.data.read_parquet(path, override_num_blocks=nblocks)
     ds = ds.sort(["conv_id", "turn_idx"])  # the mandated stable order
     conc = ctx.params.get("extract_concurrency")
@@ -289,9 +295,9 @@ def run_materialize(ctx: PassContext) -> dict:
     overlay = "materialize"
 
     # --- turn-level nodes/edges from the (text-pruned!) transcript read ----
-    turns = ray.data.read_parquet(
-        ensure_transcripts(ctx.sf_dir), columns=["conv_id", "turn_idx", "role", "tool"]
-    )
+    from ..sources.transcripts import read_transcripts
+
+    turns = read_transcripts(ctx.sf_dir, columns=["conv_id", "turn_idx", "role", "tool"])
 
     def turn_nodes(t: pd.DataFrame) -> pd.DataFrame:
         n = len(t)

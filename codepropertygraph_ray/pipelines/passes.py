@@ -55,9 +55,19 @@ class PassContext:
         return f"{pass_name}/{table}" in self._dirs
 
     def read(self, pass_name: str, table: str, columns: list[str] | None = None):
+        import ray
         import ray.data
 
-        return ray.data.read_parquet(self.delta_dir(pass_name, table), columns=columns)
+        # Ray's auto read parallelism keys off bytes and can settle on ~16
+        # blocks for a coalesced delta, capping every downstream stage
+        # below cluster width; ask for ≥2 blocks per CPU (cheap: blocks
+        # are split views of row groups, not extra reads).
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        return ray.data.read_parquet(
+            self.delta_dir(pass_name, table),
+            columns=columns,
+            override_num_blocks=2 * ncpu,
+        )
 
     def read_table(self, pass_name: str, table: str, columns=None):
         """Driver-side Arrow materialization — only for vocab-scale deltas."""

@@ -128,7 +128,9 @@ def conv_stats(sf_dir: str):
         n_facts=("n_facts", "sum"),
     ).to_pandas()
 
-    turns = ray.data.read_parquet(ensure_transcripts(sf_dir), columns=["conv_id"])
+    from ..sources.transcripts import read_transcripts
+
+    turns = read_transcripts(sf_dir, columns=["conv_id"])
     tc = hash_agg(
         turns.map_batches(
             lambda t: t.groupby("conv_id", as_index=False).agg(n_turns=("conv_id", "size")),
@@ -150,7 +152,9 @@ def tool_usage(sf_dir: str):
 
     from ..sources.transcripts import ensure_transcripts
 
-    ds = ray.data.read_parquet(ensure_transcripts(sf_dir), columns=["role", "tool"])
+    from ..sources.transcripts import read_transcripts
+
+    ds = read_transcripts(sf_dir, columns=["role", "tool"])
 
     def partial(t: pd.DataFrame) -> pd.DataFrame:
         tt = t[(t["role"] == "tool") & t["tool"].fillna("").ne("")]
@@ -180,7 +184,9 @@ def next_turn_pairs(sf_dir: str):
 
     from ..functions.agg import hash_groupby
 
-    ds = ray.data.read_parquet(ensure_transcripts(sf_dir), columns=["conv_id", "turn_idx"])
+    from ..sources.transcripts import read_transcripts
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         # bucket of whole conversations → vectorized shift across them

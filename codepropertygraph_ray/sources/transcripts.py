@@ -179,7 +179,15 @@ def ensure_transcripts(sf_dir: str, force: bool = False) -> str:
 
 
 def read_transcripts(sf_dir: str, columns: list[str] | None = None):
-    """→ ray.data.Dataset over the corpus (column-pruned at the read)."""
+    """→ ray.data.Dataset over the corpus (column-pruned at the read,
+    block count sized to cluster width — Ray's byte-based auto split can
+    settle on a handful of blocks and cap downstream stages)."""
+    import ray
     import ray.data
 
-    return ray.data.read_parquet(ensure_transcripts(sf_dir), columns=columns)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return ray.data.read_parquet(
+        ensure_transcripts(sf_dir),
+        columns=columns,
+        override_num_blocks=2 * ncpu,
+    )

@@ -33,7 +33,9 @@ def conversation_dot(sf_dir: str, which: str = "turns"):
     import ray.data
 
     cols = ["conv_id", "turn_idx", "role"]
-    ds = ray.data.read_parquet(ensure_transcripts(sf_dir), columns=cols)
+    from ..sources.transcripts import read_transcripts
+
+    ds = read_transcripts(sf_dir, columns=cols)
 
     def to_dot(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
