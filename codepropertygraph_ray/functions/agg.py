@@ -43,7 +43,15 @@ def hash_groupby(
 
     def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
         t = t.copy()
-        t["_bucket"] = (hash_series([t[k] for k in keys]) % num_buckets).astype("int32")
+        cols = [t[k] for k in keys]
+        if all(c.dtype.kind in "iu" for c in cols):
+            # numeric fast path: splitmix combine, no string building
+            from ..ids import mix_ids
+
+            h = mix_ids(*[c.to_numpy() for c in cols])
+        else:
+            h = hash_series(cols)
+        t["_bucket"] = (h % num_buckets).astype("int32")
         return t
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -58,54 +58,79 @@ def cc_local(pairs: pd.DataFrame, a: str = "a", b: str = "b") -> pd.DataFrame:
     ).sort_values("node", ignore_index=True)
 
 
-def _propagate_round(labels, edges, num_partitions: int):
-    """One hash-min round: node's label flows across incident edges.
+def _propagate_round(labels, edges, num_buckets: int):
+    """One hash-min round: each node's label flows across incident edges.
 
-    Implemented as union + co-group (one shuffle) instead of two hash
-    joins: rows tagged L carry (node,label), rows tagged E carry the far
-    endpoint; within a key group every edge row emits (far, label).
+    Join-free (no aggregator-actor pools that could starve a small
+    cluster): TWO bucketed shuffles built from the engine's hash_groupby.
+
+    * shuffle 1, keyed by the edge's NEAR endpoint: label rows and edge
+      rows co-locate; every edge row emits (far, label[near]).
+    * shuffle 2, keyed by node: min over candidate labels, and a
+      ``changed`` flag vs the old label rides along for convergence.
     """
     import pandas as pd
-    import ray.data
-    from ray.data.aggregate import Min
+
+    from .agg import hash_groupby
 
     def edge_msgs(t: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
             {
-                "node": pd.concat([t["a"], t["b"]], ignore_index=True),
+                "key": pd.concat([t["a"], t["b"]], ignore_index=True),
                 "far": pd.concat([t["b"], t["a"]], ignore_index=True),
             }
         )
         out["label"] = pd.Series([None] * len(out), dtype="object")
-        return out[["node", "label", "far"]]
-
-    incident = edges.map_batches(edge_msgs, batch_format="pandas")
+        return out[["key", "far", "label"]]
 
     def label_rows(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.copy()
-        t["far"] = pd.Series([None] * len(t), dtype="object")
-        return t[["node", "label", "far"]]
+        return pd.DataFrame(
+            {"key": t["node"], "far": pd.Series([None] * len(t), dtype="object"),
+             "label": t["label"]}
+        )
 
-    labels = labels.map_batches(label_rows, batch_format="pandas")
+    tagged = edges.map_batches(edge_msgs, batch_format="pandas").union(
+        labels.map_batches(label_rows, batch_format="pandas")
+    )
 
-    def cogroup(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g["label"].dropna()
-        if lab.empty:  # node label not present (shouldn't happen)
-            return pd.DataFrame({"node": [], "label": []})
-        label = lab.min()
-        far = g["far"].dropna()
-        out_nodes = list(far) + [g["node"].iloc[0]]
-        return pd.DataFrame({"node": out_nodes, "label": label})
+    def flow(g: pd.DataFrame) -> pd.DataFrame:
+        labs = g[g["far"].isna()][["key", "label"]]
+        lab_of = dict(zip(labs["key"], labs["label"]))
+        e = g[g["far"].notna()]
+        cand_nodes = list(e["far"]) + list(labs["key"])
+        cand_labels = [lab_of.get(k) for k in e["key"]] + list(labs["label"])
+        out = pd.DataFrame({"node": cand_nodes, "label": cand_labels})
+        # rows whose near endpoint had no label yet (first round edge cases)
+        out["old"] = [lab_of.get(n) for n in out["node"]]
+        return out.dropna(subset=["label"])
 
-    tagged = labels.union(incident)  # schemas: (node,label) ∪ (node,far) → nulls fill
-    flowed = tagged.groupby("node").map_groups(cogroup, batch_format="pandas")
-    return flowed.groupby("node").aggregate(Min("label", alias_name="label"))
+    candidates = hash_groupby(tagged, "key", flow, num_buckets=num_buckets)
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        # old is null on rows emitted from a foreign bucket; dropna before
+        # min (mixing str and NaN breaks pandas' object-min)
+        agg = g.groupby("node", as_index=False).agg(
+            label=("label", "min"),
+            old=("old", lambda s: s.dropna().min() if s.notna().any() else None),
+        )
+        agg["changed"] = (agg["old"].isna() | (agg["label"] != agg["old"])).astype(
+            "int64"
+        )
+        return agg[["node", "label", "changed"]]
+
+    return hash_groupby(candidates, "node", reduce_min, num_buckets=num_buckets)
 
 
 def cc_distributed(edges, num_partitions: int = 32, max_rounds: int = 50):
-    """edges: Dataset(a,b) → Dataset(node, component) via hash-min rounds."""
+    """edges: Dataset(a,b) → Dataset(node, component) via hash-min rounds.
+
+    Labels are materialized between rounds (vocab-scale) so each round's
+    lineage doesn't re-execute the previous ones; convergence = the
+    ``changed`` sum of the round hitting 0. O(log diameter) rounds.
+    """
     import pandas as pd
-    import ray.data
+
+    from .agg import hash_groupby
 
     def init_labels(t: pd.DataFrame) -> pd.DataFrame:
         nodes = pd.concat([t["a"], t["b"]], ignore_index=True)
@@ -113,25 +138,18 @@ def cc_distributed(edges, num_partitions: int = 32, max_rounds: int = 50):
         out["label"] = out["node"]
         return out.drop_duplicates("node")  # per-batch partial dedup
 
-    from ray.data.aggregate import Min
+    labels = hash_groupby(
+        edges.map_batches(init_labels, batch_format="pandas"),
+        "node",
+        lambda g: g.drop_duplicates("node"),
+        num_buckets=num_partitions,
+    ).materialize()
 
-    labels = (
-        edges.map_batches(init_labels, batch_format="pandas")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
     for _ in range(max_rounds):
-        new_labels = _propagate_round(labels, edges, num_partitions).materialize()
-        # convergence: any label changed this round?
-        old = labels.rename_columns({"label": "old_label"})
-        joined = new_labels.join(old, "inner", num_partitions, on=("node",))
-        changed = joined.map_batches(
-            lambda t: pd.DataFrame({"c": [(t["label"] != t["old_label"]).sum()]}),
-            batch_format="pandas",
-        ).sum("c")
-        labels = new_labels
-        if not changed:
+        round_out = _propagate_round(labels, edges, num_partitions).materialize()
+        changed = round_out.sum("changed") or 0
+        labels = round_out.drop_columns(["changed"]).materialize()
+        if changed == 0:
             break
     return labels.rename_columns({"label": "component"})
 

@@ -50,3 +50,22 @@ def node_ids(label: str, keys: pd.Series | np.ndarray | list) -> np.ndarray:
 
 def node_id_scalar(label: str, key: str) -> int:
     return int(node_ids(label, [key])[0])
+
+
+def mix_ids(*parts) -> np.ndarray:
+    """Combine integer arrays into one 64-bit hash — the numeric fast path
+    (no string building) used for bucket assignment over int keys.
+    splitmix64 finalizer per part; deterministic, order-sensitive."""
+    h = None
+    for p in parts:
+        x = np.asarray(p)
+        if x.dtype.kind not in "iu":
+            raise TypeError(f"mix_ids needs integer arrays, got {x.dtype}")
+        x = x.astype(np.uint64)
+        h = x if h is None else h ^ x
+        # splitmix64 finalizer
+        h = h + np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+    return (h & _POS_MASK).view(np.int64)

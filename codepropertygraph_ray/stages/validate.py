@@ -124,11 +124,13 @@ def validate_graph(nodes, edges, num_partitions: int = 16):
     }
     bounds_ref = ray.put(max_bounds)
 
+    # the degree stream carries (src:int64, lcode:int8) — label STRINGS
+    # never enter this 20M+-row shuffle (bandwidth discipline)
     _combined_empty = pd.DataFrame(
         {"check": pd.Series([], dtype="string"),
          "detail": pd.Series([], dtype="string"),
          "src": pd.Series([], dtype="int64"),
-         "label": pd.Series([], dtype="string"),
+         "lcode": pd.Series([], dtype="int8"),
          "n": pd.Series([], dtype="int64")}
     )
 
@@ -137,14 +139,14 @@ def validate_graph(nodes, edges, num_partitions: int = 16):
         if viol_df is not None and len(viol_df):
             v = viol_df.copy()
             v["src"] = np.int64(-1)
-            v["label"] = pd.Series([""] * len(v), dtype="string")
+            v["lcode"] = np.int8(-1)
             v["n"] = np.int64(0)
             frames.append(v)
         if deg_df is not None and len(deg_df):
             d = deg_df.copy()
             d["check"] = pd.Series([None] * len(d), dtype="string")
             d["detail"] = pd.Series([None] * len(d), dtype="string")
-            frames.append(d[["check", "detail", "src", "label", "n"]])
+            frames.append(d[["check", "detail", "src", "lcode", "n"]])
         if not frames:
             return _combined_empty
         return pd.concat(frames, ignore_index=True)[_combined_empty.columns]
@@ -170,32 +172,45 @@ def validate_graph(nodes, edges, num_partitions: int = 16):
         if bad:
             viols.append(_viol("edge_fact", bad))
         viols.append(_viol("_ref_partial", [str(int((t["label"] == schema.REF).sum()))]))
-        deg = t.groupby(["src", "label"], as_index=False).size().rename(columns={"size": "n"})
+        lcode = pd.Categorical(t["label"], categories=schema.EDGE_LABELS).codes
+        deg = (
+            pd.DataFrame({"src": t["src"].to_numpy(np.int64), "lcode": lcode})
+            .groupby(["src", "lcode"], as_index=False, observed=True)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        deg["lcode"] = deg["lcode"].astype("int8")
         return _as_combined(pd.concat(viols, ignore_index=True), deg)
+
+    # max bound per (node-label code, edge-label code) as a dense matrix —
+    # the bounds check is then pure numpy indexing
+    edge_code = {name: i for i, name in enumerate(schema.EDGE_LABELS)}
+    bound_mat = np.full((len(label_names), len(schema.EDGE_LABELS)), np.inf)
+    for (sl, el), mx in max_bounds.items():
+        bound_mat[code_of_label[sl], edge_code[el]] = mx
+    bounds_mat_ref = ray.put(bound_mat)
 
     def bucket_reduce(g: pd.DataFrame) -> pd.DataFrame:
         table = get_broadcast(label_of)
         names = table[2]
-        mb = get_broadcast(bounds_ref)
+        bm = get_broadcast(bounds_mat_ref)
         passthrough = g[g["check"].notna()][["check", "detail"]]
-        deg = g[g["check"].isna()].groupby(["src", "label"], as_index=False)["n"].sum()
+        deg = g[g["check"].isna()].groupby(["src", "lcode"], as_index=False)["n"].sum()
         out = [passthrough]
         if len(deg):
             src_c = _lookup(deg["src"].to_numpy(np.int64), table)
-            src_l = [names[c] if c >= 0 else None for c in src_c]
-            lim = np.array(
-                [mb.get((s, l), np.nan) for s, l in zip(src_l, deg["label"])],
-                dtype="float64",
-            )
-            over = ~np.isnan(lim) & (deg["n"].to_numpy() > lim)
+            lc = deg["lcode"].to_numpy(np.int64)
+            lim = np.where(src_c >= 0, bm[np.clip(src_c, 0, None), lc], np.inf)
+            over = deg["n"].to_numpy() > lim
             if over.any():
+                sel = deg[over]
+                src_l = [names[c] if c >= 0 else None for c in src_c[over]]
                 out.append(
                     _viol(
                         "out_degree_exceeded",
                         [
-                            f"{s}:{l}={n}"
-                            for s, l, n, o in zip(src_l, deg["label"], deg["n"], over)
-                            if o
+                            f"{s}:{schema.EDGE_LABELS[l]}={n}"
+                            for s, l, n in zip(src_l, sel["lcode"], sel["n"])
                         ],
                     )
                 )
@@ -207,7 +222,7 @@ def validate_graph(nodes, edges, num_partitions: int = 16):
         edges.select_columns(["src", "dst", "label"]).map_batches(
             edge_scan, batch_format="pandas"
         ),
-        ["src", "label"],
+        ["src", "lcode"],
         bucket_reduce,
     ).to_pandas()
 

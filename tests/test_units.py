@@ -166,3 +166,56 @@ def test_salted_agg_rejects_non_algebraic():
 
     with pytest.raises(ValueError):
         salted_agg(None, "k", avg=("v", "mean"))
+
+
+def test_cc_distributed_matches_local(ray_session):
+    import ray.data
+
+    from codepropertygraph_ray.functions.cc import canonical_map, cc_local
+
+    pairs = pd.DataFrame(
+        {
+            "a": ["b", "c", "x", "q", "r", "s"],
+            "b": ["a", "b", "y", "r", "s", "q"],  # chain, pair, 3-cycle
+        }
+    )
+    local = cc_local(pairs)
+    dist = canonical_map(pairs, distributed=True).sort_values(
+        "node", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(
+        local, dist[["node", "component"]].reset_index(drop=True)
+    )
+
+
+def test_pass_framework_recovers_partial_output(tmp_path):
+    """A pass dir without _SUCCESS (crashed mid-write) is wiped and the
+    pass re-runs — the per-partition checkpoint/recovery semantics."""
+    import os
+
+    import pyarrow as pa
+
+    from codepropertygraph_ray.pipelines.passes import Pass, PipelineRunner
+
+    calls = []
+
+    def run(ctx):
+        calls.append(1)
+        return {"t": pa.table({"x": [1]})}
+
+    passes = [Pass("p0", run)]
+    PipelineRunner(passes, str(tmp_path), sf_dir="u").run()
+    assert calls == [1]
+    # simulate crash: drop _SUCCESS, corrupt the table dir
+    os.remove(tmp_path / "00_p0" / "_SUCCESS")
+    (tmp_path / "00_p0" / "t" / "garbage.parquet").write_bytes(b"junk")
+    led_path = tmp_path / "ledger.json"
+    import json
+
+    led = json.loads(led_path.read_text())
+    led["applied"] = []  # ledger also lost the entry (crash before save)
+    led_path.write_text(json.dumps(led))
+    PipelineRunner(passes, str(tmp_path), sf_dir="u").run()
+    assert calls == [1, 1]  # re-ran
+    assert (tmp_path / "00_p0" / "_SUCCESS").exists()
+    assert not (tmp_path / "00_p0" / "t" / "garbage.parquet").exists()
