@@ -41,6 +41,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from codepropertygraph_ray.functions import (
+        asof,
         dedup,
         multimodal,
         relational,
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_part_type_tokens": relational.part_type_tokens,
         "rel_events_extract_k": relational.events_extract_k,
         "rel_shipped_monthly": relational.shipped_monthly,
+        "rel_asof_click_view": asof.asof_join_events,
         # --- training-data ops: text analysis -----------------------------
         "text_token_stats": text.token_stats,
         "text_quality": text.quality_signals,
@@ -308,6 +310,14 @@ def _rel_sql() -> dict[str, str]:
         "rel_events_extract_k": """
           SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
           FROM events
+        """,
+        "rel_asof_click_view": """
+          SELECT l.event_id,
+                 r.event_id AS view_event_id,
+                 CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
+          FROM (SELECT * FROM events WHERE event_type = 'click') l
+          ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "rel_shipped_monthly": """
           SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS month_epoch,
