@@ -114,11 +114,17 @@ def run_scaling() -> dict:
     reports the minimum — the standard noisy-machine protocol.
     """
     reps = int(os.environ.get("SCALING_REPS", "2"))
+    # default the scaling corpus to sf0.4 (~2M turns, synthesized on
+    # demand): at sf0.1 the whole job finishes in ~30 s and the
+    # measurement is dominated by fixed per-stage barrier latency that no
+    # CPU count changes — the larger input measures actual scaling
+    # (BASELINE.md 'Scaling' discussion). Override with GRAFT_SF_DIR.
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.4")
     results = {}
     for ncpu in (8, 32):
         best = None
         for _ in range(reps):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
@@ -138,7 +144,7 @@ def run_scaling() -> dict:
         "sec_32": t32,
         "triples_per_sec_8": results[8]["triples_per_sec"],
         "triples_per_sec_32": results[32]["triples_per_sec"],
-        "sf": SF_DIR,
+        "sf": sf_dir,
     }
 
 
