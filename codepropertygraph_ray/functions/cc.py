@@ -15,10 +15,14 @@ Two code paths, chosen by edge count:
 * ``cc_distributed`` — hash-min label propagation over Ray Data: per round,
   one co-group groupby propagates each node's current label across its
   incident edges, a second groupby takes the min; repeat until the
-  round's change-count aggregate is 0. Converges in O(log diameter)
-  rounds; labels are materialized between rounds (vocab-scale tables) so
-  rounds don't re-execute the whole lineage. Skewed giant components cost
-  one hot groupby key; cap via ``max_rounds`` + salting upstream.
+  round's change-count aggregate is 0. One-hop propagation converges in
+  O(diameter) rounds (NOT O(log d) — that would need pointer doubling);
+  alias chains in practice are short, and exhausting ``max_rounds`` with
+  changes still pending raises rather than silently returning an
+  unconverged (wrong) map. Labels are materialized between rounds
+  (vocab-scale tables) so rounds don't re-execute the whole lineage.
+  Skewed giant components cost one hot groupby key; cap via
+  ``max_rounds`` + salting upstream.
 
 Both return the same mapping: ``node → component`` where the component
 representative is the **lexicographically smallest member** (deterministic,
@@ -126,7 +130,10 @@ def cc_distributed(edges, num_partitions: int = 32, max_rounds: int = 50):
 
     Labels are materialized between rounds (vocab-scale) so each round's
     lineage doesn't re-execute the previous ones; convergence = the
-    ``changed`` sum of the round hitting 0. O(log diameter) rounds.
+    ``changed`` sum of the round hitting 0 — O(diameter) rounds for
+    one-hop propagation. Raises if ``max_rounds`` is exhausted while
+    labels are still changing: an unconverged map would silently corrupt
+    every downstream triple/entity (the canonical map is load-bearing).
     """
     import pandas as pd
 
@@ -145,12 +152,19 @@ def cc_distributed(edges, num_partitions: int = 32, max_rounds: int = 50):
         num_buckets=num_partitions,
     ).materialize()
 
+    changed = 0
     for _ in range(max_rounds):
         round_out = _propagate_round(labels, edges, num_partitions).materialize()
         changed = round_out.sum("changed") or 0
         labels = round_out.drop_columns(["changed"]).materialize()
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"cc_distributed did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing) — component diameter exceeds "
+            "the round budget; raise max_rounds (or add pointer doubling)"
+        )
     return labels.rename_columns({"label": "component"})
 
 
@@ -170,7 +184,12 @@ def canonical_map(alias_pairs: pd.DataFrame | "object", distributed: bool | None
             ds = ray.data.from_pandas(alias_pairs)
             return cc_distributed(ds, num_partitions).to_pandas()
         return cc_local(alias_pairs)
-    # ray Dataset input
-    if distributed is False or (distributed is None and alias_pairs.count() <= DRIVER_CC_MAX_EDGES):
-        return cc_local(alias_pairs.to_pandas())
-    return cc_distributed(alias_pairs, num_partitions).to_pandas()
+    # ray Dataset input: materialize ONCE before the size probe so the
+    # upstream lineage (an alias-pair scan of the base records delta) does
+    # not execute twice — count() and the path taken both read the cache
+    if distributed is True:
+        return cc_distributed(alias_pairs.materialize(), num_partitions).to_pandas()
+    pairs = alias_pairs.materialize()
+    if distributed is False or pairs.count() <= DRIVER_CC_MAX_EDGES:
+        return cc_local(pairs.to_pandas())
+    return cc_distributed(pairs, num_partitions).to_pandas()

@@ -37,6 +37,45 @@ def get_broadcast(ref):
     return _BROADCAST_CACHE[key]
 
 
+def build_lookup(keys, values):
+    """(keys, values) → broadcastable sorted-hash probe table.
+
+    The hot-path replacement for ``Series.map(dict)``: keys are SipHashed to
+    int64 once (driver-side), sorted; the probe is ``np.searchsorted`` on
+    the hash column — measured ~100× faster per batch than a dict probe at
+    10^6+ keys (see stages/validate.py, which pioneered the pattern for the
+    id→label lookup). Distinct-key hash collisions are 2^-63 per pair —
+    the same accepted budget as content-hash node ids (ids.py).
+    """
+    import numpy as np
+
+    from ..ids import hash_series
+
+    k = pd.Series(keys, dtype="object").reset_index(drop=True)
+    v = np.asarray(list(values), dtype=object)
+    h = hash_series([k])
+    order = np.argsort(h, kind="stable")
+    return h[order], v[order]
+
+
+def lookup_keys(table, keys: pd.Series, default=None):
+    """Probe a ``build_lookup`` table; missing keys → ``default`` scalar,
+    or themselves when ``default`` is the sentinel ``"self"`` (the
+    Linker.scala:244-266 soft-fail: unresolved keys keep themselves)."""
+    import numpy as np
+
+    from ..ids import hash_series
+
+    hs, vals = table
+    if len(hs) == 0:
+        return keys.to_numpy() if default == "self" else np.full(len(keys), default, dtype=object)
+    h = hash_series([keys])
+    pos = np.clip(np.searchsorted(hs, h), 0, len(hs) - 1)
+    found = hs[pos] == h
+    fallback = keys.to_numpy() if default == "self" else np.full(len(keys), default, dtype=object)
+    return np.where(found, vals[pos], fallback)
+
+
 def broadcast_join(ds, small, on, right_on=None, how="left",
                    batch_size: int = 65536):
     """ds ⟕ small — the map-side join. ``small`` must fit in worker heap.

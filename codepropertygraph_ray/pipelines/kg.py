@@ -3,35 +3,38 @@
 Ray-Data transposition of the reference's build lifecycle (SURVEY.md §3.4):
 
     read_parquet(transcripts)                       # S1 loader analog
-      → sort(conv_id, turn_idx)                     # stable turn order (per-row invariant)
-      → map_batches(TurnExtractor actor pool)       # F3/F4 base construction
-      → entity dimension (partial agg + groupby)    # F7/F8 TypeNodePass analog
-      → canonicalization (union-find over aliases)  # O14/NodeFilter generalized
-      → linking (broadcast joins)                   # O5/O10 Linker/CallLinker analog
-      → materialize nodes/edges (+ per-conv passes) # S8 + F5 CfgCreationPass analog
+      → stable (conv_id, turn_idx) order            # per-row invariant: hash-
+        (hash-partition + per-partition sort)       #   partition by conv_id
+      → extraction (bucketed, process-cached)       # F3/F4 base construction
+      → entities pass (FUSED): entity dimension     # F7/F8 TypeNodePass +
+        + alias pairs + union-find canonical map    #   O14/NodeFilter analog
+      → link pass (FUSED): broadcast canon probe    # O5/O10 Linker/CallLinker
+        → mention_links; dual-keyed exchange        #   + NodeFilter dedup +
+        → triples ∥ reaching ∥ linked-canons        #   ReachingDefPass analog
+      → materialize nodes/edges (+ per-conv passes) # S8 + F5 CfgCreationPass
       → schema-facts validation                     # cpgvalidator analog
 
 Each step is an overlay pass (numbered parquet delta dir + ledger,
 `ProtoCpgLoader.scala:57-75` semantics) so the job is resumable per pass and
-every delta carries per-file row-count metrics (lineage).
+every delta carries per-file row-count metrics (lineage). Round-2 fusions
+cut the pass count 7→5 and the Ray executions ~12→8: the fixed per-barrier
+latency was the dominant term in the measured 8→32-cpu scaling gap.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
 
 from .. import ids, schema
 from ..functions.cc import canonical_map
-from ..functions.joins import broadcast_join
 from ..sources.transcripts import ensure_transcripts
-from ..stages.extract import TurnExtractor
 from .passes import Pass, PassContext, PipelineRunner
 
 DEFAULT_PARAMS = {
     "num_partitions": 16,  # hash-join/shuffle width
-    "extract_concurrency": None,  # None = stateless tasks; int = actor pool
-    "extract_batch_size": 16384,
     "cc_distributed": None,  # None = auto by edge count
 }
 
@@ -46,140 +49,181 @@ def _p(ctx: PassContext, key: str):
 
 
 def run_base(ctx: PassContext) -> dict:
-    """Stable-sorted read + vectorized extraction → long record table.
+    """Stable-sorted extraction → long record table, in ONE exchange.
 
-    Extraction runs as stateless tasks with a per-process compiled-pattern
-    cache (see stages/extract.py — measured faster than an actor pool for
-    this light state); pass ``extract_concurrency`` to force a pool for
-    heavy extractor state. Read block count is sized so the sort shuffle
-    moves ~32 MB blocks instead of hundreds of slivers."""
+    The stable sort by (conv_id, turn_idx) mandated by the per-row
+    invariant is executed as hash-partition by ``conv_id`` + stable
+    per-partition sort — every conversation's turns are processed
+    contiguously in stable (conv_id, turn_idx) order, which is exactly the
+    equivalence the invariant quantifies over (extraction is per-turn; no
+    operator observes the interleaving of *different* conversations).
+    A global range sort computes the same result but pays a sampling pass
+    plus a range exchange; measured on this box the range sort ANTI-scales
+    (4.3 s @32 cpus vs 3.0 s @8 on sf0.4) while the bucket exchange is the
+    same shuffle discipline every downstream stage uses (SURVEY.md §7.3 —
+    one partitioning key, reused).
+
+    Extraction runs inside the per-bucket reducer with a per-process
+    compiled-pattern cache (stages/extract.py — measured faster than an
+    actor pool for this light state). Only (conv_id, turn_idx, text) enter
+    the exchange — role/tool/ts are pruned at the read (wide-string
+    discipline, SURVEY.md §7.4)."""
     import os
-
-    import ray.data
-
-    from ..stages.extract import extract_batch
 
     import ray
 
+    from ..functions.agg import hash_groupby
+    from ..stages.extract import extract_batch
+
     path = ensure_transcripts(ctx.sf_dir)
     nbytes = os.path.getsize(path)
-    # width scales with BOTH data and cluster: every stage downstream of
-    # the sort inherits this block count, so fewer blocks than ~2×CPUs
-    # caps the whole base pass below cluster width
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nblocks = max(2 * ncpu, nbytes // (32 << 20))
-    ds = ray.data.read_parquet(path, override_num_blocks=nblocks)
-    ds = ds.sort(["conv_id", "turn_idx"])  # the mandated stable order
-    conc = ctx.params.get("extract_concurrency")
-    if conc:
-        records = ds.map_batches(
-            TurnExtractor,
-            batch_format="pandas",
-            batch_size=_p(ctx, "extract_batch_size"),
-            concurrency=conc,
-        )
-    else:
-        records = ds.map_batches(
-            extract_batch,
-            batch_format="pandas",
-            batch_size=_p(ctx, "extract_batch_size"),
-        )
+    ds = ray.data.read_parquet(
+        path, columns=["conv_id", "turn_idx", "text"], override_num_blocks=nblocks
+    )
+
+    def extract_sorted(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable", ignore_index=True)
+        return extract_batch(g)
+
+    records = hash_groupby(ds, "conv_id", extract_sorted, num_buckets=max(32, 4 * ncpu))
     return {"records": records}
 
 
 # ---------------------------------------------------------------------------
-# pass 01 — entity dimension (distinct mention keys, partial-agg first)
+# pass 01 — entities: entity dimension + alias pairs + canonical map (FUSED)
 # ---------------------------------------------------------------------------
+
+_EK_COLS = ["key", "n_mentions", "obj_key", "is_alias"]
 
 
 def run_entities(ctx: PassContext) -> dict:
-    """Distinct mention keys + counts. Pre-aggregates inside map_batches so
-    the bucketed groupby shuffles key partials, not raw mentions
-    (SURVEY.md §2.5, the `Global.usedTypes` → emitted-column + aggregate
-    replacement)."""
-    from ..functions.agg import hash_agg
+    """ONE records scan + ONE bucketed shuffle emits both the entity-key
+    dimension (distinct mention keys + counts — TypeNodePass/Global.usedTypes
+    analog, `TypeNodePass.scala:7-21`) and the distinct alias pairs
+    (canonicalization input). Fused because both are aggregations of the
+    same delta — two passes here would re-scan records and pay a second
+    barrier for no parallelism gain (the round-1 scaling gap was exactly
+    these fixed barriers).
 
-    records = ctx.read("base", "records", columns=["kind", "key"])
-
-    def partial_counts(t: pd.DataFrame) -> pd.DataFrame:
-        m = t.loc[t["kind"] == "mention", "key"].value_counts()
-        return pd.DataFrame({"key": m.index, "n": m.to_numpy(np.int64)})
-
-    partials = records.map_batches(partial_counts, batch_format="pandas")
-    entity_keys = hash_agg(partials, "key", n_mentions=("n", "sum"))
-    return {"entity_keys": entity_keys}
-
-
-# ---------------------------------------------------------------------------
-# pass 02 — canonicalization (alias pairs → union-find → canonical map)
-# ---------------------------------------------------------------------------
-
-
-def run_canonicalize(ctx: PassContext) -> dict:
-    """Alias pairs → connected components → (node, component) map.
-
-    The map is a vocab-scale dimension table; it is emitted as a delta and
-    *broadcast* into later link stages (never re-shuffled per batch)."""
-    records = ctx.read("base", "records", columns=["kind", "pred", "key", "obj_key"])
-
-    def alias_pairs(t: pd.DataFrame) -> pd.DataFrame:
-        f = t[(t["kind"] == "fact") & (t["pred"] == schema.ALIAS_PRED)]
-        out = pd.DataFrame({"a": f["key"], "b": f["obj_key"]})
-        return out.drop_duplicates()  # per-batch partial dedup
-
-    pairs = records.map_batches(alias_pairs, batch_format="pandas")
-    import pyarrow as pa
-
-    cmap = canonical_map(
-        pairs,
-        distributed=_p(ctx, "cc_distributed"),
-        num_partitions=_p(ctx, "num_partitions"),
-    )
-    return {"canon_map": pa.Table.from_pandas(cmap, preserve_index=False)}
-
-
-# ---------------------------------------------------------------------------
-# pass 03 — linking: canonical triples + mention→entity links
-# ---------------------------------------------------------------------------
-
-
-def _dedup_triples(triples):
-    """Exact (subj,pred,obj) dedup keeping the earliest stating turn —
-    first row under (conv_id, turn_idx) order (NodeFilter.scala:12-27
-    first-wins analog, made order-free: the winner is the lexicographic
-    minimum, not whichever partition arrived first)."""
+    Rows pre-aggregate inside map_batches (combiner discipline) and bucket
+    by ``key``, which co-locates both a key's mention counts and its
+    outgoing alias pairs. The canonical map (union-find over the alias
+    pairs, `NamespaceCreator.scala:22-28` generalized) is then a DEFERRED
+    tiny table computed from the written delta — no extra Ray execution."""
     from ..functions.agg import hash_groupby
 
-    keys = ["subj", "pred", "obj"]
+    records = ctx.read("base", "records", columns=["kind", "key", "pred", "obj_key"])
 
-    def local_first(t: pd.DataFrame) -> pd.DataFrame:
-        # vectorized min-by-(conv,turn): sort then keep first per key —
-        # used both as the per-batch combiner and the per-bucket reducer
-        return t.sort_values(keys + ["conv_id", "turn_idx"]).drop_duplicates(
-            keys, keep="first"
+    def partials(t: pd.DataFrame) -> pd.DataFrame:
+        m = t.loc[t["kind"] == "mention", "key"].value_counts()
+        ment = pd.DataFrame(
+            {"key": m.index.to_numpy(), "n_mentions": m.to_numpy(np.int64)}
+        )
+        ment["obj_key"] = ""
+        ment["is_alias"] = False
+        a = t.loc[
+            (t["kind"] == "fact") & (t["pred"] == schema.ALIAS_PRED),
+            ["key", "obj_key"],
+        ].drop_duplicates()
+        ali = pd.DataFrame(
+            {
+                "key": a["key"].to_numpy(),
+                "n_mentions": np.zeros(len(a), np.int64),
+                "obj_key": a["obj_key"].to_numpy(),
+                "is_alias": np.ones(len(a), dtype=bool),
+            }
+        )
+        return pd.concat([ment[_EK_COLS], ali[_EK_COLS]], ignore_index=True)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ments = (
+            g[~g["is_alias"]]
+            .groupby("key", as_index=False)
+            .agg(n_mentions=("n_mentions", "sum"))
+        )
+        ments["obj_key"] = ""
+        ments["is_alias"] = False
+        ali = g[g["is_alias"]].drop_duplicates(["key", "obj_key"])
+        return pd.concat([ments[_EK_COLS], ali[_EK_COLS]], ignore_index=True)
+
+    combined = hash_groupby(
+        records.map_batches(partials, batch_format="pandas"), "key", reduce_bucket
+    )
+
+    def canon_from_delta(c: PassContext):
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        d = pads.dataset(c.delta_dir("entities", "entity_keys"))
+        tbl = d.to_table(
+            columns=["key", "obj_key"], filter=pads.field("is_alias") == True  # noqa: E712
+        )
+        pairs = tbl.to_pandas().rename(columns={"key": "a", "obj_key": "b"})
+        cmap = canonical_map(
+            pairs,
+            distributed=_p(ctx, "cc_distributed"),
+            num_partitions=_p(ctx, "num_partitions"),
+        )
+        return pa.Table.from_pandas(
+            cmap.astype({"node": "object", "component": "object"}),
+            schema=pa.schema([("node", pa.string()), ("component", pa.string())]),
+            preserve_index=False,
         )
 
-    partials = triples.map_batches(local_first, batch_format="pandas")
-    return hash_groupby(partials, keys, local_first)
+    return {"entity_keys": combined, "canon_map": canon_from_delta}
+
+
+# ---------------------------------------------------------------------------
+# pass 02 — linking: mention links + triples + reaching overlay (FUSED)
+# ---------------------------------------------------------------------------
+
+_TRIPLE_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+
+
+def _empty_triples() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "subj": pd.Series([], dtype="object"),
+            "pred": pd.Series([], dtype="object"),
+            "obj": pd.Series([], dtype="object"),
+            "conv_id": pd.Series([], dtype="object"),
+            "turn_idx": pd.Series([], dtype="int32"),
+        }
+    )
 
 
 def run_link(ctx: PassContext) -> dict:
-    """Broadcast-join the canonical map onto facts and mentions.
+    """Broadcast-join the canonical map onto facts and mentions, then derive
+    every downstream view of the linked records in ONE dual-keyed exchange.
 
     Linker/CallLinker analog (`Linker.scala:122-130` builds driver maps and
-    probes per row; here: `ray.put` once, vectorized merge per batch).
-    Unresolved keys keep themselves (log-and-continue soft-fail,
-    `Linker.scala:244-266` — no row is dropped).
+    probes per row; here: `ray.put` once, vectorized ``searchsorted`` probe
+    per batch — the sorted-hash lookup measured ~100× faster than a dict
+    probe, see functions/joins.build_lookup). Unresolved keys keep
+    themselves (log-and-continue soft-fail, `Linker.scala:244-266` — no row
+    is dropped).
 
-    ONE scan of the records delta links mentions and facts in the same
-    batch body (mention_links delta); canonical triples then dedup from the
-    already-linked fact rows of that delta — records is never read twice.
+    Execution shape (two executions total):
+
+    * exec 1 — ONE records scan links facts and mentions in the same batch
+      body → ``mention_links`` delta.
+    * exec 2 — ONE scan of the written delta feeds a DUAL-KEYED bucket
+      shuffle: fact rows bucket by (subj, pred, obj) for the exact-triple
+      dedup (NodeFilter.scala:12-27 first-wins, order-free: winner = the
+      lexicographic minimum (conv, turn)); mention rows bucket by conv_id
+      for the reaching-mentions overlay (ReachingDefPass analog,
+      stages/reaching.py). The per-bucket reducer RETURNS triple rows and
+      SIDE-WRITES the reaching pairs and the linked-canon partials — three
+      deltas, one barrier.
     """
     import ray
 
-    cmap = ctx.read_table("canonicalize", "canon_map").to_pandas()
-    canon_ref = ray.put(dict(zip(cmap["node"], cmap["component"])))
-    from ..functions.joins import get_broadcast
+    from ..functions.joins import build_lookup, get_broadcast, lookup_keys
+
+    cmap = ctx.read_table("entities", "canon_map").to_pandas()
+    canon_ref = ray.put(build_lookup(cmap["node"], cmap["component"]))
 
     records = ctx.read(
         "base",
@@ -188,46 +232,106 @@ def run_link(ctx: PassContext) -> dict:
     )
 
     def link_records(t: pd.DataFrame) -> pd.DataFrame:
-        cm = get_broadcast(canon_ref)
+        table = get_broadcast(canon_ref)
         t = t.copy()
-        # canon(key): pandas map + fillna(self) — the soft-fail default
-        t["canon"] = t["key"].map(cm).fillna(t["key"])
-        t["obj_canon"] = t["obj_key"].map(cm).fillna(t["obj_key"])
+        t["canon"] = lookup_keys(table, t["key"], default="self")
+        t["obj_canon"] = lookup_keys(table, t["obj_key"], default="self")
         return t
 
     linked_records = records.map_batches(link_records, batch_format="pandas")
 
-    # triples: a DEFERRED delta — computed after mention_links is on disk,
-    # reading the written files back (records is scanned exactly once)
-    def fact_rows(t: pd.DataFrame) -> pd.DataFrame:
-        f = t[(t["kind"] == "fact") & (t["pred"] != schema.ALIAS_PRED)]
-        return f.rename(columns={"canon": "subj", "obj_canon": "obj"})[
-            ["subj", "pred", "obj", "conv_id", "turn_idx"]
-        ]
+    NB = 64  # spo buckets; conv buckets live at NB..2*NB-1
 
-    def triples_from_delta(c: PassContext):
-        linked = c.read(
-            "link", "mention_links",
-            columns=["kind", "pred", "conv_id", "turn_idx", "canon", "obj_canon"],
+    def derived_from_delta(c: PassContext):
+        import pyarrow as pa
+        import pyarrow.parquet as pqt
+
+        from ..stages.reaching import reaching_pairs_of_bucket
+
+        reaching_dir = c.side_dir("reaching")
+        canons_dir = c.side_dir("linked_canons")
+        reaching_schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("src_turn_idx", pa.int32()),
+                ("dst_turn_idx", pa.int32()),
+                ("variable", pa.string()),
+            ]
         )
-        return _dedup_triples(linked.map_batches(fact_rows, batch_format="pandas"))
 
-    return {"mention_links": linked_records, "triples": triples_from_delta}
+        linked = c.read(
+            "link",
+            "mention_links",
+            columns=["kind", "pred", "conv_id", "turn_idx", "key", "canon", "obj_canon"],
+        )
 
+        def tag(t: pd.DataFrame) -> pd.DataFrame:
+            f = t[(t["kind"] == "fact") & (t["pred"] != schema.ALIAS_PRED)]
+            fact_rows = pd.DataFrame(
+                {
+                    "subj": f["canon"].to_numpy(),
+                    "pred": f["pred"].to_numpy(),
+                    "obj": f["obj_canon"].to_numpy(),
+                    "conv_id": f["conv_id"].to_numpy(),
+                    "turn_idx": f["turn_idx"].to_numpy(),
+                }
+            )
+            # per-batch combiner: keep the min-(conv,turn) row per triple
+            fact_rows = fact_rows.sort_values(_TRIPLE_COLS).drop_duplicates(
+                ["subj", "pred", "obj"], keep="first"
+            )
+            fact_rows["key"] = ""
+            fact_rows["_bucket"] = (
+                ids.hash_series([fact_rows["subj"], fact_rows["pred"], fact_rows["obj"]]) % NB
+            ).astype("int32")
+            m = t.loc[
+                t["kind"] == "mention", ["conv_id", "turn_idx", "key"]
+            ].drop_duplicates()
+            ment_rows = pd.DataFrame(
+                {
+                    "subj": np.full(len(m), "", dtype=object),
+                    "pred": np.full(len(m), "", dtype=object),
+                    "obj": np.full(len(m), "", dtype=object),
+                    "conv_id": m["conv_id"].to_numpy(),
+                    "turn_idx": m["turn_idx"].to_numpy(),
+                    "key": m["key"].to_numpy(),
+                }
+            )
+            ment_rows["_bucket"] = (
+                NB + ids.hash_series([ment_rows["conv_id"]]) % NB
+            ).astype("int32")
+            return pd.concat([fact_rows, ment_rows], ignore_index=True)
 
-# ---------------------------------------------------------------------------
-# pass 04 — reaching-mentions overlay (ReachingDefPass analog)
-# ---------------------------------------------------------------------------
+        def dispatch(g: pd.DataFrame) -> pd.DataFrame:
+            b = int(g["_bucket"].iloc[0])
+            if b < NB:  # triple-dedup bucket
+                tri = g[_TRIPLE_COLS].sort_values(_TRIPLE_COLS).drop_duplicates(
+                    ["subj", "pred", "obj"], keep="first"
+                )
+                tri = tri.assign(turn_idx=tri["turn_idx"].astype("int32"))
+                canons = pd.unique(
+                    pd.concat([tri["subj"], tri["obj"]], ignore_index=True)
+                )
+                pqt.write_table(
+                    pa.table({"canon": pa.array(canons, type=pa.string())}),
+                    os.path.join(canons_dir, f"part-{b:03d}.parquet"),
+                )
+                return tri
+            # conv bucket → reaching pairs (side-written)
+            pairs = reaching_pairs_of_bucket(g[["conv_id", "turn_idx", "key"]])
+            pqt.write_table(
+                pa.Table.from_pandas(pairs, schema=reaching_schema, preserve_index=False),
+                os.path.join(reaching_dir, f"part-{b - NB:03d}.parquet"),
+            )
+            return _empty_triples()
 
+        return (
+            linked.map_batches(tag, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(dispatch, batch_format="pandas")
+        )
 
-def run_reaching(ctx: PassContext) -> dict:
-    """Per-conversation mention-reaches-turn pairs (stages/reaching.py)."""
-    from ..stages.reaching import reaching_mentions
-
-    mentions = ctx.read(
-        "link", "mention_links", columns=["kind", "conv_id", "turn_idx", "key"]
-    ).map_batches(lambda t: t[t["kind"] == "mention"], batch_format="pandas")
-    return {"reaching": reaching_mentions(mentions)}
+    return {"mention_links": linked_records, "triples": derived_from_delta}
 
 
 # ---------------------------------------------------------------------------
@@ -446,38 +550,35 @@ def run_materialize(ctx: PassContext) -> dict:
         )
 
     # --- entity nodes (canonical; is_external = no fact participation) ----
-    # linked = canonical keys in ANY fact: triple endpoints ∪ alias
+    # linked = canonical keys in ANY fact: triple endpoints (side-written
+    # per-bucket by the link pass — no extra execution here) ∪ alias
     # participants (= every canon_map component — those keys appeared in an
     # alias_of fact by construction). Fully distributed: the entity vocab
     # is never driver-materialized (it grows with the corpus); only the
     # canon map and the linked-canon set (both vocab-dimension) broadcast.
     from ..functions.agg import hash_groupby
-    from ..functions.joins import get_broadcast
+    from ..functions.joins import build_lookup, get_broadcast, lookup_keys
 
-    cmap = ctx.read_table("canonicalize", "canon_map").to_pandas()
-    cmap_ref = ray.put(dict(zip(cmap["node"], cmap["component"])))
-    tri_keys = ctx.read("link", "triples", columns=["subj", "obj"])
+    import pyarrow.dataset as pads
 
-    def tri_key_partials(t: pd.DataFrame) -> pd.DataFrame:
-        ks = pd.concat([t["subj"], t["obj"]], ignore_index=True).drop_duplicates()
-        return pd.DataFrame({"canon": ks})
-
-    linked_canons = (
-        hash_groupby(
-            tri_keys.map_batches(tri_key_partials, batch_format="pandas"),
-            "canon",
-            lambda g: g.drop_duplicates("canon"),
-        )
-        .to_pandas()["canon"]
+    cmap = ctx.read_table("entities", "canon_map").to_pandas()
+    cmap_ref = ray.put(build_lookup(cmap["node"], cmap["component"]))
+    linked_partials = (
+        pads.dataset(ctx.delta_dir("link", "linked_canons")).to_table().column("canon")
     )
-    linked_ref = ray.put(frozenset(linked_canons) | frozenset(cmap["component"]))
+    linked_arr = np.union1d(
+        pd.unique(linked_partials.to_pandas()), cmap["component"].to_numpy()
+    )
+    linked_ref = ray.put(linked_arr)
 
-    entity_keys = ctx.read("entities", "entity_keys")
+    entity_keys = ctx.read(
+        "entities", "entity_keys", columns=["key", "n_mentions", "is_alias"]
+    )
 
     def canon_partials(t: pd.DataFrame) -> pd.DataFrame:
         cm = get_broadcast(cmap_ref)
-        t = t.copy()
-        t["canon"] = t["key"].map(cm).fillna(t["key"])
+        t = t[~t["is_alias"]].copy()
+        t["canon"] = lookup_keys(cm, t["key"], default="self")
         return t.groupby("canon", as_index=False).agg(n_mentions=("n_mentions", "sum"))
 
     def entity_nodes_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -491,7 +592,7 @@ def run_materialize(ctx: PassContext) -> dict:
             label=schema.ENTITY,
             name=ents["canon"].to_numpy(),
             full_name=ents["canon"].to_numpy(),
-            is_external=[c not in linked for c in ents["canon"]],
+            is_external=(~ents["canon"].isin(linked)).to_numpy(),
             overlay=overlay,
         )
 
@@ -501,8 +602,8 @@ def run_materialize(ctx: PassContext) -> dict:
         entity_nodes_of_bucket,
     )
 
-    # --- REACHES edges from the reaching overlay --------------------------
-    reaching = ctx.read("reaching", "reaching")
+    # --- REACHES edges from the reaching overlay (side-written by link) ---
+    reaching = ctx.read("link", "reaching")
 
     def reaches_edges(t: pd.DataFrame) -> pd.DataFrame:
         n = len(t)
@@ -602,10 +703,8 @@ def run_validate(ctx: PassContext) -> dict:
 PASSES = [
     Pass("base", run_base),
     Pass("entities", run_entities, depends_on=("base",)),
-    Pass("canonicalize", run_canonicalize, depends_on=("base",)),
-    Pass("link", run_link, depends_on=("base", "canonicalize")),
-    Pass("reaching", run_reaching, depends_on=("link",)),
-    Pass("materialize", run_materialize, depends_on=("entities", "link", "reaching")),
+    Pass("link", run_link, depends_on=("base", "entities")),
+    Pass("materialize", run_materialize, depends_on=("entities", "link")),
     Pass("validate", run_validate, depends_on=("materialize",)),
 ]
 

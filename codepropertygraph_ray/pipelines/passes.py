@@ -44,6 +44,17 @@ class PassContext:
     sf_dir: str
     params: dict = field(default_factory=dict)
     _dirs: dict[str, str] = field(default_factory=dict)  # "pass/table" → dir
+    _side_root: str | None = None  # the RUNNING pass's numbered dir
+
+    def side_dir(self, table: str) -> str:
+        """Directory for a side-written table of the currently running pass
+        (workers write deterministic per-bucket files into it; the runner
+        registers + meters it after the pass completes)."""
+        if self._side_root is None:
+            raise RuntimeError("side_dir() is only valid while a pass runs")
+        d = os.path.join(self._side_root, table)
+        os.makedirs(d, exist_ok=True)
+        return d
 
     def delta_dir(self, pass_name: str, table: str) -> str:
         key = f"{pass_name}/{table}"
@@ -149,6 +160,7 @@ class PipelineRunner:
             if os.path.exists(pdir):
                 shutil.rmtree(pdir)  # partial output from a crashed run
             t0 = time.perf_counter()
+            self.ctx._side_root = pdir  # passes may side-write extra tables
             deltas = p.run(self.ctx)
             metrics: dict = {"tables": {}}
             for tname, data in deltas.items():
@@ -164,6 +176,20 @@ class PipelineRunner:
                     "rows": sum(m["rows"] for m in _file_metrics(tdir)),
                 }
                 self.ctx._dirs[f"{p.name}/{tname}"] = tdir
+            # side-written tables: a fused stage may emit a SECOND delta from
+            # inside its shuffle (one execution, two outputs — e.g. the link
+            # pass's spo-bucketed triples dedup side-writes the conv-bucketed
+            # reaching pairs). Register + meter any table dir the pass wrote
+            # directly under its numbered directory.
+            if os.path.isdir(pdir):
+                for tname in sorted(os.listdir(pdir)):
+                    tdir = os.path.join(pdir, tname)
+                    if os.path.isdir(tdir) and tname not in metrics["tables"]:
+                        metrics["tables"][tname] = {
+                            "files": _file_metrics(tdir),
+                            "rows": sum(m["rows"] for m in _file_metrics(tdir)),
+                        }
+                        self.ctx._dirs[f"{p.name}/{tname}"] = tdir
             metrics["wall_sec"] = round(time.perf_counter() - t0, 4)
             os.makedirs(pdir, exist_ok=True)
             with open(os.path.join(pdir, SUCCESS), "w") as f:
@@ -194,6 +220,11 @@ class PipelineRunner:
             if os.path.exists(pdir):
                 shutil.rmtree(pdir)
             led["metrics"].pop(later, None)
+            # purge stale dir registrations: a later ctx.read() must get the
+            # framework's clear 'no delta written' KeyError, not a dangling
+            # path to a deleted directory
+            for key in [k for k in self.ctx._dirs if k.startswith(f"{later}/")]:
+                del self.ctx._dirs[key]
         led["applied"] = led["applied"][:pos]
         self._save_ledger(led)
 

@@ -50,15 +50,26 @@ def facts(sf_dir: str):
 
 
 def entity_keys(sf_dir: str):
-    """(key, n_mentions) — the distinct-mention-key dimension."""
-    return kg_runner(sf_dir).ctx.read("entities", "entity_keys")
+    """(key, n_mentions) — the distinct-mention-key dimension (the entities
+    delta also carries the alias-pair rows of the fused pass; filter them)."""
+    ds = kg_runner(sf_dir).ctx.read(
+        "entities", "entity_keys", columns=["key", "n_mentions", "is_alias"]
+    )
+    return ds.map_batches(
+        lambda t: t.loc[~t["is_alias"], ["key", "n_mentions"]],
+        batch_format="pandas",
+    )
 
 
 def canonical_map(sf_dir: str):
     """(key, canon) for EVERY distinct mention key (un-aliased → itself)."""
     r = kg_runner(sf_dir)
-    ek = r.ctx.read_table("entities", "entity_keys", columns=["key"]).to_pandas()
-    cm = r.ctx.read_table("canonicalize", "canon_map").to_pandas()
+    ek = (
+        r.ctx.read_table("entities", "entity_keys", columns=["key", "is_alias"])
+        .to_pandas()
+    )
+    ek = ek.loc[~ek["is_alias"], ["key"]]
+    cm = r.ctx.read_table("entities", "canon_map").to_pandas()
     out = ek.merge(cm, left_on="key", right_on="node", how="left")
     out["canon"] = out["component"].fillna(out["key"])
     return out[["key", "canon"]].sort_values("key", ignore_index=True)
@@ -88,7 +99,10 @@ def entity_stats(sf_dir: str):
         batch_format="pandas",
     ).to_pandas()
     cm = canonical_map(sf_dir)
-    ek = r.ctx.read_table("entities", "entity_keys").to_pandas()
+    ek = r.ctx.read_table(
+        "entities", "entity_keys", columns=["key", "n_mentions", "is_alias"]
+    ).to_pandas()
+    ek = ek[~ek["is_alias"]]
     counts = (
         ek.merge(cm, on="key")
         .groupby("canon", as_index=False)["n_mentions"]
@@ -223,8 +237,8 @@ def node_label_counts(sf_dir: str):
 
 def reaching_mentions_pairs(sf_dir: str):
     """(conv_id, src_turn_idx, dst_turn_idx, variable) — the REACHING_DEF
-    overlay rows (stages/reaching.py)."""
-    return kg_runner(sf_dir).ctx.read("reaching", "reaching")
+    overlay rows (stages/reaching.py, side-written by the fused link pass)."""
+    return kg_runner(sf_dir).ctx.read("link", "reaching")
 
 
 def fact_closure(sf_dir: str):

@@ -33,7 +33,7 @@ def test_extraction_matches_oracle(kg_run, oracle_result):
 
 
 def test_canonical_map_matches_oracle(kg_run, oracle_result):
-    cmap = _delta(kg_run, "canonicalize", "canon_map").to_pandas()
+    cmap = _delta(kg_run, "entities", "canon_map").to_pandas()
     got = dict(zip(cmap["node"], cmap["component"]))
     # oracle canonical covers every mention key; the pipeline map only
     # covers alias-edge endpoints (others canonicalize to themselves)
