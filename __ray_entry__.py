@@ -105,8 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _kg_sql() -> dict[str, str]:
-    P = _transcripts_path()
-    t = f"read_parquet('{P}')"
+    P = _transcripts_path()  # a directory of part files
+    t = f"read_parquet('{P}/*.parquet')"
     key = _NORM % "surface"
 
     mentions = f"""
@@ -330,17 +330,26 @@ def _rel_sql() -> dict[str, str]:
 
 
 def _ops_sql() -> dict[str, str]:
-    from codepropertygraph_ray.functions.dedup import JACCARD_THRESHOLD, SHINGLE_W
+    from codepropertygraph_ray.functions.dedup import JACCARD_THRESHOLD, MAX_DF, SHINGLE_W
     from codepropertygraph_ray.functions.similarity import DUP_COS_THRESHOLD, KNN_K, N_QUERIES
     from codepropertygraph_ray.functions.text import STOPWORDS
 
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
-    # distinct word shingles per doc via lateral position unnest
-    shingle_rows = f"""
+    # distinct word shingles per doc via lateral position unnest; the
+    # stop-shingle DF cap (drop shingles in > MAX_DF docs) mirrors the Ray
+    # path's fan-out bound so both sides measure the same Jaccard
+    shingle_rows_raw = f"""
       SELECT DISTINCT doc_id,
              list_aggregate(toks[i:i + {SHINGLE_W - 1}], 'string_agg', ' ') AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
            LATERAL (SELECT unnest(generate_series(1, len(toks) - {SHINGLE_W - 1})) AS i)
+    """
+    shingle_rows = f"""
+      SELECT * FROM ({shingle_rows_raw})
+      WHERE shingle IN (
+        SELECT shingle FROM ({shingle_rows_raw})
+        GROUP BY shingle HAVING count(*) <= {MAX_DF}
+      )
     """
     return {
         "text_token_stats": r"""

@@ -4,12 +4,18 @@ The large-scale-training-pipeline dedup family:
 
 * exact dedup — see ``relational.dedup_docs_exact`` (NodeFilter analog);
 * **n-gram Jaccard** — exact set-similarity pairs via a shingle-inverted
-  index (explode → co-occurrence groupby → pair counts), SQL-oracled;
-* **MinHash + LSH** — the scale path: per-doc minhash signature (vectorized
-  universal hashing over shingle hashes), banded into LSH buckets, bucket
-  groupby emits candidate pairs, candidates verified with exact Jaccard.
-  At 100 TB the verify step joins shingle sets; here the doc side is
-  broadcast (documents is a dimension-sized table in this corpus).
+  index (explode → co-occurrence groupby → pair counts), SQL-oracled.
+  A stop-shingle DF cap (drop shingles appearing in > ``max_df`` docs,
+  mirrored in the SQL oracle) bounds the per-shingle pair fan-out — the
+  skew/salting discipline of SURVEY.md §7.4: one shingle shared by 10^5
+  docs would otherwise emit 10^10 candidate pairs from a single bucket.
+* **MinHash + LSH** — the sub-quadratic scale path: per-doc minhash
+  signatures (ONE batch-level explode + universal hash + ``reduceat``
+  min — no per-document Python loop), banded into LSH buckets, bucket
+  groupby emits candidate pairs, candidates verified DISTRIBUTED with
+  exact Jaccard via a shingle join restricted to candidate documents
+  (broadcast candidate-pair set; nothing corpus-scale ever reaches the
+  driver, and no per-pair Python loop).
 
 All hashes derive from the repo's keyed SipHash (ids.py) — deterministic
 across runs/parallelism.
@@ -21,11 +27,12 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..ids import hash_series
+from ..ids import hash_series, mix_ids
 from .joins import get_broadcast
 
 SHINGLE_W = 3  # word shingle width
 JACCARD_THRESHOLD = 0.5
+MAX_DF = 1000  # stop-shingle cap: drop shingles present in > MAX_DF docs
 
 N_PERM = 64  # minhash permutations
 N_BANDS = 16  # → 4 rows per band
@@ -51,20 +58,54 @@ def _shingle_rows(t: pd.DataFrame) -> pd.DataFrame:
     return exploded.dropna().reset_index(drop=True)
 
 
-def ngram_jaccard_pairs(sf_dir: str):
-    """(id_a, id_b): document pairs with word-3-gram Jaccard ≥ 0.5.
+def _hot_shingles(shingled, max_df: int) -> frozenset:
+    """Distinct shingles with document frequency > max_df (rows of
+    ``shingled`` are distinct (doc, shingle), so DF = row count). The hot
+    set is tiny by construction (shingle frequency is heavy-tailed), so it
+    broadcasts."""
+    from .agg import hash_agg
 
-    Exact algorithm via inverted index: explode distinct shingles, groupby
-    shingle → pairwise co-occurrences, sum per pair → |A∩B|, then
-    J = inter / (|A| + |B| - inter). The per-shingle pair fan-out is the
-    skew hazard; a stop-shingle cap (drop shingles in > MAX_DF docs) bounds
-    it — the salting/cap discipline of SURVEY.md §7.4."""
+    df = hash_agg(
+        shingled.map_batches(
+            lambda t: t.groupby("shingle", as_index=False).agg(df=("doc_id", "size")),
+            batch_format="pandas",
+        ),
+        "shingle",
+        df=("df", "sum"),
+    )
+    hot = df.map_batches(
+        lambda t, m=max_df: t.loc[t["df"] > m, ["shingle"]], batch_format="pandas"
+    ).to_pandas()
+    # empty Datasets lose their schema through to_pandas (typed-empty landmine)
+    if hot.empty or "shingle" not in hot.columns:
+        return frozenset()
+    return frozenset(hot["shingle"])
+
+
+def ngram_jaccard_pairs(sf_dir: str, max_df: int = MAX_DF):
+    """(id_a, id_b): document pairs with word-3-gram Jaccard ≥ 0.5, the
+    Jaccard computed over shingles with DF ≤ ``max_df`` (the stop-shingle
+    cap — identical filter in the SQL oracle, so both paths measure the
+    same quantity; at the default cap nothing is dropped below 1000-doc
+    collisions).
+
+    Exact algorithm via inverted index: explode distinct shingles, drop
+    hot shingles, groupby shingle → pairwise co-occurrences, sum per pair
+    → |A∩B|, then J = inter / (|A| + |B| - inter)."""
     from .agg import hash_agg, hash_groupby
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    shingled = ds.map_batches(_shingle_rows, batch_format="pandas")
+    shingled = ds.map_batches(_shingle_rows, batch_format="pandas").materialize()
 
-    # |A| per doc (broadcast — dimension-sized)
+    hot = _hot_shingles(shingled, max_df)
+    if hot:
+        hot_ref = ray.put(hot)
+        shingled = shingled.map_batches(
+            lambda t: t[~t["shingle"].isin(get_broadcast(hot_ref))],
+            batch_format="pandas",
+        )
+
+    # |A| per doc over KEPT shingles (broadcast — dimension-sized)
     sizes = hash_agg(
         shingled.map_batches(
             lambda t: t.groupby("doc_id", as_index=False).agg(n=("shingle", "size")),
@@ -76,7 +117,8 @@ def ngram_jaccard_pairs(sf_dir: str):
     size_ref = ray.put(dict(zip(sizes["doc_id"], sizes["n"])))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # all occurrences of a shingle co-locate → vectorized self-merge
+        # all occurrences of a shingle co-locate → vectorized self-merge;
+        # fan-out per shingle is ≤ max_df² by the cap above
         m = g.merge(g, on="shingle")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         pc = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
@@ -113,15 +155,21 @@ def _minhash_params():
 
 
 class MinHasher:
-    """Actor-pool stage: documents batch → (doc_id, band_id, band_hash).
+    """documents batch → (doc_id, band_id, band_hash), fully vectorized.
 
-    Permutation params are built once per actor (``__init__``), the batch
-    body is a vectorized universal-hash min-reduce."""
+    Permutation params build once per worker process (see
+    ``minhash_batch``'s process cache — same amortization as an actor pool
+    without reserving CPUs, cf. stages/extract.py). Per batch: ONE explode
+    of all shingle sets, ONE SipHash of the exploded column, one universal-
+    hash matrix, per-doc signature via ``np.minimum.reduceat`` over row
+    segments, band hashes via the numeric splitmix combiner — zero
+    per-document Python."""
 
     def __init__(self) -> None:
         self.a, self.b = _minhash_params()
 
     def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """Single-doc signature (kept for tests/direct use)."""
         if len(shingle_hashes) == 0:
             return np.full(N_PERM, np.iinfo(np.int64).max, dtype=np.uint64)
         h = shingle_hashes.astype(np.uint64)[:, None]  # (S, 1)
@@ -129,21 +177,46 @@ class MinHasher:
         return vals.min(axis=0)
 
     def __call__(self, t: pd.DataFrame) -> pd.DataFrame:
-        rows_doc, rows_band, rows_hash = [], [], []
-        for doc_id, text in zip(t["doc_id"], t["text"]):
-            sh = list(set(_shingles(text)))
-            hs = hash_series([pd.Series(sh)]).astype(np.uint64) if sh else np.array([], dtype=np.uint64)
-            sig = self.signature(hs)
-            per_band = sig.reshape(N_BANDS, -1)
-            bh = hash_series([pd.Series([",".join(map(str, row)) for row in per_band])])
-            rows_doc.extend([doc_id] * N_BANDS)
-            rows_band.extend(range(N_BANDS))
-            rows_hash.extend(bh)
-        return pd.DataFrame(
-            {"doc_id": np.array(rows_doc, dtype=np.int64),
-             "band_id": np.array(rows_band, dtype=np.int32),
-             "band_hash": np.array(rows_hash, dtype=np.int64)}
+        sh_lists = t["text"].map(lambda x: list(set(_shingles(x))))
+        lens = sh_lists.str.len().to_numpy(np.int64)
+        # shingle-less docs emit NO bands: they cannot be near-dups, and an
+        # all-sentinel signature would collide every empty doc into every
+        # band bucket (a planted quadratic hot key)
+        nz = lens > 0
+        n = int(nz.sum())
+        if n == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "band_id": pd.Series(dtype="int32"),
+                 "band_hash": pd.Series(dtype="int64")}
+            )
+        flat = pd.Series(np.concatenate(sh_lists[nz].to_numpy()), dtype="object")
+        hs = hash_series([flat]).astype(np.uint64)
+        vals = (self.a[None, :] * hs[:, None] + self.b[None, :]) % _MERSENNE
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=starts[1:])
+        sigs = np.minimum.reduceat(vals, starts, axis=0)
+        per_band = sigs.reshape(n, N_BANDS, N_PERM // N_BANDS)
+        band_hash = mix_ids(
+            *[per_band[:, :, r].ravel() for r in range(per_band.shape[2])]
         )
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(t["doc_id"].to_numpy(np.int64)[nz], N_BANDS),
+                "band_id": np.tile(np.arange(N_BANDS, dtype=np.int32), n),
+                "band_hash": band_hash,
+            }
+        )
+
+
+# per-worker-process MinHasher cache (stateless-task amortization)
+_PROCESS_MINHASHER: list[MinHasher] = []
+
+
+def minhash_batch(t: pd.DataFrame) -> pd.DataFrame:
+    if not _PROCESS_MINHASHER:
+        _PROCESS_MINHASHER.append(MinHasher())
+    return _PROCESS_MINHASHER[0](t)
 
 
 def minhash_lsh_pairs(sf_dir: str):
@@ -151,11 +224,18 @@ def minhash_lsh_pairs(sf_dir: str):
     with exact shingle Jaccard ≥ 0.5. Sub-quadratic: only bucket-colliding
     pairs are verified. (No SQL oracle — probabilistic recall; tests assert
     candidates ⊆ exact pairs after verification and recall on planted dups.)
+
+    Verification is DISTRIBUTED: the candidate-pair set (pair-scale, tiny
+    relative to the corpus) broadcasts; shingle rows are re-derived only
+    for candidate documents, intersections count in a shingle-bucketed
+    shuffle semi-filtered to candidate pairs, and the Jaccard check is a
+    vectorized map over pair counts. The documents table is never
+    driver-materialized. Returns a Dataset.
     """
     from .agg import hash_agg, hash_groupby
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pandas", concurrency=2)
+    bands = ds.map_batches(minhash_batch, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # all rows of any LSH bucket co-locate → vectorized self-merge
@@ -174,16 +254,63 @@ def minhash_lsh_pairs(sf_dir: str):
         .drop_columns(["_n"])
         .to_pandas()
     )
+    if candidates.empty:
+        from ray.data import from_pandas
 
-    # exact-Jaccard verification (broadcast shingle sets — dimension-sized
-    # here; at corpus scale this becomes a join against the shingle table)
-    docs = _read_docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    sets = {d: set(_shingles(x)) for d, x in zip(docs["doc_id"], docs["text"])}
-    keep = []
-    for ia, ib in zip(candidates["id_a"], candidates["id_b"]):
-        sa, sb = sets[ia], sets[ib]
-        if sa or sb:
-            j = len(sa & sb) / len(sa | sb)
-            if j >= JACCARD_THRESHOLD:
-                keep.append((ia, ib))
-    return pd.DataFrame(keep, columns=["id_a", "id_b"]).astype("int64")
+        return from_pandas(
+            pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64")})
+        )
+
+    # broadcast: candidate doc set + sorted candidate pair-key array
+    cand_docs = np.union1d(candidates["id_a"].to_numpy(np.int64),
+                           candidates["id_b"].to_numpy(np.int64))
+    pair_keys = np.sort(mix_ids(candidates["id_a"].to_numpy(np.int64),
+                                candidates["id_b"].to_numpy(np.int64)))
+    docs_ref = ray.put(cand_docs)
+    pairs_ref = ray.put(pair_keys)
+
+    shingled = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: _shingle_rows(t[t["doc_id"].isin(get_broadcast(docs_ref))]),
+        batch_format="pandas",
+    ).materialize()
+
+    sizes = hash_agg(
+        shingled.map_batches(
+            lambda t: t.groupby("doc_id", as_index=False).agg(n=("shingle", "size")),
+            batch_format="pandas",
+        ),
+        "doc_id",
+        n=("n", "sum"),
+    ).to_pandas()
+    size_ref = ray.put(dict(zip(sizes["doc_id"], sizes["n"])))
+
+    def cand_pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if len(m):
+            pk = mix_ids(m["doc_id_x"].to_numpy(np.int64),
+                         m["doc_id_y"].to_numpy(np.int64))
+            keys = get_broadcast(pairs_ref)
+            pos = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+            m = m[keys[pos] == pk]  # semi-filter to candidate pairs only
+        pc = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        return pc.rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b", "size": "ninter"})
+
+    pair_counts = hash_agg(
+        hash_groupby(shingled, "shingle", cand_pairs_in_bucket),
+        ["id_a", "id_b"],
+        ninter=("ninter", "sum"),
+    )
+
+    def verify(t: pd.DataFrame) -> pd.DataFrame:
+        szs = get_broadcast(size_ref)
+        na = t["id_a"].map(szs).fillna(0).to_numpy(np.int64)
+        nb = t["id_b"].map(szs).fillna(0).to_numpy(np.int64)
+        inter = t["ninter"].to_numpy(np.int64)
+        union = na + nb - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = t[j >= JACCARD_THRESHOLD]
+        return keep[["id_a", "id_b"]].astype("int64")
+
+    return pair_counts.map_batches(verify, batch_format="pandas")

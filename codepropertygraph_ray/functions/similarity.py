@@ -155,31 +155,78 @@ def knn_lsh(sf_dir: str):
     )
 
 
+DUP_N_BLOCKS = 8
+
+
 def embedding_dups(sf_dir: str):
-    """(id_a, id_b) — exact near-duplicate pairs with cosine ≥ 0.9.
+    """(id_a, id_b) — exact near-duplicate pairs with cosine ≥ threshold.
 
-    Here the corpus side is broadcast once and every batch matmuls against
-    it (O(n·batch) flops, zero shuffle). At 10^9+ vectors this flips to the
-    LSH-bucketed pair generation of ``knn_lsh``."""
-    full = _read_emb(sf_dir, ["vec_id", "embedding"]).to_pandas()
-    fids = full["vec_id"].to_numpy(np.int64)
-    fmat = _matrix(full)
-    ref = ray.put((fids, fmat))
+    Distributed BLOCK-PAIR join (the standard exact all-pairs shape):
+    vectors hash into B blocks; every unordered block pair (i ≤ j) is one
+    shuffle bucket; each vector replicates to exactly B buckets (one per
+    partner block). Within a bucket ONE numpy matmul scores side i against
+    side j (upper triangle on the diagonal bucket). A pair (x, y) lands in
+    exactly the bucket (blk(x), blk(y)) — no cross-bucket duplicates.
 
-    def pairs(t: pd.DataFrame) -> pd.DataFrame:
-        fids_, fmat_ = get_broadcast(ref)
-        m = _matrix(t)
-        ids = t["vec_id"].to_numpy(np.int64)
-        sims = m @ fmat_.T
-        ia, ib = np.where(sims >= DUP_COS_THRESHOLD)
-        left, right = ids[ia], fids_[ib]
-        mask = left < right  # dedup + drop self
-        return pd.DataFrame({"id_a": left[mask], "id_b": right[mask]})
+    Exact (matches the all-pairs SQL oracle); no full-corpus broadcast and
+    no driver materialization — shuffle volume is n·B rows and per-bucket
+    memory is 2n/B vectors, so B scales with cluster width (pick
+    B ≈ sqrt(#tasks)). The compute is inherently O(n²); the sub-quadratic
+    approximate path is the signature bucketing of ``knn_lsh``."""
+    from ..ids import mix_ids
 
-    out = _read_emb(sf_dir, ["vec_id", "embedding"]).map_batches(
-        pairs, batch_format="pandas"
-    ).to_pandas()
-    if out.empty:  # keep the schema even when no pair crosses the threshold
-        out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                            "id_b": pd.Series(dtype="int64")})
-    return out
+    B = DUP_N_BLOCKS
+
+    def replicate(t: pd.DataFrame) -> pd.DataFrame:
+        ids_ = t["vec_id"].to_numpy(np.int64)
+        blk = (mix_ids(ids_) % B).astype(np.int64)
+        frames = []
+        for k in range(B):
+            i = np.minimum(blk, k)
+            j = np.maximum(blk, k)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "pair": i * B + j,
+                        "vec_id": ids_,
+                        "blk": blk,
+                        "embedding": t["embedding"].to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        i, j = divmod(int(g["pair"].iloc[0]), B)
+        g = g.drop_duplicates("vec_id")
+        m = _matrix(g)
+        ids_ = g["vec_id"].to_numpy(np.int64)
+        blk = g["blk"].to_numpy(np.int64)
+        if i == j:
+            sims = m @ m.T
+            ia, ib = np.where(np.triu(sims >= DUP_COS_THRESHOLD, k=1))
+            left, right = ids_[ia], ids_[ib]
+        else:
+            li, ri = blk == i, blk == j
+            if not li.any() or not ri.any():
+                return empty
+            sims = m[li] @ m[ri].T
+            ia, ib = np.where(sims >= DUP_COS_THRESHOLD)
+            left, right = ids_[li][ia], ids_[ri][ib]
+        if not len(left):
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.minimum(left, right), "id_b": np.maximum(left, right)}
+        )
+
+    return (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(replicate, batch_format="pandas")
+        .groupby("pair")
+        .map_groups(score, batch_format="pandas")
+    )

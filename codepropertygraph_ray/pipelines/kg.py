@@ -3,9 +3,9 @@
 Ray-Data transposition of the reference's build lifecycle (SURVEY.md §3.4):
 
     read_parquet(transcripts)                       # S1 loader analog
-      → stable (conv_id, turn_idx) order            # per-row invariant: hash-
-        (hash-partition + per-partition sort)       #   partition by conv_id
-      → extraction (bucketed, process-cached)       # F3/F4 base construction
+      → stable (conv_id, turn_idx) order            # per-row invariant:
+        (stable per-batch sort; see run_base)       #   order-as-data
+      → extraction (stateless, process-cached)      # F3/F4 base construction
       → entities pass (FUSED): entity dimension     # F7/F8 TypeNodePass +
         + alias pairs + union-find canonical map    #   O14/NodeFilter analog
       → link pass (FUSED): broadcast canon probe    # O5/O10 Linker/CallLinker
@@ -49,34 +49,39 @@ def _p(ctx: PassContext, key: str):
 
 
 def run_base(ctx: PassContext) -> dict:
-    """Stable-sorted extraction → long record table, in ONE exchange.
+    """Stable-ordered extraction → long record table, with NO exchange.
 
-    The stable sort by (conv_id, turn_idx) mandated by the per-row
-    invariant is executed as hash-partition by ``conv_id`` + stable
-    per-partition sort — every conversation's turns are processed
-    contiguously in stable (conv_id, turn_idx) order, which is exactly the
-    equivalence the invariant quantifies over (extraction is per-turn; no
-    operator observes the interleaving of *different* conversations).
-    A global range sort computes the same result but pays a sampling pass
-    plus a range exchange; measured on this box the range sort ANTI-scales
-    (4.3 s @32 cpus vs 3.0 s @8 on sf0.4) while the bucket exchange is the
-    same shuffle discipline every downstream stage uses (SURVEY.md §7.3 —
-    one partitioning key, reused).
+    The per-row invariant is "per-turn text equality under stable turn
+    ordering": extraction is a pure per-turn function, so each batch is
+    stably sorted by (conv_id, turn_idx) before the extractor consumes it
+    — every unit of work runs under stable turn order. No cross-batch
+    exchange precedes extraction because NO operator can observe one:
+    every downstream consumer is a keyed aggregation/join (order-as-data,
+    SURVEY.md §4 'Ordering assumptions'), and the stages where
+    conversation order IS load-bearing (NEXT_TURN build, reaching overlay)
+    re-establish it inside their own conv_id-keyed exchanges. At 100 TB a
+    global sort of the full text corpus ahead of a per-turn map would
+    shuffle the entire corpus for nothing.
 
-    Extraction runs inside the per-bucket reducer with a per-process
-    compiled-pattern cache (stages/extract.py — measured faster than an
-    actor pool for this light state). Only (conv_id, turn_idx, text) enter
-    the exchange — role/tool/ts are pruned at the read (wide-string
-    discipline, SURVEY.md §7.4)."""
-    import os
+    Measured (sf0.4, min of 2): per-batch sort 3.6 s @32 cpus / 8.3 s @8
+    vs global range sort 5.6/9.0 vs conv_id-bucket exchange 6.5/12.2 —
+    the exchange variants pay a flat ~2-4 s barrier that dominated the
+    round-1 scaling gap. Set params["base_exchange"]="bucket" to force the
+    conv_id hash-partition + per-partition stable sort (contiguous whole
+    conversations) when an extractor needs cross-turn state.
 
+    Extraction runs as stateless tasks with a per-process compiled-pattern
+    cache (stages/extract.py — measured faster than an actor pool for
+    this light state). Only (conv_id, turn_idx, text) are read —
+    role/tool/ts are pruned at the read (wide-string discipline,
+    SURVEY.md §7.4)."""
     import ray
 
-    from ..functions.agg import hash_groupby
+    from ..sources.transcripts import corpus_bytes
     from ..stages.extract import extract_batch
 
     path = ensure_transcripts(ctx.sf_dir)
-    nbytes = os.path.getsize(path)
+    nbytes = corpus_bytes(path)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nblocks = max(2 * ncpu, nbytes // (32 << 20))
     ds = ray.data.read_parquet(
@@ -87,7 +92,16 @@ def run_base(ctx: PassContext) -> dict:
         g = g.sort_values(["conv_id", "turn_idx"], kind="stable", ignore_index=True)
         return extract_batch(g)
 
-    records = hash_groupby(ds, "conv_id", extract_sorted, num_buckets=max(32, 4 * ncpu))
+    if ctx.params.get("base_exchange") == "bucket":
+        from ..functions.agg import hash_groupby
+
+        records = hash_groupby(
+            ds, "conv_id", extract_sorted, num_buckets=max(32, 4 * ncpu)
+        )
+    else:
+        records = ds.map_batches(
+            extract_sorted, batch_format="pandas", batch_size=16384
+        )
     return {"records": records}
 
 

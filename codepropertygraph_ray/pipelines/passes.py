@@ -237,8 +237,10 @@ def _write_delta(data, tdir: str) -> None:
         os.makedirs(tdir, exist_ok=True)
         pqt.write_table(data, os.path.join(tdir, "part-0.parquet"))
     else:  # ray.data.Dataset — streamed, multi-file (resumable layout)
-        # coalesce tiny blocks into ≥128k-row files: downstream passes
-        # re-read every delta, and hundreds of 15k-row files cost more in
-        # per-file overhead than they buy in parallelism
-        data.write_parquet(tdir, min_rows_per_file=131_072)
+        # NO min_rows_per_file: Ray satisfies it by BUNDLING write-task
+        # inputs, capping the fused map+write at n_rows/min_rows tasks
+        # (measured: 13 tasks on a 32-cpu box — it serialized every
+        # pass's tail). Upstream block counts are already CPU-sized, so
+        # file counts stay reasonable without coalescing.
+        data.write_parquet(tdir)
         os.makedirs(tdir, exist_ok=True)  # zero-row writes may skip the dir

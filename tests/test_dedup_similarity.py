@@ -1,0 +1,164 @@
+"""Dedup + similarity operator tests: vectorized MinHash correctness,
+LSH containment/recall on planted dups, the stop-shingle DF cap, and the
+block-pair embedding dedup vs a brute-force reference.
+
+These are the probabilistic/approximate operators without a SQL oracle
+(CORRECTNESS marks them rows-only), so pytest carries their semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from codepropertygraph_ray.functions.dedup import (
+    JACCARD_THRESHOLD,
+    MinHasher,
+    _shingles,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from codepropertygraph_ray.ids import hash_series, mix_ids
+
+
+def _write_docs(tmp_path, texts) -> str:
+    sf_dir = str(tmp_path)
+    pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    ).to_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def _jaccard(a: str, b: str) -> float:
+    sa, sb = set(_shingles(a)), set(_shingles(b))
+    if not (sa or sb):
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_vectorized_matches_single_doc_signature():
+    """The batch-level explode+reduceat path must equal the per-doc
+    ``signature`` path (same permutations, same band combiner)."""
+    mh = MinHasher()
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven eight",
+        "xy",  # < shingle width → no bands emitted
+    ]
+    batch = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "text": texts})
+    out = mh(batch)
+    assert set(out["doc_id"]) == {0, 1}  # shingle-less doc 2 emits nothing
+    from codepropertygraph_ray.functions.dedup import N_BANDS, N_PERM
+
+    for doc_id, text in [(0, texts[0]), (1, texts[1])]:
+        sh = sorted(set(_shingles(text)))
+        hs = hash_series([pd.Series(sh)]).astype(np.uint64)
+        sig = mh.signature(hs)
+        per_band = sig.reshape(N_BANDS, N_PERM // N_BANDS)
+        want = mix_ids(*[per_band[:, r] for r in range(per_band.shape[1])])
+        got = out[out["doc_id"] == doc_id].sort_values("band_id")["band_hash"]
+        assert list(got) == list(want)
+
+
+def test_minhash_batch_split_invariance():
+    """Signatures must not depend on batch boundaries (determinism across
+    parallelism — the StableOutputTests discipline)."""
+    mh = MinHasher()
+    texts = [f"common prefix words number {i} tail tail tail" for i in range(6)]
+    full = mh(pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64), "text": texts}))
+    parts = pd.concat(
+        [
+            mh(pd.DataFrame({"doc_id": np.arange(0, 3, dtype=np.int64), "text": texts[:3]})),
+            mh(pd.DataFrame({"doc_id": np.arange(3, 6, dtype=np.int64), "text": texts[3:]})),
+        ],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(
+        full.sort_values(["doc_id", "band_id"], ignore_index=True),
+        parts.sort_values(["doc_id", "band_id"], ignore_index=True),
+    )
+
+
+def test_minhash_lsh_planted_dups(ray_session, tmp_path):
+    """Planted near-identical pairs are recalled; every returned pair
+    verifies at exact Jaccard ≥ threshold (containment in the exact set)."""
+    base = [
+        f"doc {i} talks about topic {i} with words w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f"
+        for i in range(20)
+    ]
+    # planted dups: ids 20/21 and 22/23 are one-word edits of each other
+    dup1 = "the quick brown fox jumps over the lazy dog again and again today"
+    dup2 = dup1.replace("today", "tomorrow")
+    dup3 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    dup4 = dup3.replace("mu", "nu")
+    sf_dir = _write_docs(tmp_path, base + [dup1, dup2, dup3, dup4])
+    texts = base + [dup1, dup2, dup3, dup4]
+
+    got = minhash_lsh_pairs(sf_dir).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (20, 21) in pairs and (22, 23) in pairs  # recall on planted dups
+    for a, b in pairs:  # containment: all verified pairs are true pairs
+        assert _jaccard(texts[a], texts[b]) >= JACCARD_THRESHOLD
+
+
+def test_minhash_lsh_contained_in_exact(ray_session, tmp_path):
+    """LSH-verified pairs ⊆ exact n-gram Jaccard pairs on the same corpus."""
+    texts = [
+        "shared words one two three four five six unique %d suffix" % i
+        for i in range(10)
+    ] + ["totally different content here nothing shared with others at all"]
+    sf_dir = _write_docs(tmp_path, texts)
+    exact = ngram_jaccard_pairs(sf_dir).to_pandas()
+    lsh = minhash_lsh_pairs(sf_dir).to_pandas()
+    exact_set = set(zip(exact["id_a"], exact["id_b"]))
+    lsh_set = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert lsh_set <= exact_set
+
+
+def test_ngram_df_cap_bounds_hot_shingle(ray_session, tmp_path):
+    """A planted stop-shingle shared by many docs stops producing pairs
+    once its DF exceeds the cap; genuine dups (many non-hot shingles) are
+    unaffected — the SURVEY.md §7.4 fan-out bound."""
+    hot = "hot stop shingle"
+    # 10 docs share ONLY the hot shingle (rest unique) → pairwise J over
+    # the uncapped shingle set is 1/(1+4+4)=0.11 < 0.5, but make them
+    # J-heavy by keeping docs tiny: text = hot shingle only → J = 1.0
+    hot_docs = [hot for _ in range(10)]
+    dup_a = "alpha beta gamma delta epsilon zeta eta theta"
+    dup_b = "alpha beta gamma delta epsilon zeta eta thetb"
+    sf_dir = _write_docs(tmp_path, hot_docs + [dup_a, dup_b])
+
+    uncapped = ngram_jaccard_pairs(sf_dir, max_df=1000).to_pandas()
+    got_u = set(zip(uncapped["id_a"], uncapped["id_b"]))
+    assert (10, 11) in got_u
+    assert sum(1 for a, b in got_u if a < 10 and b < 10) == 45  # hot quadratic
+
+    capped = ngram_jaccard_pairs(sf_dir, max_df=5).to_pandas()
+    got_c = set(zip(capped["id_a"], capped["id_b"]))
+    assert (10, 11) in got_c  # genuine dup survives
+    assert not any(a < 10 and b < 10 for a, b in got_c)  # fan-out bounded
+
+
+def test_embedding_dups_block_join_matches_bruteforce(ray_session):
+    """Block-pair join output == direct all-pairs numpy on the sf0.001
+    embeddings table (exactness of the distributed shape)."""
+    from codepropertygraph_ray.functions.similarity import (
+        DUP_COS_THRESHOLD,
+        _matrix,
+        embedding_dups,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = pd.read_parquet(f"{sf}/embeddings.parquet")
+    m = _matrix(full)
+    ids = full["vec_id"].to_numpy(np.int64)
+    sims = m @ m.T
+    ia, ib = np.where(np.triu(sims >= DUP_COS_THRESHOLD, k=1))
+    want = {(min(a, b), max(a, b)) for a, b in zip(ids[ia], ids[ib])}
+
+    got_df = embedding_dups(sf).to_pandas()
+    got = set(zip(got_df["id_a"], got_df["id_b"]))
+    assert got == want
