@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_label_counts": kgq.node_label_counts,
         "kg_reaching_mentions": kgq.reaching_mentions_pairs,
         "kg_fact_closure": kgq.fact_closure,
+        "kg_dominators": kgq.dominators,
+        "kg_cdg": kgq.cdg_pairs,
+        "kg_reaches_closure": kgq.reaches_closure,
         "kg_dump_context": kgq.dump_turn_context,
         "kg_dot_export": kgq.dot_export,  # DOT sink — no SQL oracle
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
@@ -240,6 +243,75 @@ def _kg_sql() -> dict[str, str]:
           SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text
           FROM {t}
           WHERE conv_id = 'conv-0000000' AND turn_idx BETWEEN 9 AND 11
+        """,
+        # dominators over the conversation reply graph (chain + user-skip
+        # edges — an interval DAG): closed form m dom n ⟺ no skip edge
+        # spans m with endpoint ≤ n; idom(n) = max such m. The Ray side
+        # runs Cooper-Harvey-Kennedy per conversation; agreement checks
+        # the algorithm (CfgDominatorPass.scala:15-60 analog).
+        "kg_dominators": f"""
+          WITH tt AS (SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn, role FROM {t}),
+          sk AS (SELECT conv_id, turn AS a,
+                        lead(turn) OVER (PARTITION BY conv_id ORDER BY turn) AS b
+                 FROM tt WHERE role = 'user'),
+          skips AS (SELECT conv_id, a, b FROM sk WHERE b IS NOT NULL AND b > a + 1),
+          bm AS (SELECT tt.conv_id, tt.turn AS m, min(s.b) AS bmin
+                 FROM tt LEFT JOIN skips s
+                   ON s.conv_id = tt.conv_id AND s.a < tt.turn AND s.b > tt.turn
+                 GROUP BY tt.conv_id, tt.turn)
+          SELECT n.conv_id, n.turn AS turn_idx,
+                 CAST(max(m.m) AS INTEGER) AS idom_turn_idx
+          FROM tt n JOIN bm m ON m.conv_id = n.conv_id AND m.m < n.turn
+          WHERE m.bmin IS NULL OR m.bmin > n.turn
+          GROUP BY n.conv_id, n.turn
+        """,
+        # control dependence via Ferrante's definition with the interval-DAG
+        # span predicate for post-dominance (CdgPass.scala:17-54 analog)
+        "kg_cdg": f"""
+          WITH tt AS (SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn, role FROM {t}),
+          sk AS (SELECT conv_id, turn AS a,
+                        lead(turn) OVER (PARTITION BY conv_id ORDER BY turn) AS b
+                 FROM tt WHERE role = 'user'),
+          skips AS (SELECT conv_id, a, b FROM sk WHERE b IS NOT NULL AND b > a + 1),
+          chain AS (SELECT conv_id, turn AS a,
+                           lead(turn) OVER (PARTITION BY conv_id ORDER BY turn) AS b
+                    FROM tt),
+          e AS (SELECT conv_id, a, b FROM chain WHERE b IS NOT NULL
+                UNION SELECT conv_id, a, b FROM skips)
+          SELECT DISTINCT e.conv_id, e.a AS controller, d.turn AS dependent
+          FROM e JOIN tt d ON d.conv_id = e.conv_id AND d.turn >= e.b
+          WHERE NOT EXISTS (SELECT 1 FROM skips k
+                            WHERE k.conv_id = e.conv_id AND k.a >= e.b
+                              AND k.a < d.turn AND k.b > d.turn)
+            AND EXISTS (SELECT 1 FROM skips k2
+                        WHERE k2.conv_id = e.conv_id AND k2.a >= e.a
+                          AND k2.a < d.turn AND k2.b > d.turn)
+        """,
+        # bounded closure over the REACHES overlay — the `.reachableBy`
+        # equivalent (Engine.scala:16-127 → frontier expansion over
+        # REACHING_DEF edges, SURVEY.md §2.4)
+        "kg_reaches_closure": f"""
+          WITH RECURSIVE
+          rp AS (
+            SELECT conv_id, src_turn_idx, dst_turn_idx FROM (
+              SELECT conv_id, turn_idx AS src_turn_idx,
+                     CAST(lead(turn_idx) OVER (
+                       PARTITION BY conv_id, key ORDER BY turn_idx
+                     ) AS INTEGER) AS dst_turn_idx
+              FROM (SELECT DISTINCT conv_id, turn_idx, key FROM ({mentions_keyed}))
+            ) WHERE dst_turn_idx IS NOT NULL
+          ),
+          mine AS (SELECT CAST(src_turn_idx AS INTEGER) AS s,
+                          CAST(dst_turn_idx AS INTEGER) AS d
+                   FROM rp WHERE conv_id = 'conv-0000000'),
+          seed AS (SELECT min(s) AS s0 FROM mine),
+          rc(turn, depth) AS (
+            SELECT s0, 0 FROM seed
+            UNION
+            SELECT mine.d, rc.depth + 1 FROM rc
+            JOIN mine ON mine.s = rc.turn WHERE rc.depth < 3
+          )
+          SELECT DISTINCT CAST(turn AS INTEGER) AS turn_idx FROM rc
         """,
         "kg_node_label_counts": f"""
           SELECT 'TURN' AS label, CAST(count(*) AS BIGINT) AS n_nodes FROM {t}

@@ -36,6 +36,7 @@ from .passes import Pass, PassContext, PipelineRunner
 DEFAULT_PARAMS = {
     "num_partitions": 16,  # hash-join/shuffle width
     "cc_distributed": None,  # None = auto by edge count
+    "validate_broadcast_max_rows": None,  # None = stages/validate default
 }
 
 
@@ -197,12 +198,14 @@ _TRIPLE_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx"]
 
 
 def _empty_triples() -> pd.DataFrame:
+    # "string" (not object) dtype so Ray's block size estimation never runs
+    # np.vectorize over an empty object column (noisy per-batch warning)
     return pd.DataFrame(
         {
-            "subj": pd.Series([], dtype="object"),
-            "pred": pd.Series([], dtype="object"),
-            "obj": pd.Series([], dtype="object"),
-            "conv_id": pd.Series([], dtype="object"),
+            "subj": pd.Series([], dtype="string"),
+            "pred": pd.Series([], dtype="string"),
+            "obj": pd.Series([], dtype="string"),
+            "conv_id": pd.Series([], dtype="string"),
             "turn_idx": pd.Series([], dtype="int32"),
         }
     )
@@ -349,7 +352,86 @@ def run_link(ctx: PassContext) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# pass 05 — materialize CPG-shaped nodes + edges
+# pass 03 — dominators / post-dominators / control-dependence overlay
+# ---------------------------------------------------------------------------
+
+
+def conv_graph_edges(turns: np.ndarray, roles: np.ndarray) -> list[tuple]:
+    """One conversation's reply graph: the NEXT_TURN chain plus 'skip'
+    edges between consecutive USER turns (a user's follow-up replies to
+    their previous turn, bypassing the assistant/tool turns in between).
+    All edges run forward in turn order — an interval DAG, which gives the
+    dominator relation a closed form the SQL oracle exploits (m dom n ⟺
+    no edge (a,b) with a < m < b ≤ n)."""
+    edges = list(zip(turns[:-1], turns[1:]))
+    ut = turns[roles == "user"]
+    edges += [(a, b) for a, b in zip(ut[:-1], ut[1:]) if b > a + 1]
+    return edges
+
+
+def run_dominators(ctx: PassContext) -> dict:
+    """Per-conversation immediate dominators, post-dominators and
+    control-dependence edges over the conversation reply graph — the
+    CfgDominatorPass/CdgPass analog (`CfgDominatorPass.scala:15-60`,
+    `CdgPass.scala:17-54`): a pure Cooper-Harvey-Kennedy run per group
+    inside one conv_id-bucketed exchange (SURVEY.md §2.3 O19/O20 mapping).
+    """
+    from ..functions.agg import hash_groupby
+    from ..functions.graph import control_dependence, immediate_dominators, post_dominators
+    from ..sources.transcripts import read_transcripts
+
+    turns = read_transcripts(ctx.sf_dir, columns=["conv_id", "turn_idx", "role"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        convs, doms, pdoms, cdgs = [], [], [], []
+        for conv, cg in g.groupby("conv_id", sort=False):
+            t = cg["turn_idx"].to_numpy(np.int64)
+            if len(t) < 2:
+                continue
+            edges = conv_graph_edges(t, cg["role"].to_numpy())
+            idom = immediate_dominators(edges, int(t[0]))
+            ipdom = post_dominators(edges, int(t[-1]))
+            cd = control_dependence(edges, int(t[-1]))
+            doms.append(
+                pd.DataFrame(
+                    {"conv_id": conv, "kind": "dom",
+                     "a": [m for n, m in idom.items() if n != t[0]],
+                     "b": [n for n in idom if n != t[0]]}
+                )
+            )
+            pdoms.append(
+                pd.DataFrame(
+                    {"conv_id": conv, "kind": "pdom",
+                     "a": [m for n, m in ipdom.items() if n != t[-1]],
+                     "b": [n for n in ipdom if n != t[-1]]}
+                )
+            )
+            if cd:
+                cdgs.append(
+                    pd.DataFrame(
+                        {"conv_id": conv, "kind": "cdg",
+                         "a": [c for c, _ in cd], "b": [d for _, d in cd]}
+                    )
+                )
+        frames = doms + pdoms + cdgs
+        if not frames:
+            return pd.DataFrame(
+                {"conv_id": pd.Series(dtype="object"),
+                 "kind": pd.Series(dtype="object"),
+                 "a": pd.Series(dtype="int32"),
+                 "b": pd.Series(dtype="int32")}
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["a"] = out["a"].astype("int32")
+        out["b"] = out["b"].astype("int32")
+        return out
+
+    return {"dom": hash_groupby(turns, "conv_id", per_bucket)}
+
+
+# ---------------------------------------------------------------------------
+# pass 04 — materialize CPG-shaped nodes + edges
 # ---------------------------------------------------------------------------
 
 
@@ -616,6 +698,22 @@ def run_materialize(ctx: PassContext) -> dict:
         entity_nodes_of_bucket,
     )
 
+    # --- DOMINATE / POST_DOMINATE / CDG edges from the dominators pass ----
+    dom = ctx.read("dominators", "dom")
+    _dom_label = {"dom": schema.DOMINATE, "pdom": schema.POST_DOMINATE, "cdg": schema.CDG}
+
+    def dom_edges(t: pd.DataFrame) -> pd.DataFrame:
+        n = len(t)
+        src_tk = _turn_key(t["conv_id"], t["a"])
+        dst_tk = _turn_key(t["conv_id"], t["b"])
+        return _edges_frame(
+            n,
+            src=ids.hash_series([pd.Series(["TURN"] * n), src_tk]),
+            dst=ids.hash_series([pd.Series(["TURN"] * n), dst_tk]),
+            label=t["kind"].map(_dom_label).to_numpy(),
+            overlay="dominators",
+        )
+
     # --- REACHES edges from the reaching overlay (side-written by link) ---
     reaching = ctx.read("link", "reaching")
 
@@ -691,6 +789,7 @@ def run_materialize(ctx: PassContext) -> dict:
         .union(mlinks.map_batches(mention_edges, batch_format="pandas"))
         .union(triples.map_batches(fact_edges, batch_format="pandas"))
         .union(reaching.map_batches(reaches_edges, batch_format="pandas"))
+        .union(dom.map_batches(dom_edges, batch_format="pandas"))
         .map_batches(to_edges_arrow, batch_format="pandas")
     )
 
@@ -703,11 +802,18 @@ def run_materialize(ctx: PassContext) -> dict:
 
 
 def run_validate(ctx: PassContext) -> dict:
-    from ..stages.validate import validate_graph
+    from ..stages import validate as v
 
     nodes = ctx.read("materialize", "nodes")
     edges = ctx.read("materialize", "edges")
-    return {"violations": validate_graph(nodes, edges, num_partitions=_p(ctx, "num_partitions"))}
+    budget = _p(ctx, "validate_broadcast_max_rows") or v.BROADCAST_MAX_ROWS
+    return {
+        "violations": v.validate_graph(
+            nodes, edges,
+            num_partitions=_p(ctx, "num_partitions"),
+            broadcast_max_rows=budget,
+        )
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -718,7 +824,8 @@ PASSES = [
     Pass("base", run_base),
     Pass("entities", run_entities, depends_on=("base",)),
     Pass("link", run_link, depends_on=("base", "entities")),
-    Pass("materialize", run_materialize, depends_on=("entities", "link")),
+    Pass("dominators", run_dominators),
+    Pass("materialize", run_materialize, depends_on=("entities", "link", "dominators")),
     Pass("validate", run_validate, depends_on=("materialize",)),
 ]
 

@@ -157,48 +157,81 @@ class PipelineRunner:
             missing = [d for d in p.depends_on if d not in applied]
             if missing:
                 raise RuntimeError(f"pass {p.name} missing deps {missing}")
-            if os.path.exists(pdir):
-                shutil.rmtree(pdir)  # partial output from a crashed run
-            t0 = time.perf_counter()
-            self.ctx._side_root = pdir  # passes may side-write extra tables
-            deltas = p.run(self.ctx)
-            metrics: dict = {"tables": {}}
-            for tname, data in deltas.items():
-                tdir = os.path.join(pdir, tname)
-                if callable(data):
-                    # deferred delta: computed AFTER earlier tables of this
-                    # pass are on disk, so it can read them back instead of
-                    # re-executing their lineage
-                    data = data(self.ctx)
-                _write_delta(data, tdir)
-                metrics["tables"][tname] = {
-                    "files": _file_metrics(tdir),
-                    "rows": sum(m["rows"] for m in _file_metrics(tdir)),
-                }
-                self.ctx._dirs[f"{p.name}/{tname}"] = tdir
-            # side-written tables: a fused stage may emit a SECOND delta from
-            # inside its shuffle (one execution, two outputs — e.g. the link
-            # pass's spo-bucketed triples dedup side-writes the conv-bucketed
-            # reaching pairs). Register + meter any table dir the pass wrote
-            # directly under its numbered directory.
-            if os.path.isdir(pdir):
-                for tname in sorted(os.listdir(pdir)):
-                    tdir = os.path.join(pdir, tname)
-                    if os.path.isdir(tdir) and tname not in metrics["tables"]:
-                        metrics["tables"][tname] = {
-                            "files": _file_metrics(tdir),
-                            "rows": sum(m["rows"] for m in _file_metrics(tdir)),
-                        }
-                        self.ctx._dirs[f"{p.name}/{tname}"] = tdir
-            metrics["wall_sec"] = round(time.perf_counter() - t0, 4)
-            os.makedirs(pdir, exist_ok=True)
-            with open(os.path.join(pdir, SUCCESS), "w") as f:
-                f.write("ok\n")
-            led["applied"].append(p.name)
-            led["metrics"][p.name] = metrics
+            self._execute(p, pdir, led)
             applied.add(p.name)
-            self._save_ledger(led)
+        # re-register applied EXTRA passes (run_extra) on resume so their
+        # overlay dirs stay visible to GraphView/ctx.read
+        core = {p.name for p in self.passes}
+        for name in led["applied"]:
+            if name not in core:
+                pdir = self._find_pass_dir(name)
+                if pdir and os.path.exists(os.path.join(pdir, SUCCESS)):
+                    self._register_outputs(name, pdir)
         return led
+
+    def run_extra(self, p: Pass) -> dict:
+        """Run an ad-hoc pass APPENDED after the core list — the
+        user-extension surface (`samples/pass/.../SamplePass.scala:1-25`,
+        `LayerCreator.scala:10-47`): numbered after everything applied so
+        far, ledgered, skipped on resume like any core pass. Used by the
+        tagging write-back (traversal.tag_pass)."""
+        led = self.ledger()
+        if p.name in led["applied"]:
+            pdir = self._find_pass_dir(p.name)
+            if pdir and os.path.exists(os.path.join(pdir, SUCCESS)):
+                self._register_outputs(p.name, pdir)
+                return led
+        pdir = self._pass_dir(len(led["applied"]), p.name)
+        self._execute(p, pdir, led)
+        return led
+
+    def _find_pass_dir(self, name: str) -> str | None:
+        import glob as _glob
+
+        hits = _glob.glob(os.path.join(self.out_dir, f"[0-9][0-9]_{name}"))
+        return hits[0] if hits else None
+
+    def _execute(self, p: Pass, pdir: str, led: dict) -> None:
+        if os.path.exists(pdir):
+            shutil.rmtree(pdir)  # partial output from a crashed run
+        t0 = time.perf_counter()
+        self.ctx._side_root = pdir  # passes may side-write extra tables
+        deltas = p.run(self.ctx)
+        metrics: dict = {"tables": {}}
+        for tname, data in deltas.items():
+            tdir = os.path.join(pdir, tname)
+            if callable(data):
+                # deferred delta: computed AFTER earlier tables of this
+                # pass are on disk, so it can read them back instead of
+                # re-executing their lineage
+                data = data(self.ctx)
+            _write_delta(data, tdir)
+            metrics["tables"][tname] = {
+                "files": _file_metrics(tdir),
+                "rows": sum(m["rows"] for m in _file_metrics(tdir)),
+            }
+            self.ctx._dirs[f"{p.name}/{tname}"] = tdir
+        # side-written tables: a fused stage may emit a SECOND delta from
+        # inside its shuffle (one execution, two outputs — e.g. the link
+        # pass's spo-bucketed triples dedup side-writes the conv-bucketed
+        # reaching pairs). Register + meter any table dir the pass wrote
+        # directly under its numbered directory.
+        if os.path.isdir(pdir):
+            for tname in sorted(os.listdir(pdir)):
+                tdir = os.path.join(pdir, tname)
+                if os.path.isdir(tdir) and tname not in metrics["tables"]:
+                    metrics["tables"][tname] = {
+                        "files": _file_metrics(tdir),
+                        "rows": sum(m["rows"] for m in _file_metrics(tdir)),
+                    }
+                    self.ctx._dirs[f"{p.name}/{tname}"] = tdir
+        metrics["wall_sec"] = round(time.perf_counter() - t0, 4)
+        os.makedirs(pdir, exist_ok=True)
+        with open(os.path.join(pdir, SUCCESS), "w") as f:
+            f.write("ok\n")
+        led["applied"].append(p.name)
+        led["metrics"][p.name] = metrics
+        self._save_ledger(led)
 
     def _register_outputs(self, pass_name: str, pdir: str) -> None:
         for tname in sorted(os.listdir(pdir)):
@@ -215,9 +248,8 @@ class PipelineRunner:
             return
         pos = led["applied"].index(name)
         for later in led["applied"][pos:]:
-            idx = [p.name for p in self.passes].index(later)
-            pdir = self._pass_dir(idx, later)
-            if os.path.exists(pdir):
+            pdir = self._find_pass_dir(later)
+            if pdir and os.path.exists(pdir):
                 shutil.rmtree(pdir)
             led["metrics"].pop(later, None)
             # purge stale dir registrations: a later ctx.read() must get the

@@ -241,6 +241,63 @@ def reaching_mentions_pairs(sf_dir: str):
     return kg_runner(sf_dir).ctx.read("link", "reaching")
 
 
+def dominators(sf_dir: str):
+    """(conv_id, turn_idx, idom_turn_idx) — immediate dominators of every
+    non-entry turn over the conversation reply graph (CfgDominatorPass
+    analog, `CfgDominatorPass.scala:15-60`). The SQL oracle uses the
+    interval-DAG closed form (m dom n ⟺ no edge spans m below n); the Ray
+    side runs Cooper-Harvey-Kennedy per conversation — agreement IS the
+    algorithm check."""
+    r = kg_runner(sf_dir)
+    ds = r.ctx.read("dominators", "dom")
+    return ds.map_batches(
+        lambda t: t.loc[t["kind"] == "dom", ["conv_id", "b", "a"]].rename(
+            columns={"b": "turn_idx", "a": "idom_turn_idx"}
+        ),
+        batch_format="pandas",
+    )
+
+
+def cdg_pairs(sf_dir: str):
+    """(conv_id, controller, dependent) — control-dependence edges over the
+    conversation reply graph (CdgPass analog via dominance frontier of the
+    reverse graph, `CdgPass.scala:17-54`, `CfgDominatorFrontier.scala:14-38`).
+    SQL oracle: Ferrante's definition with the interval-DAG span predicate."""
+    r = kg_runner(sf_dir)
+    ds = r.ctx.read("dominators", "dom")
+    return ds.map_batches(
+        lambda t: t.loc[t["kind"] == "cdg", ["conv_id", "a", "b"]].rename(
+            columns={"a": "controller", "b": "dependent"}
+        ),
+        batch_format="pandas",
+    )
+
+
+def reaches_closure(sf_dir: str):
+    """(turn_idx) — turns reachable within 3 REACHES hops of the earliest
+    reaching source turn of conv-0000000, via the traversal DSL's bounded
+    repeat-out over the REACHES overlay — the `.reachableBy` equivalent
+    (`dataflowengineoss/.../queryengine/Engine.scala:16-127`; the survey's
+    stated closure-over-REACHING_DEF mapping). Oracle: recursive CTE over
+    the same reaching pairs."""
+    from ..traversal import GraphView
+
+    r = kg_runner(sf_dir)
+    pairs = r.ctx.read_table("link", "reaching", columns=["conv_id", "src_turn_idx"])
+    conv = "conv-0000000"
+    mask = pairs.to_pandas()
+    mine = mask[mask["conv_id"] == conv]
+    if mine.empty:
+        return pd.DataFrame({"turn_idx": pd.Series(dtype="int32")})
+    seed = int(mine["src_turn_idx"].min())
+    g = GraphView.from_runner(r)
+    start = g.turns().has(conv_id=conv, turn_idx=seed)
+    closure = start.repeat_out("REACHES", max_depth=3, emit=True)
+    out = closure.to_pandas()[["turn_idx"]].drop_duplicates()
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out.sort_values("turn_idx", ignore_index=True)
+
+
 def fact_closure(sf_dir: str):
     """(full_name) — entities reachable within 3 FACT hops of the
     lexicographically-first fact subject, via the traversal DSL's

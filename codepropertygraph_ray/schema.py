@@ -44,7 +44,21 @@ REACHES = "REACHES"  # TURN→TURN with `variable`=mention key — the
 #   REACHING_DEF-with-VARIABLE dataflow overlay (enhancements.json:256,
 #   ReachingDefPass.scala:27-103), see stages/reaching.py
 
-EDGE_LABELS = [AST, NEXT_TURN, REF, USES_TOOL, SPOKEN_BY, CONTAINS, FACT, REACHES]
+DOMINATE = "DOMINATE"  # TURN→TURN immediate-dominator edge over the
+#   conversation reply graph (CfgDominatorPass.scala:15-60 analog,
+#   enhancements-internal.json:645)
+POST_DOMINATE = "POST_DOMINATE"  # reverse-graph dominators (same pass)
+CDG = "CDG"  # TURN→TURN control-dependence (CdgPass.scala:17-54 analog)
+
+TAGGED_BY = "TAGGED_BY"  # node→TAG write-back (NodeSteps.scala:99-110)
+TAG = "TAG"  # tag node label (enhancements.json TAG node analog)
+
+NODE_LABELS = NODE_LABELS + [TAG]
+
+EDGE_LABELS = [
+    AST, NEXT_TURN, REF, USES_TOOL, SPOKEN_BY, CONTAINS, FACT, REACHES,
+    DOMINATE, POST_DOMINATE, CDG, TAGGED_BY,
+]
 
 # Allowed (src_label, edge_label, dst_label) combos — the "outEdges" facts.
 EDGE_FACTS: list[tuple[str, str, str]] = [
@@ -57,7 +71,10 @@ EDGE_FACTS: list[tuple[str, str, str]] = [
     (CONVERSATION, CONTAINS, MENTION),
     (ENTITY, FACT, ENTITY),
     (TURN, REACHES, TURN),
-]
+    (TURN, DOMINATE, TURN),
+    (TURN, POST_DOMINATE, TURN),
+    (TURN, CDG, TURN),
+] + [(lbl, TAGGED_BY, TAG) for lbl in (CONVERSATION, TURN, MENTION, ENTITY)]
 
 # Out-degree cardinality facts per (src_label, edge_label):
 #   (min_out, max_out) with None = unbounded — the "0-1:n" style facts
@@ -72,6 +89,9 @@ OUT_DEGREE_FACTS: dict[tuple[str, str], tuple[int, int | None]] = {
     (CONVERSATION, CONTAINS): (0, None),
     (ENTITY, FACT): (0, None),
     (TURN, REACHES): (0, None),  # one per distinct key mentioned in the turn
+    (TURN, DOMINATE): (0, None),  # idom tree fan-out unbounded
+    (TURN, POST_DOMINATE): (0, None),
+    (TURN, CDG): (0, None),
 }
 
 # ---------------------------------------------------------------------------

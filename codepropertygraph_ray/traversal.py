@@ -24,28 +24,57 @@ from . import schema
 
 
 class GraphView:
-    """Handle on the materialized nodes/edges parquet dirs."""
+    """Handle on the materialized nodes/edges parquet dirs.
 
-    def __init__(self, nodes_dir: str, edges_dir: str):
-        self.nodes_dir = nodes_dir
-        self.edges_dir = edges_dir
+    Accepts one dir or a LIST of overlay dirs per table: later overlays
+    (e.g. tag passes) union onto the base graph in numeric-prefix order —
+    the overlay-loader semantics of `ProtoCpgLoader.scala:57-75` /
+    `CpgOverlayLoader.scala:23-45`."""
+
+    def __init__(self, nodes_dir, edges_dir):
+        self.nodes_dirs = [nodes_dir] if isinstance(nodes_dir, str) else list(nodes_dir)
+        self.edges_dirs = [edges_dir] if isinstance(edges_dir, str) else list(edges_dir)
 
     @classmethod
     def from_runner(cls, runner) -> "GraphView":
-        return cls(
-            runner.ctx.delta_dir("materialize", "nodes"),
-            runner.ctx.delta_dir("materialize", "edges"),
-        )
+        nd, ed = [], []
+        # sorted by directory path = numeric overlay order
+        for key, d in sorted(runner.ctx._dirs.items(), key=lambda kv: kv[1]):
+            table = key.split("/", 1)[1]
+            if table == "nodes":
+                nd.append(d)
+            elif table == "edges":
+                ed.append(d)
+        return cls(nd, ed)
+
+    @staticmethod
+    def _expand(dirs) -> list[str]:
+        # read_parquet takes a LIST of file paths (dirs only as a scalar)
+        import os
+
+        files = []
+        for d in dirs:
+            if os.path.isdir(d):
+                files.extend(
+                    sorted(
+                        os.path.join(d, f)
+                        for f in os.listdir(d)
+                        if f.endswith(".parquet")
+                    )
+                )
+            else:
+                files.append(d)
+        return files
 
     def _nodes(self, columns=None):
         import ray.data
 
-        return ray.data.read_parquet(self.nodes_dir, columns=columns)
+        return ray.data.read_parquet(self._expand(self.nodes_dirs), columns=columns)
 
     def _edges(self, columns=None):
         import ray.data
 
-        return ray.data.read_parquet(self.edges_dir, columns=columns)
+        return ray.data.read_parquet(self._expand(self.edges_dirs), columns=columns)
 
     # --- starters (NodeTypeStarters analog) ------------------------------
     def all(self) -> "Traversal":
@@ -154,6 +183,79 @@ class Traversal:
     def in_(self, edge_label: str) -> "Traversal":
         return self.view.id(*self._hop(edge_label, forward=False))
 
+    def _label_filter(self, label: str) -> "Traversal":
+        return self.filter_batches(lambda t, lb=label: t[t["label"] == lb])
+
+    # --- typed structure steps (NodeTypeStarters.scala:10-315 /
+    # Method.scala:19-157 / Call.scala:15-61 analogs, transcript domain) --
+    def turns(self) -> "Traversal":
+        """CONVERSATION → its TURN children (`.astChildren` typed)."""
+        return self.out(schema.AST)._label_filter(schema.TURN)
+
+    def conversation(self) -> "Traversal":
+        """TURN → owning CONVERSATION (`.astParent` typed)."""
+        return self.in_(schema.AST)._label_filter(schema.CONVERSATION)
+
+    def mentions(self) -> "Traversal":
+        """TURN → its MENTION children (CALL-site step analog)."""
+        return self.out(schema.AST)._label_filter(schema.MENTION)
+
+    def turn(self) -> "Traversal":
+        """MENTION → containing TURN."""
+        return self.in_(schema.AST)._label_filter(schema.TURN)
+
+    def entity(self) -> "Traversal":
+        """MENTION → linked canonical ENTITY (`Call.scala:15-61` `.method`
+        resolution analog via the REF edge)."""
+        return self.out(schema.REF)
+
+    def refs(self) -> "Traversal":
+        """ENTITY → its MENTIONs (`.callIn` analog)."""
+        return self.in_(schema.REF)
+
+    def facts(self) -> "Traversal":
+        """ENTITY → entities it states facts about (callee step analog)."""
+        return self.out(schema.FACT)
+
+    def fact_sources(self) -> "Traversal":
+        """ENTITY → entities stating facts about it (caller analog)."""
+        return self.in_(schema.FACT)
+
+    def next_turn(self) -> "Traversal":
+        """TURN → successor turn (`.cfgNext`)."""
+        return self.out(schema.NEXT_TURN)
+
+    def prev_turn(self) -> "Traversal":
+        """TURN → predecessor turn (`.cfgPrev`)."""
+        return self.in_(schema.NEXT_TURN)
+
+    def speaker(self) -> "Traversal":
+        return self.out(schema.SPOKEN_BY)
+
+    def tool(self) -> "Traversal":
+        return self.out(schema.USES_TOOL)
+
+    def dominates(self) -> "Traversal":
+        """TURN → turns it immediately dominates (`.dominates` step,
+        CfgNodeMethods.scala:1-103 analog over the DOMINATE overlay)."""
+        return self.out(schema.DOMINATE)
+
+    def post_dominates(self) -> "Traversal":
+        return self.out(schema.POST_DOMINATE)
+
+    def controls(self) -> "Traversal":
+        """TURN → turns control-dependent on it (`.controls` over CDG)."""
+        return self.out(schema.CDG)
+
+    def order(self, n: int) -> "Traversal":
+        """Filter by the ORDER property (`.order`/`.argument(i)` analog —
+        order is data, never block position)."""
+        return self.filter_batches(lambda t, n=n: t[t["order"] == n])
+
+    def tags(self) -> "Traversal":
+        """node → its TAG nodes (Tag.scala analog)."""
+        return self.out(schema.TAGGED_BY)
+
     def repeat_out(self, edge_label: str, max_depth: int = 100, emit: bool = False) -> "Traversal":
         """Transitive out-expansion to fixpoint with visited-set dedup and
         the reference's depth cap (``repeat(...).dedup.emit`` +
@@ -173,6 +275,15 @@ class Traversal:
     def to_pandas(self) -> pd.DataFrame:
         return self.ds.to_pandas().sort_values("id", ignore_index=True)
 
+    def new_tag_node(self, runner, name: str) -> None:
+        """Tagging WRITE-BACK: persist this traversal's node set as a TAG
+        overlay — `.newTagNode` (`semanticcpg/.../language/NodeSteps.scala:
+        99-110`, `Tag.scala:1-78`). Appends a numbered pass dir holding one
+        TAG node + a TAGGED_BY edge per tagged node; ledgered + resumable
+        like any overlay (LayerCreator semantics). Re-open the graph with
+        ``GraphView.from_runner`` to traverse `.tags()`."""
+        tag_pass(runner, self, name)
+
     def to_list(self) -> list[dict]:
         return self.to_pandas().to_dict("records")
 
@@ -181,3 +292,35 @@ class Traversal:
 
     def count(self) -> int:
         return self.ds.count()
+
+
+def tag_pass(runner, traversal: "Traversal", name: str) -> None:
+    """Write a traversal result as a ``tag_<name>`` delta overlay pass."""
+    import numpy as np
+    import pyarrow as pa
+
+    from . import ids
+    from .pipelines.kg import _edges_frame, _nodes_frame
+    from .pipelines.passes import Pass
+
+    tagged = traversal.to_pandas()[["id", "label"]]
+
+    def run(ctx):
+        tag_id = ids.node_id_scalar(schema.TAG, name)
+        nodes = _nodes_frame(
+            1, id=[tag_id], label=schema.TAG, name=name, full_name=name,
+            overlay=f"tag_{name}",
+        )
+        edges = _edges_frame(
+            len(tagged),
+            src=tagged["id"].to_numpy(np.int64),
+            dst=np.full(len(tagged), tag_id, dtype=np.int64),
+            label=schema.TAGGED_BY,
+            overlay=f"tag_{name}",
+        )
+        return {
+            "nodes": pa.Table.from_pandas(nodes, schema=schema.NODES_SCHEMA, preserve_index=False),
+            "edges": pa.Table.from_pandas(edges, schema=schema.EDGES_SCHEMA, preserve_index=False),
+        }
+
+    runner.run_extra(Pass(f"tag_{name}", run))

@@ -70,6 +70,92 @@ def test_transitive_closure_depth_cap():
     assert out_full[0] == set(range(1, 11))
 
 
+# ---------------------------------------------------------------------------
+# interval-DAG (conversation reply graph) equivalences: CHK algorithm vs
+# brute-force path dominance vs the closed form the SQL oracle uses
+# ---------------------------------------------------------------------------
+
+
+def _reachable(succ, start, removed=None):
+    seen, stack = set(), [start]
+    while stack:
+        n = stack.pop()
+        if n in seen or n == removed:
+            continue
+        seen.add(n)
+        stack.extend(succ.get(n, ()))
+    return seen
+
+
+def _brute_dominators(edges, entry, nodes):
+    """m dom n ⟺ removing m disconnects n from entry."""
+    succ: dict = {}
+    for s, d in edges:
+        succ.setdefault(s, []).append(d)
+    doms = {}
+    for n in nodes:
+        if n == entry:
+            continue
+        doms[n] = {
+            m for m in nodes
+            if m != n and n not in _reachable(succ, entry, removed=m)
+        } | {entry, n} - {n}
+    return doms
+
+
+def _random_interval_dag(rng, n):
+    """Chain 0..n-1 plus random forward skip edges — the reply-graph family."""
+    edges = [(i, i + 1) for i in range(n - 1)]
+    for _ in range(rng.randint(0, n)):
+        a = rng.randrange(0, n - 2)
+        b = rng.randrange(a + 2, n)
+        edges.append((a, b))
+    return sorted(set(edges))
+
+
+def test_interval_dag_idom_matches_bruteforce_and_closed_form():
+    import random
+
+    rng = random.Random(7)
+    for _ in range(25):
+        n = rng.randint(3, 14)
+        edges = _random_interval_dag(rng, n)
+        nodes = list(range(n))
+        idom = immediate_dominators(edges, 0)
+        brute = _brute_dominators(edges, 0, nodes)
+        skips = [(a, b) for a, b in edges if b > a + 1]
+        for v in range(1, n):
+            # closed form: m dom v ⟺ m < v and no skip (a,b): a < m < b ≤ v
+            closed = {
+                m for m in range(v)
+                if not any(a < m < b <= v for a, b in skips)
+            }
+            assert brute[v] == closed, (edges, v)
+            assert idom[v] == max(closed), (edges, v)
+
+
+def test_interval_dag_cdg_matches_ferrante_closed_form():
+    import random
+
+    rng = random.Random(13)
+    for _ in range(25):
+        n = rng.randint(3, 14)
+        edges = _random_interval_dag(rng, n)
+        skips = [(a, b) for a, b in edges if b > a + 1]
+
+        def pdom(d, s):
+            # d post-dominates s ⟺ d ≥ s and no skip (a,b): a ≥ s, a < d < b
+            return d >= s and not any(a >= s and a < d < b for a, b in skips)
+
+        want = set()
+        for c, s in edges:
+            for d in range(n):
+                if pdom(d, s) and not (d != c and pdom(d, c)) and d != c:
+                    want.add((c, d))
+        got = set(control_dependence(edges, n - 1))
+        assert got == want, (edges, got ^ want)
+
+
 def test_reaching_pairs_truth_table():
     g = pd.DataFrame(
         {
@@ -175,3 +261,117 @@ def test_multimodal_decode_stub(ray_session):
     strict = MediaDecoder(strict=True)
     with pytest.raises(NotImplementedError):
         strict(pa.table({"media_id": [1], "kind": ["image"], "payload": [b"x"]}))
+
+
+# ---------------------------------------------------------------------------
+# typed traversal steps, tagging write-back, sharded validator
+# ---------------------------------------------------------------------------
+
+
+def test_typed_traversal_steps(kg_run, oracle_result):
+    from codepropertygraph_ray.traversal import GraphView
+
+    g = GraphView.from_runner(kg_run)
+    conv = g.conversations().name_exact("conv-0000000")
+    assert conv.count() == 1
+    turns = conv.turns()
+    assert turns.count() == 500  # the long-conversation skew fixture
+    # cfgNext analog: turn 1 → turn 2
+    t1 = g.turns().has(conv_id="conv-0000000", turn_idx=1)
+    nxt = t1.next_turn().to_pandas()
+    assert list(nxt["turn_idx"]) == [2]
+    assert list(t1.prev_turn().to_pandas()["turn_idx"]) == [0]
+    # mention → entity → refs round trip on a turn known to mention
+    conv_id, turn_idx = oracle_result.mentions[0][0], oracle_result.mentions[0][1]
+    t = g.turns().has(conv_id=conv_id, turn_idx=turn_idx)
+    ments = t.mentions()
+    assert ments.count() >= 1
+    ents = ments.entity().to_pandas()
+    assert set(ents["label"]) == {"ENTITY"}
+    back = ments.entity().refs()
+    assert back.count() >= ments.count()  # entity may have other mentions
+    # speaker step
+    assert set(t.speaker().to_pandas()["label"]) == {"SPEAKER"}
+    # dominator steps exist over the DOMINATE overlay
+    d = g.turns().has(conv_id=conv_id, turn_idx=0).dominates()
+    assert d.count() >= 1
+
+
+def test_tag_write_back_and_resume(kg_run):
+    from codepropertygraph_ray import schema
+    from codepropertygraph_ray.traversal import GraphView
+
+    g = GraphView.from_runner(kg_run)
+    ext = g.entities().external(True)
+    n = ext.count()
+    assert n > 0
+    ext.new_tag_node(kg_run, "external-entities")
+    g2 = GraphView.from_runner(kg_run)
+    tags = g2.label(schema.TAG).to_pandas()
+    assert list(tags["name"]) == ["external-entities"]
+    tagged = g2.entities().external(True).tags().to_pandas()
+    assert list(tagged["name"]) == ["external-entities"]
+    # idempotent on re-run (ledger skip)
+    ext.new_tag_node(kg_run, "external-entities")
+    assert GraphView.from_runner(kg_run).label(schema.TAG).count() == 1
+    # survives a fresh runner over the same out dir (resume semantics)
+    from codepropertygraph_ray.pipelines.kg import build_kg
+
+    r2 = build_kg("/root/testdata/sf0.001", kg_run.out_dir)
+    g3 = GraphView.from_runner(r2)
+    assert g3.label(schema.TAG).count() == 1
+
+
+def test_validator_sharded_matches_broadcast(kg_run):
+    from codepropertygraph_ray.stages.validate import validate_graph
+
+    nodes = kg_run.ctx.read("materialize", "nodes")
+    edges = kg_run.ctx.read("materialize", "edges")
+    out = validate_graph(nodes, edges, num_partitions=8,
+                         broadcast_max_rows=1).to_pandas()  # force sharded
+    assert len(out) == 0, out.to_dict()
+
+
+def test_validator_sharded_detects_violations(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from codepropertygraph_ray import schema
+    from codepropertygraph_ray.stages.validate import validate_graph
+
+    def nodes_tbl(rows):
+        df = pd.DataFrame(
+            rows, columns=["id", "label", "name", "full_name", "code", "order",
+                           "conv_id", "turn_idx", "is_external", "overlay"]
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, schema=schema.NODES_SCHEMA, preserve_index=False)
+        )
+
+    def edges_tbl(rows):
+        df = pd.DataFrame(
+            rows, columns=["src", "dst", "label", "variable", "order", "overlay"]
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, schema=schema.EDGES_SCHEMA, preserve_index=False)
+        )
+
+    N = lambda i, lbl: (i, lbl, None, None, None, None, None, None, None, "t")
+    nodes = nodes_tbl([
+        N(1, "META_DATA"), N(2, "TURN"), N(3, "TURN"),
+        N(3, "TURN"),                       # duplicate id
+        N(4, "MENTION"),                    # mention without REF edge
+    ])
+    edges = edges_tbl([
+        (2, 3, "NEXT_TURN", None, None, "t"),
+        (2, 2, "NEXT_TURN", None, None, "t"),   # out-degree 2 > max 1
+        (4, 2, "NEXT_TURN", None, None, "t"),   # MENTION-NEXT_TURN->TURN illegal
+        (2, 999, "AST", None, None, "t"),       # dangling dst
+        # mention 4 has NO REF edge → mention_ref_count (refs=0, mentions=1)
+    ])
+    for budget in (0, 10**9):  # sharded and broadcast agree on check set
+        out = validate_graph(nodes, edges, num_partitions=4,
+                             broadcast_max_rows=budget).to_pandas()
+        checks = set(out["check"])
+        assert {"duplicate_node_id", "out_degree_exceeded", "edge_fact",
+                "dangling_edge", "mention_ref_count"} <= checks, (budget, out)

@@ -96,7 +96,10 @@ def test_validator_zero_violations(kg_run):
 
 def test_ledger_metrics_and_resume(kg_run):
     led = kg_run.ledger()
-    assert led["applied"] == [p.name for p in kg_run.passes]
+    core = [p.name for p in kg_run.passes]
+    # extra passes (e.g. tag write-backs from other tests) may follow, but
+    # the core list must be applied completely and in order
+    assert [n for n in led["applied"] if n in set(core)] == core
     for name in led["applied"]:
         m = led["metrics"][name]
         assert m["wall_sec"] > 0
