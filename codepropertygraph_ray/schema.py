@@ -95,6 +95,33 @@ OUT_DEGREE_FACTS: dict[tuple[str, str], tuple[int, int | None]] = {
 }
 
 # ---------------------------------------------------------------------------
+# User schema extension (samples/customcpg/schemas/myschema.json analog:
+# the reference merges user JSON schemas over the base at build time)
+# ---------------------------------------------------------------------------
+
+
+def register_extension(node_labels=(), edge_facts=(), out_degree=None) -> None:
+    """Merge user-supplied node labels, (src, edge, dst) facts and
+    out-degree bounds into the active schema — the rebuild of the
+    reference's layered user-schema merge (`samples/customcpg/README.md`).
+
+    Driver-side registration is sufficient: the builder and validator
+    capture the merged fact lists on the driver and ship them to workers
+    via closures/broadcast (worker processes never consult this module's
+    globals for schema facts)."""
+    for nl in node_labels:
+        if nl not in NODE_LABELS:
+            NODE_LABELS.append(nl)
+    for s, e, d in edge_facts:
+        if e not in EDGE_LABELS:
+            EDGE_LABELS.append(e)
+        if (s, e, d) not in EDGE_FACTS:
+            EDGE_FACTS.append((s, e, d))
+    if out_degree:
+        OUT_DEGREE_FACTS.update(out_degree)
+
+
+# ---------------------------------------------------------------------------
 # Table schemas (the Arrow transposition of the property model, SURVEY.md §1.6)
 # ---------------------------------------------------------------------------
 

@@ -187,6 +187,9 @@ def ensure_transcripts(sf_dir: str, force: bool = False) -> str:
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     table = generate_table(sf_of_dir(sf_dir))
+    # strip the pandas schema metadata: Ray's schema dedup can't hash dict
+    # metadata and logs a warning per read task
+    table = table.replace_schema_metadata(None)
     tmp = path + f".tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     n = table.num_rows

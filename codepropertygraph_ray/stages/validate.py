@@ -88,6 +88,7 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
 
 def _validate_broadcast(nodes, edges) -> pa.Table:
     label_names, code_of_label = _label_codes()
+    edge_labels = list(schema.EDGE_LABELS)  # captured: includes extensions
 
     def node_dim_batch(t: pd.DataFrame) -> pd.DataFrame:
         code = t["label"].map(code_of_label).fillna(-1).astype("int16")
@@ -194,7 +195,7 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
         if bad:
             viols.append(_viol("edge_fact", bad))
         viols.append(_viol("_ref_partial", [str(int((t["label"] == schema.REF).sum()))]))
-        lcode = pd.Categorical(t["label"], categories=schema.EDGE_LABELS).codes
+        lcode = pd.Categorical(t["label"], categories=edge_labels).codes
         deg = (
             pd.DataFrame({"src": t["src"].to_numpy(np.int64), "lcode": lcode})
             .groupby(["src", "lcode"], as_index=False, observed=True)
@@ -223,7 +224,7 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
                     _viol(
                         "out_degree_exceeded",
                         [
-                            f"{s}:{schema.EDGE_LABELS[l]}={n}"
+                            f"{s}:{edge_labels[l]}={n}"
                             for s, l, n in zip(src_l, sel["lcode"], sel["n"])
                         ],
                     )
@@ -273,6 +274,7 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
     from ..functions.agg import hash_groupby
 
     label_names, code_of_label = _label_codes()
+    edge_labels = list(schema.EDGE_LABELS)  # captured: includes extensions
     allowed_codes = frozenset(
         (code_of_label[s], el, code_of_label[d]) for s, el, d in schema.EDGE_FACTS
     )
@@ -317,7 +319,7 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
 
     # ---- edge-side shuffle 1: key = src -------------------------------
     def edge_rows(t: pd.DataFrame) -> pd.DataFrame:
-        lcode = pd.Categorical(t["label"], categories=schema.EDGE_LABELS).codes
+        lcode = pd.Categorical(t["label"], categories=edge_labels).codes
         return pd.DataFrame(
             {"key": t["src"].astype("int64").to_numpy(),
              "other": t["dst"].astype("int64").to_numpy(),
@@ -352,7 +354,7 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
             dang = src_code < 0
             viols = []
             if dang.any():
-                labs = pd.Series([schema.EDGE_LABELS[c] for c in m.loc[dang, "lcode"]])
+                labs = pd.Series([edge_labels[c] for c in m.loc[dang, "lcode"]])
                 viols.append(_viol("dangling_edge", labs.drop_duplicates()))
             # degree bounds: ALL out-edges of every src in this bucket
             deg = m.groupby(["key", "lcode"], as_index=False).size()
@@ -368,7 +370,7 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
                         "out_degree_exceeded",
                         [
                             f"{label_names[int(s)] if s >= 0 else None}:"
-                            f"{schema.EDGE_LABELS[int(l)]}={n}"
+                            f"{edge_labels[int(l)]}={n}"
                             for s, l, n in zip(sc[over], sel["lcode"], sel["size"])
                         ],
                     )
@@ -419,7 +421,7 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
 
     tagged_b = stage_a.union(dim.map_batches(dim_rows_b, batch_format="pandas"))
 
-    ref_code = list(schema.EDGE_LABELS).index(schema.REF)
+    ref_code = edge_labels.index(schema.REF)
 
     def bucket_b(g: pd.DataFrame) -> pd.DataFrame:
         allowed = get_broadcast(allowed_ref)
@@ -432,7 +434,7 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
             dst_code = m["code_n"].fillna(-1).astype(np.int16).to_numpy()
             dang = dst_code < 0
             if dang.any():
-                labs = pd.Series([schema.EDGE_LABELS[c] for c in m.loc[dang, "lcode"]])
+                labs = pd.Series([edge_labels[c] for c in m.loc[dang, "lcode"]])
                 out.append(_viol("dangling_edge", labs.drop_duplicates()))
             ok = (~dang) & (m["src_code"].to_numpy() >= 0)
             combos = pd.DataFrame(
@@ -440,9 +442,9 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
                  "d": dst_code[ok]}
             ).drop_duplicates()
             bad = [
-                f"{label_names[s]}-{schema.EDGE_LABELS[l]}->{label_names[d]}"
+                f"{label_names[s]}-{edge_labels[l]}->{label_names[d]}"
                 for s, l, d in combos.itertuples(index=False)
-                if (s, schema.EDGE_LABELS[l], d) not in allowed
+                if (s, edge_labels[l], d) not in allowed
             ]
             if bad:
                 out.append(_viol("edge_fact", bad))

@@ -375,3 +375,61 @@ def test_validator_sharded_detects_violations(ray_session):
         checks = set(out["check"])
         assert {"duplicate_node_id", "out_degree_exceeded", "edge_fact",
                 "dangling_edge", "mention_ref_count"} <= checks, (budget, out)
+
+
+def test_schema_extension_registration(ray_session):
+    """User schema extension (samples/customcpg analog): registered labels
+    and facts validate cleanly; the same graph FAILS without registration."""
+    import pyarrow as pa
+    import ray.data
+
+    from codepropertygraph_ray import schema
+    from codepropertygraph_ray.stages.validate import validate_graph
+
+    def nodes_tbl(rows):
+        df = pd.DataFrame(
+            rows, columns=["id", "label", "name", "full_name", "code", "order",
+                           "conv_id", "turn_idx", "is_external", "overlay"]
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, schema=schema.NODES_SCHEMA, preserve_index=False)
+        )
+
+    def edges_tbl(rows):
+        df = pd.DataFrame(
+            rows, columns=["src", "dst", "label", "variable", "order", "overlay"]
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, schema=schema.EDGES_SCHEMA, preserve_index=False)
+        )
+
+    nodes = nodes_tbl([
+        (1, "META_DATA", None, None, None, None, None, None, None, "t"),
+        (2, "TURN", None, None, None, None, None, None, None, "t"),
+        (3, "ANNOTATION", "a", None, None, None, None, None, None, "t"),
+    ])
+    edges = edges_tbl([(2, 3, "ANNOTATED_BY", None, None, "t")])
+
+    before = validate_graph(nodes, edges, num_partitions=4).to_pandas()
+    # unknown-label node → code -1, so its incident edge reads as dangling
+    assert "unknown_node_label" in set(before["check"])
+    assert {"edge_fact", "dangling_edge"} & set(before["check"])
+
+    saved = (list(schema.NODE_LABELS), list(schema.EDGE_LABELS),
+             list(schema.EDGE_FACTS), dict(schema.OUT_DEGREE_FACTS))
+    try:
+        schema.register_extension(
+            node_labels=["ANNOTATION"],
+            edge_facts=[("TURN", "ANNOTATED_BY", "ANNOTATION")],
+            out_degree={("TURN", "ANNOTATED_BY"): (0, None)},
+        )
+        for budget in (0, 10**9):  # both validator paths honor extensions
+            out = validate_graph(nodes, edges, num_partitions=4,
+                                 broadcast_max_rows=budget).to_pandas()
+            assert len(out) == 0, (budget, out.to_dict())
+    finally:
+        schema.NODE_LABELS[:] = saved[0]
+        schema.EDGE_LABELS[:] = saved[1]
+        schema.EDGE_FACTS[:] = saved[2]
+        schema.OUT_DEGREE_FACTS.clear()
+        schema.OUT_DEGREE_FACTS.update(saved[3])
