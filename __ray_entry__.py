@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dominators": kgq.dominators,
         "kg_cdg": kgq.cdg_pairs,
         "kg_reaches_closure": kgq.reaches_closure,
+        "kg_member_resolve": kgq.member_resolve,
         "kg_dump_context": kgq.dump_turn_context,
         "kg_dot_export": kgq.dot_export,  # DOT sink — no SQL oracle
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
@@ -312,6 +313,27 @@ def _kg_sql() -> dict[str, str]:
             JOIN mine ON mine.s = rc.turn WHERE rc.depth < 3
           )
           SELECT DISTINCT CAST(turn AS INTEGER) AS turn_idx FROM rc
+        """,
+        # memoized member-chain resolution (MemberAccessLinker analog, O11):
+        # functional min-edge map over strictly-decreasing located_in edges,
+        # walked to the terminal root with the reference's depth cap of 100
+        # (MemberAccessLinker.scala:92-96)
+        "kg_member_resolve": f"""
+          WITH RECURSIVE
+          tri AS (SELECT DISTINCT subj, obj FROM ({triples_all})
+                  WHERE pred = 'located_in' AND obj < subj),
+          f AS (SELECT subj, min(obj) AS nxt FROM tri GROUP BY subj),
+          walk(start, cur, d) AS (
+            SELECT subj, subj, 0 FROM f
+            UNION ALL
+            SELECT walk.start, f.nxt, walk.d + 1
+            FROM walk JOIN f ON f.subj = walk.cur WHERE walk.d < 100
+          )
+          SELECT start AS entity, cur AS root FROM (
+            SELECT start, cur, d,
+                   row_number() OVER (PARTITION BY start ORDER BY d DESC) AS rn
+            FROM walk
+          ) WHERE rn = 1
         """,
         "kg_node_label_counts": f"""
           SELECT 'TURN' AS label, CAST(count(*) AS BIGINT) AS n_nodes FROM {t}

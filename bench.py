@@ -144,6 +144,8 @@ def run_scaling() -> dict:
         "sec_32": t32,
         "triples_per_sec_8": results[8]["triples_per_sec"],
         "triples_per_sec_32": results[32]["triples_per_sec"],
+        "per_pass_8": results[8]["queries"],
+        "per_pass_32": results[32]["queries"],
         "sf": sf_dir,
     }
 

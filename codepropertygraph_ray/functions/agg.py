@@ -28,6 +28,20 @@ from ..ids import hash_series
 DEFAULT_BUCKETS = 64
 
 
+def empty_as_arrow(df: pd.DataFrame):
+    """0-row pandas blocks with string/object columns trip Ray's block-size
+    sampler (`np.vectorize` on size-0 input → a logged warning per block).
+    Convert empty frames to a TYPED arrow table instead: exact size, no
+    sampling, and the schema survives (object columns — strings throughout
+    this engine — are cast to string so they don't infer as arrow null)."""
+    import pyarrow as pa
+
+    obj_cols = {c: "string" for c in df.columns if df[c].dtype == object}
+    if obj_cols:
+        df = df.astype(obj_cols)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def hash_groupby(
     ds,
     keys: list[str] | str,
@@ -54,8 +68,11 @@ def hash_groupby(
         t["_bucket"] = (h % num_buckets).astype("int32")
         return t
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns=["_bucket"]))
+    def per_bucket(g: pd.DataFrame):
+        out = fn(g.drop(columns=["_bucket"]))
+        if isinstance(out, pd.DataFrame) and len(out) == 0:
+            return empty_as_arrow(out)
+        return out
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")

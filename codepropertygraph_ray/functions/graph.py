@@ -130,6 +130,36 @@ def control_dependence(edges: list[tuple], exit_node) -> list[tuple]:
     return sorted(out)
 
 
+def resolve_functional(f: dict, starts, max_depth: int = 100) -> dict:
+    """Memoized resolution over a FUNCTIONAL edge map — the
+    MemberAccessLinker analog (`MemberAccessLinker.scala` resolves nested
+    member-access chains recursively with memoization and a depth cap of
+    100 at lines 92-96): follow ``f`` from each start until the chain ends
+    or the cap is hit; every node on a resolved path is memoized to its
+    root (path compression), so each chain is walked once no matter how
+    many starts share it.
+
+    Callers must hand in an acyclic ``f`` (the KG query restricts to
+    strictly-decreasing ``obj < subj`` edges); with cycles the cap still
+    bounds the walk but memoized roots then depend on visit order."""
+    memo: dict = {}
+
+    def res(x):
+        path = []
+        cur = x
+        for _ in range(max_depth):
+            if cur in memo or cur not in f:
+                break
+            path.append(cur)
+            cur = f[cur]
+        root = memo.get(cur, cur)
+        for p in path:
+            memo[p] = root
+        return root
+
+    return {s: res(s) for s in starts}
+
+
 def transitive_closure(edges: list[tuple], sources, max_depth: int = 100) -> dict:
     """BFS closure {source: set(reachable)} with the reference's depth cap
     (MemberAccessLinker.scala:92-96 caps recursion at 100)."""

@@ -125,14 +125,19 @@ def knn_lsh(sf_dir: str):
         ids = t["vec_id"].to_numpy(np.int64)
         sig = (m @ planes_.T > 0).astype(np.uint8)
         bits = np.packbits(sig, axis=1, bitorder="little")[:, 0]
-        sims = m @ qmat_.T
+        # popcount via an 8-bit table: Hamming distance of every row to
+        # every query signature in one vectorized shot
+        pop = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+        ham = pop[bits[:, None] ^ qbits_[None, :]]  # (batch, n_queries)
         out = []
         for j, qid in enumerate(qids_):
-            ham = np.unpackbits(bits ^ qbits_[j], bitorder="little").reshape(len(bits), -1).sum(axis=1)
-            mask = (ham <= 1) & (ids != qid)
+            mask = (ham[:, j] <= 1) & (ids != qid)
             if not mask.any():
                 continue
-            out.append(pd.DataFrame({"query_id": qid, "neighbor_id": ids[mask], "cos": sims[mask, j]}))
+            # score ONLY the bucket survivors — this is where LSH saves
+            # compute (one matvec over candidates, not a full matmul)
+            cos = m[mask] @ qmat_[j]
+            out.append(pd.DataFrame({"query_id": qid, "neighbor_id": ids[mask], "cos": cos}))
         if not out:
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                                  "neighbor_id": pd.Series([], dtype="int64"),

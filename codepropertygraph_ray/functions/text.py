@@ -155,36 +155,110 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+_FP_BASE = np.uint64(0x100000001B3)  # odd multiplier for the byte-rolling hash
+
+
+def _grouped_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenation of ``arange(s, s+c)`` per (s, c) pair — no Python loop.
+    Precondition: every count > 0 (call sites filter empties first)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = starts.astype(np.int64)
+    counts = counts.astype(np.int64)
+    inc = np.ones(total, dtype=np.int64)
+    first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    inc[first] = starts - np.concatenate(([0], starts[:-1] + counts[:-1] - 1))
+    return np.cumsum(inc)
+
+
 def fingerprint(sf_dir: str):
     """(doc_id, fingerprint, n_selected) — TRUE winnowing fingerprint
     (Schleimer et al., 'Winnowing: Local Algorithms for Document
     Fingerprinting'): the selected k-grams are the DISTINCT minima of every
-    sliding window of ``FP_WINDOW`` consecutive 8-gram hashes, and the
-    fingerprint column is an order-free xor-fold (splitmix64 of each
-    selected hash, xored) of that set — documents sharing long substrings
-    share selected hashes. ``n_selected`` = |selected set| (density ≈
-    2/(w+1) of positions per the paper). Window minima use
-    ``sliding_window_view`` — no per-window Python loop."""
+    sliding window of ``FP_WINDOW`` consecutive byte-8-gram hashes, and the
+    fingerprint column is an order-free xor-fold of that set — documents
+    sharing long substrings share selected hashes. ``n_selected`` =
+    |selected set| (density ≈ 2/(w+1) of positions per the paper).
+
+    Fully batch-vectorized: ONE concatenated UTF-8 buffer per batch, k-gram
+    hashes via 8 shifted multiply-adds (rolling polynomial, splitmix64
+    finalizer — deterministic across runs/parallelism), global
+    ``sliding_window_view`` minima, per-doc segments carved with grouped
+    aranges, distinct-minima + xor-fold via lexsort + ``reduceat``. Docs
+    shorter than one window keep the old semantics (all k-grams selected;
+    < ``FP_KGRAM`` bytes → one whole-text hash)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pandas")
 
-    def fp(t: pd.DataFrame) -> pd.DataFrame:
-        out = np.zeros(len(t), dtype=np.int64)
-        nsel = np.zeros(len(t), dtype=np.int64)
-        for i, text in enumerate(t["text"]):
-            text = text or ""
-            if len(text) < FP_KGRAM:
-                grams = [text]
-            else:
-                grams = [text[j : j + FP_KGRAM] for j in range(len(text) - FP_KGRAM + 1)]
-            hs = hash_series([pd.Series(grams)])
-            if len(hs) >= FP_WINDOW:
-                wins = np.lib.stride_tricks.sliding_window_view(hs, FP_WINDOW)
-                selected = np.unique(wins.min(axis=1))
-            else:
-                selected = np.unique(hs)
-            folded = np.bitwise_xor.reduce(_splitmix64(selected))
-            out[i] = np.int64(folded & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
-            nsel[i] = len(selected)
-        return pd.DataFrame({"doc_id": t["doc_id"], "fingerprint": out, "n_selected": nsel})
 
-    return ds.map_batches(fp, batch_format="pandas")
+def fingerprint_batch(t: pd.DataFrame) -> pd.DataFrame:
+    """The vectorized per-batch body of :func:`fingerprint` (module-level so
+    tests can exercise it without a Ray session)."""
+    K, W = FP_KGRAM, FP_WINDOW
+    enc = [s.encode("utf-8") for s in t["text"].fillna("")]
+    lens = np.fromiter((len(b) for b in enc), np.int64, len(enc))
+    buf = np.frombuffer(b"".join(enc), np.uint8).astype(np.uint64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+
+    # k-gram hashes over the whole buffer (8 vectorized passes)
+    n_pos = max(len(buf) - K + 1, 0)
+    kh_all = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(K):
+        kh_all = kh_all * _FP_BASE + buf[j : j + n_pos]
+    kh_all = _splitmix64(kh_all)
+
+    # carve each doc's valid k-gram run out of the global array
+    g = np.maximum(lens - K + 1, 0)  # k-grams per doc (0 if too short)
+    has = g > 0
+    idx = _grouped_arange(offs[:-1][has], g[has])
+    kh = kh_all[idx]
+    doc_of_kh = np.repeat(np.flatnonzero(has), g[has])
+    kh_starts = np.concatenate(([0], np.cumsum(g[has])))[:-1]
+
+    sel_docs, sel_hashes = [doc_of_kh[:0]], [kh[:0]]
+
+    # docs with a full window: distinct minima of every sliding window
+    counts = g[has]
+    big = counts >= W
+    if big.any() and len(kh) >= W:
+        wins = np.lib.stride_tricks.sliding_window_view(kh, W).min(axis=1)
+        w_counts = counts[big] - W + 1
+        widx = _grouped_arange(kh_starts[big], w_counts)
+        sel_docs.append(np.repeat(np.flatnonzero(has)[big], w_counts))
+        sel_hashes.append(wins[widx])
+
+    # short-window docs (0 < k-grams < W): every k-gram is selected
+    small = ~big
+    if small.any():
+        sidx = _grouped_arange(kh_starts[small], counts[small])
+        sel_docs.append(np.repeat(np.flatnonzero(has)[small], counts[small]))
+        sel_hashes.append(kh[sidx])
+
+    # sub-k-gram docs: one whole-text rolling hash (masked K passes)
+    if (~has).any():
+        so, sl = offs[:-1][~has], lens[~has]
+        sh = np.zeros(len(so), dtype=np.uint64)
+        for j in range(K):
+            m = j < sl
+            sh[m] = sh[m] * _FP_BASE + buf[(so + j)[m]]
+        sel_docs.append(np.flatnonzero(~has))
+        sel_hashes.append(_splitmix64(sh))
+
+    docw = np.concatenate(sel_docs)
+    mins = np.concatenate(sel_hashes)
+    order = np.lexsort((mins, docw))
+    d_s, m_s = docw[order], mins[order]
+    keep = np.ones(len(d_s), dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (m_s[1:] != m_s[:-1])
+    d_u, m_u = d_s[keep], m_s[keep]
+    seg = np.flatnonzero(np.concatenate(([True], d_u[1:] != d_u[:-1])))
+
+    out = np.zeros(len(t), dtype=np.int64)
+    nsel = np.zeros(len(t), dtype=np.int64)
+    if len(d_u):
+        fold = np.bitwise_xor.reduceat(m_u, seg)
+        rows = d_u[seg]
+        out[rows] = (fold & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        nsel[rows] = np.diff(np.concatenate((seg, [len(d_u)])))
+    return pd.DataFrame({"doc_id": t["doc_id"], "fingerprint": out, "n_selected": nsel})

@@ -16,8 +16,12 @@ Re-expresses the reference's layering machinery over parquet delta dirs:
   are recorded in the ledger — the lineage/metrics requirement of the
   north rule (the reference only logs wall clock, `CpgPass.scala:130-139`).
 
-Inverse overlays (`DiffGraphProtoSerializer.scala:65-87`) map to simply
-deleting a pass directory + its ledger entry — see ``undo_pass``.
+Inverse overlays (`DiffGraphProtoSerializer.scala:65-87`): every applied
+pass serializes its inverse diff as DATA at apply time — ``inverse.json``
+in the numbered directory, listing the remove-table operations that revert
+it (all overlays here are additive, so the inverse of "add these tables"
+is "remove these tables"). ``undo_pass`` executes the stored inverse
+rather than guessing.
 """
 
 from __future__ import annotations
@@ -33,6 +37,7 @@ import pyarrow.parquet as pq
 
 LEDGER = "ledger.json"
 SUCCESS = "_SUCCESS"
+INVERSE = "inverse.json"
 
 
 @dataclass
@@ -227,6 +232,19 @@ class PipelineRunner:
                     self.ctx._dirs[f"{p.name}/{tname}"] = tdir
         metrics["wall_sec"] = round(time.perf_counter() - t0, 4)
         os.makedirs(pdir, exist_ok=True)
+        # serialize the INVERSE diff alongside the overlay, the
+        # DiffGraphProtoSerializer.scala:65-87 discipline: applying a pass
+        # also records, as data, exactly how to revert it (all overlays are
+        # additive, so the inverse is an ordered remove-table list)
+        inverse = {
+            "pass": p.name,
+            "inverse": [
+                {"op": "remove_table", "table": t, "rows": m["rows"]}
+                for t, m in sorted(metrics["tables"].items())
+            ],
+        }
+        with open(os.path.join(pdir, INVERSE), "w") as f:
+            json.dump(inverse, f, indent=1, sort_keys=True)
         with open(os.path.join(pdir, SUCCESS), "w") as f:
             f.write("ok\n")
         led["applied"].append(p.name)
@@ -240,17 +258,25 @@ class PipelineRunner:
                 self.ctx._dirs[f"{pass_name}/{tname}"] = tdir
 
     def undo_pass(self, name: str) -> None:
-        """Inverse-overlay semantics: drop the pass's delta dir + ledger row
-        (`CpgOverlayLoader.loadInverse` / `DiffGraph.scala:258-298` analog).
-        Later passes must be undone first (they may depend on it)."""
+        """Inverse-overlay semantics (`CpgOverlayLoader.loadInverse` /
+        `DiffGraph.scala:258-298` analog): apply each pass's SERIALIZED
+        inverse (the ``inverse.json`` written at apply time), newest first.
+        Later passes are undone too (they may depend on this one)."""
         led = self.ledger()
         if name not in led["applied"]:
             return
         pos = led["applied"].index(name)
-        for later in led["applied"][pos:]:
+        for later in reversed(led["applied"][pos:]):
             pdir = self._find_pass_dir(later)
             if pdir and os.path.exists(pdir):
-                shutil.rmtree(pdir)
+                inv_path = os.path.join(pdir, INVERSE)
+                if os.path.exists(inv_path):
+                    with open(inv_path) as f:
+                        for op in json.load(f)["inverse"]:
+                            tdir = os.path.join(pdir, op["table"])
+                            if op["op"] == "remove_table" and os.path.isdir(tdir):
+                                shutil.rmtree(tdir)
+                shutil.rmtree(pdir)  # markers + any table the inverse predates
             led["metrics"].pop(later, None)
             # purge stale dir registrations: a later ctx.read() must get the
             # framework's clear 'no delta written' KeyError, not a dangling

@@ -318,6 +318,47 @@ def fact_closure(sf_dir: str):
     return out
 
 
+def member_resolve(sf_dir: str):
+    """(entity, root) — memoized chain resolution, the MemberAccessLinker
+    analog (O11): each entity with a strictly-decreasing ``located_in``
+    edge (obj < subj keeps the chain acyclic, the `a.b.c` nesting shape)
+    resolves through the functional min-edge map to its terminal root,
+    depth-capped at 100 (`MemberAccessLinker.scala:92-96`).
+
+    Scale shape: the functional edge map is vocab-scale (one row per
+    entity) — broadcast it once (`ray.put` + per-process cache) and run
+    the memoized resolve inside ``map_batches``; the memo dict plays the
+    linker's memoization role, amortizing shared chain suffixes."""
+    import ray
+    import ray.data
+
+    from ..functions.agg import hash_agg
+    from ..functions.graph import resolve_functional
+    from ..functions.joins import get_broadcast
+
+    r = kg_runner(sf_dir)
+    tri = r.ctx.read("link", "triples", columns=["subj", "pred", "obj"])
+    pairs = tri.map_batches(
+        lambda t: t.loc[(t["pred"] == "located_in") & (t["obj"] < t["subj"]),
+                        ["subj", "obj"]],
+        batch_format="pandas",
+    )
+    f_df = hash_agg(pairs, "subj", nxt=("obj", "min")).to_pandas()
+    if f_df.empty:
+        return pd.DataFrame({"entity": pd.Series(dtype="object"),
+                             "root": pd.Series(dtype="object")})
+    ref = ray.put(dict(zip(f_df["subj"], f_df["nxt"])))
+
+    def resolve_batch(t: pd.DataFrame) -> pd.DataFrame:
+        f = get_broadcast(ref)
+        roots = resolve_functional(f, t["entity"].to_numpy())
+        return pd.DataFrame({"entity": t["entity"],
+                             "root": [roots[e] for e in t["entity"]]})
+
+    starts = ray.data.from_pandas(f_df[["subj"]].rename(columns={"subj": "entity"}))
+    return starts.map_batches(resolve_batch, batch_format="pandas")
+
+
 def dump_turn_context(sf_dir: str):
     """(conv_id, turn_idx, role, text) around turn 10 of the first
     conversation — the CodeDumper analog (stages/export.py)."""

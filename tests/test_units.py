@@ -112,8 +112,19 @@ def test_pass_framework_resume_and_undo(tmp_path):
     r2 = PipelineRunner(passes, str(tmp_path), sf_dir="unused")
     r2.run()
     assert calls == ["p0", "p1"]
+    # the inverse diff is serialized as DATA at apply time
+    # (DiffGraphProtoSerializer.scala:65-87 analog)
+    import json as _json
+
+    inv = _json.load(open(tmp_path / "01_p1" / "inverse.json"))
+    assert inv == {"pass": "p1",
+                   "inverse": [{"op": "remove_table", "table": "t", "rows": 2}]}
     # undo p1 → only p1 re-runs (inverse-overlay semantics)
     r2.undo_pass("p1")
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):  # stale registration purged
+        r2.ctx.delta_dir("p1", "t")
     r3 = PipelineRunner(passes, str(tmp_path), sf_dir="unused")
     r3.run()
     assert calls == ["p0", "p1", "p1"]
@@ -219,3 +230,64 @@ def test_pass_framework_recovers_partial_output(tmp_path):
     assert calls == [1, 1]  # re-ran
     assert (tmp_path / "00_p0" / "_SUCCESS").exists()
     assert not (tmp_path / "00_p0" / "t" / "garbage.parquet").exists()
+
+
+def test_grouped_arange():
+    import numpy as np
+
+    from codepropertygraph_ray.functions.text import _grouped_arange
+
+    got = _grouped_arange(np.array([5, 20, 0]), np.array([3, 2, 4]))
+    assert got.tolist() == [5, 6, 7, 20, 21, 0, 1, 2, 3]
+    assert _grouped_arange(np.array([], dtype=np.int64),
+                           np.array([], dtype=np.int64)).tolist() == []
+
+
+def test_fingerprint_batch_matches_per_doc_reference():
+    """The batch-vectorized winnowing body equals a straightforward per-doc
+    implementation (window minima → distinct → xor-fold) on edge cases:
+    empty text, sub-k-gram, sub-window, multibyte UTF-8, long docs."""
+    import numpy as np
+
+    from codepropertygraph_ray.functions.text import (
+        FP_KGRAM, FP_WINDOW, _FP_BASE, _splitmix64, fingerprint_batch)
+
+    def ref_one(text):
+        b = np.frombuffer(text.encode("utf-8"), np.uint8).astype(np.uint64)
+        if len(b) < FP_KGRAM:
+            h = np.uint64(0)
+            for x in b:
+                h = h * _FP_BASE + x
+            sel = np.array([_splitmix64(np.array([h]))[0]], np.uint64)
+        else:
+            khs = []
+            for i in range(len(b) - FP_KGRAM + 1):
+                h = np.uint64(0)
+                for x in b[i:i + FP_KGRAM]:
+                    h = h * _FP_BASE + x
+                khs.append(h)
+            kh = _splitmix64(np.array(khs, np.uint64))
+            if len(kh) >= FP_WINDOW:
+                sel = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(kh, FP_WINDOW).min(axis=1))
+            else:
+                sel = np.unique(kh)
+        folded = np.bitwise_xor.reduce(sel)
+        return np.int64(folded & np.uint64(0x7FFF_FFFF_FFFF_FFFF)), len(sel)
+
+    rng = np.random.default_rng(0)
+    texts = ["", "ab", "abcdefg", "abcdefgh", "abcdefghi",
+             "hello world this is a longer document " * 5,
+             "ünïcode tèxt with mültibyte chars " * 3]
+    texts += ["".join(rng.choice(list("abcde "), int(rng.integers(0, 60))))
+              for _ in range(30)]
+    t = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = fingerprint_batch(t)
+    for i, text in enumerate(texts):
+        f, n = ref_one(text)
+        assert got["fingerprint"][i] == f, (i, text)
+        assert got["n_selected"][i] == n, (i, text)
+    # shared long substrings ⇒ shared selected hashes ⇒ overlap in folds:
+    # identical docs get identical fingerprints
+    dup = fingerprint_batch(pd.DataFrame({"doc_id": [0, 1], "text": [texts[5], texts[5]]}))
+    assert dup["fingerprint"][0] == dup["fingerprint"][1]
