@@ -42,6 +42,14 @@ def empty_as_arrow(df: pd.DataFrame):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def empty_safe(df):
+    """Wrap a ``map_batches`` pandas output: 0-row frames become typed
+    arrow (see :func:`empty_as_arrow`), everything else passes through."""
+    if isinstance(df, pd.DataFrame) and len(df) == 0:
+        return empty_as_arrow(df)
+    return df
+
+
 def hash_groupby(
     ds,
     keys: list[str] | str,

@@ -73,8 +73,11 @@ def _hot_shingles(shingled, max_df: int) -> frozenset:
         "shingle",
         df=("df", "sum"),
     )
+    from .agg import empty_safe
+
     hot = df.map_batches(
-        lambda t, m=max_df: t.loc[t["df"] > m, ["shingle"]], batch_format="pandas"
+        lambda t, m=max_df: empty_safe(t.loc[t["df"] > m, ["shingle"]]),
+        batch_format="pandas",
     ).to_pandas()
     # empty Datasets lose their schema through to_pandas (typed-empty landmine)
     if hot.empty or "shingle" not in hot.columns:

@@ -130,6 +130,116 @@ def control_dependence(edges: list[tuple], exit_node) -> list[tuple]:
     return sorted(out)
 
 
+def conv_dominators_frame(g):
+    """Closed-form dom/pdom/cdg over conversation reply graphs, vectorized
+    across every conversation in ``g`` (columns conv_id, turn_idx, role;
+    any row order) → DataFrame(conv_id, kind∈{dom,pdom,cdg}, a, b).
+
+    The reply graph (``pipelines.kg.conv_graph_edges``) is an interval
+    DAG — NEXT_TURN chain plus skip edges between consecutive user turns
+    — so the CHK fixpoint (`CfgDominator.scala:15-116`) collapses to a
+    closed form (m dom n ⟺ no edge (x,y) with x < m < y ≤ n, and its
+    mirror for post-dominators):
+
+    * idom(n)  = previous user turn if n is a user turn entered by a skip
+      edge, else the previous turn;
+    * ipdom(n) = next user turn if n has an outgoing skip edge, else the
+      next turn;
+    * cdg: each skip edge (a, b) makes the turns strictly between a and b
+      control-dependent on a (the classic diamond).
+
+    Equality with the generic CHK run on the same edge lists is
+    property-tested (tests/test_graph_and_overlays.py). Single-turn
+    conversations contribute no rows, matching the generic pass."""
+    import numpy as np
+    import pandas as pd
+
+    from .text import _grouped_arange
+
+    g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    n = len(g)
+    empty = pd.DataFrame(
+        {"conv_id": pd.Series(dtype="object"), "kind": pd.Series(dtype="object"),
+         "a": pd.Series(dtype="int32"), "b": pd.Series(dtype="int32")}
+    )
+    if n == 0:
+        return empty
+    conv = g["conv_id"].to_numpy()
+    t = g["turn_idx"].to_numpy(np.int64)
+    user = g["role"].to_numpy() == "user"
+
+    new_seg = np.ones(n, dtype=bool)
+    new_seg[1:] = conv[1:] != conv[:-1]
+    seg_id = np.cumsum(new_seg) - 1
+    same_prev = ~new_seg
+    same_next = np.zeros(n, dtype=bool)
+    same_next[:-1] = ~new_seg[1:]
+
+    prev_t = np.empty(n, dtype=np.int64)
+    prev_t[0] = -1
+    prev_t[1:] = t[:-1]
+    next_t = np.empty(n, dtype=np.int64)
+    next_t[-1] = -1
+    next_t[:-1] = t[1:]
+
+    # segment-isolated scans: per-segment offsets of BIG keep segments in
+    # disjoint value ranges (turn_idx and positions are far below BIG, and
+    # the NOUSER sentinel = BIG-1 stays inside its segment's range), so a
+    # plain cummax/cummin never crosses a conversation boundary
+    BIG = np.int64(1) << 40
+    NOUSER = BIG - 1
+    # last user turn at-or-before each row (forward cummax)
+    x = np.where(user, t, np.int64(-1)) + seg_id * BIG
+    cm = np.maximum.accumulate(x) - seg_id * BIG
+    prev_user = np.full(n, np.int64(-1))
+    prev_user[1:] = np.where(same_prev[1:], cm[:-1], np.int64(-1))
+    # first user turn at-or-after each row: value and POSITION (reversed cummin)
+    xr = (np.where(user, t, NOUSER) + seg_id * BIG)[::-1]
+    nmr = np.minimum.accumulate(xr)[::-1] - seg_id * BIG
+    next_user = np.full(n, NOUSER)
+    next_user[:-1] = np.where(same_next[:-1], nmr[1:], NOUSER)
+    pr = (np.where(user, np.arange(n), NOUSER) + seg_id * BIG)[::-1]
+    npos = np.minimum.accumulate(pr)[::-1] - seg_id * BIG  # pos of user ≥ row
+
+    frames = []
+    md = same_prev
+    if md.any():
+        a_dom = np.where(
+            user[md] & (prev_user[md] >= 0) & (t[md] > prev_user[md] + 1),
+            prev_user[md], prev_t[md],
+        )
+        frames.append(pd.DataFrame(
+            {"conv_id": conv[md], "kind": "dom", "a": a_dom, "b": t[md]}))
+    mp = same_next
+    if mp.any():
+        a_pd = np.where(
+            user[mp] & (next_user[mp] < NOUSER) & (next_user[mp] > t[mp] + 1),
+            next_user[mp], next_t[mp],
+        )
+        frames.append(pd.DataFrame(
+            {"conv_id": conv[mp], "kind": "pdom", "a": a_pd, "b": t[mp]}))
+    # cdg: controllers = user rows with a skip edge AND ≥1 row between them
+    # and the next user turn in sequence
+    ctrl = user & (next_user < NOUSER) & (next_user > t + 1)
+    if ctrl.any():
+        cpos = np.flatnonzero(ctrl)  # ctrl ⇒ same_next ⇒ cpos+1 < n
+        qpos = npos[cpos + 1].astype(np.int64)  # next user's position
+        counts = qpos - cpos - 1
+        keep = counts > 0
+        cpos, counts = cpos[keep], counts[keep]
+        if len(cpos):
+            dep_idx = _grouped_arange(cpos + 1, counts)
+            frames.append(pd.DataFrame(
+                {"conv_id": conv[dep_idx], "kind": "cdg",
+                 "a": np.repeat(t[cpos], counts), "b": t[dep_idx]}))
+    if not frames:
+        return empty
+    out = pd.concat(frames, ignore_index=True)
+    out["a"] = out["a"].astype("int32")
+    out["b"] = out["b"].astype("int32")
+    return out
+
+
 def resolve_functional(f: dict, starts, max_depth: int = 100) -> dict:
     """Memoized resolution over a FUNCTIONAL edge map — the
     MemberAccessLinker analog (`MemberAccessLinker.scala` resolves nested

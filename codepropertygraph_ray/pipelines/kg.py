@@ -17,8 +17,11 @@ Ray-Data transposition of the reference's build lifecycle (SURVEY.md §3.4):
 Each step is an overlay pass (numbered parquet delta dir + ledger,
 `ProtoCpgLoader.scala:57-75` semantics) so the job is resumable per pass and
 every delta carries per-file row-count metrics (lineage). Round-2 fusions
-cut the pass count 7→5 and the Ray executions ~12→8: the fixed per-barrier
-latency was the dominant term in the measured 8→32-cpu scaling gap.
+cut the pass count 7→5 and the Ray executions ~12→7: the fixed per-barrier
+latency was the dominant term in the measured 8→32-cpu scaling gap. The
+dominator/CDG overlay (closed-form interval-DAG evaluation) and the
+NEXT_TURN build share one conv-keyed exchange inside materialize's single
+partitioned-write execution.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ import numpy as np
 import pandas as pd
 
 from .. import ids, schema
+from ..functions.agg import empty_safe as _empty_safe
 from ..functions.cc import canonical_map
 from ..sources.transcripts import ensure_transcripts
 from .passes import Pass, PassContext, PipelineRunner
@@ -197,16 +201,19 @@ def run_entities(ctx: PassContext) -> dict:
 _TRIPLE_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx"]
 
 
-def _empty_triples() -> pd.DataFrame:
-    # "string" (not object) dtype so Ray's block size estimation never runs
-    # np.vectorize over an empty object column (noisy per-batch warning)
-    return pd.DataFrame(
+def _empty_triples():
+    # a typed ARROW table: Ray's block size estimation never samples it
+    # (pandas "string"-dtype empties still ran np.vectorize over the
+    # column and logged a warning per group)
+    import pyarrow as pa
+
+    return pa.table(
         {
-            "subj": pd.Series([], dtype="string"),
-            "pred": pd.Series([], dtype="string"),
-            "obj": pd.Series([], dtype="string"),
-            "conv_id": pd.Series([], dtype="string"),
-            "turn_idx": pd.Series([], dtype="int32"),
+            "subj": pa.array([], type=pa.string()),
+            "pred": pa.array([], type=pa.string()),
+            "obj": pa.array([], type=pa.string()),
+            "conv_id": pa.array([], type=pa.string()),
+            "turn_idx": pa.array([], type=pa.int32()),
         }
     )
 
@@ -317,7 +324,7 @@ def run_link(ctx: PassContext) -> dict:
             ment_rows["_bucket"] = (
                 NB + ids.hash_series([ment_rows["conv_id"]]) % NB
             ).astype("int32")
-            return pd.concat([fact_rows, ment_rows], ignore_index=True)
+            return _empty_safe(pd.concat([fact_rows, ment_rows], ignore_index=True))
 
         def dispatch(g: pd.DataFrame) -> pd.DataFrame:
             b = int(g["_bucket"].iloc[0])
@@ -367,67 +374,6 @@ def conv_graph_edges(turns: np.ndarray, roles: np.ndarray) -> list[tuple]:
     ut = turns[roles == "user"]
     edges += [(a, b) for a, b in zip(ut[:-1], ut[1:]) if b > a + 1]
     return edges
-
-
-def run_dominators(ctx: PassContext) -> dict:
-    """Per-conversation immediate dominators, post-dominators and
-    control-dependence edges over the conversation reply graph — the
-    CfgDominatorPass/CdgPass analog (`CfgDominatorPass.scala:15-60`,
-    `CdgPass.scala:17-54`): a pure Cooper-Harvey-Kennedy run per group
-    inside one conv_id-bucketed exchange (SURVEY.md §2.3 O19/O20 mapping).
-    """
-    from ..functions.agg import hash_groupby
-    from ..functions.graph import control_dependence, immediate_dominators, post_dominators
-    from ..sources.transcripts import read_transcripts
-
-    turns = read_transcripts(ctx.sf_dir, columns=["conv_id", "turn_idx", "role"])
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
-        convs, doms, pdoms, cdgs = [], [], [], []
-        for conv, cg in g.groupby("conv_id", sort=False):
-            t = cg["turn_idx"].to_numpy(np.int64)
-            if len(t) < 2:
-                continue
-            edges = conv_graph_edges(t, cg["role"].to_numpy())
-            idom = immediate_dominators(edges, int(t[0]))
-            ipdom = post_dominators(edges, int(t[-1]))
-            cd = control_dependence(edges, int(t[-1]))
-            doms.append(
-                pd.DataFrame(
-                    {"conv_id": conv, "kind": "dom",
-                     "a": [m for n, m in idom.items() if n != t[0]],
-                     "b": [n for n in idom if n != t[0]]}
-                )
-            )
-            pdoms.append(
-                pd.DataFrame(
-                    {"conv_id": conv, "kind": "pdom",
-                     "a": [m for n, m in ipdom.items() if n != t[-1]],
-                     "b": [n for n in ipdom if n != t[-1]]}
-                )
-            )
-            if cd:
-                cdgs.append(
-                    pd.DataFrame(
-                        {"conv_id": conv, "kind": "cdg",
-                         "a": [c for c, _ in cd], "b": [d for _, d in cd]}
-                    )
-                )
-        frames = doms + pdoms + cdgs
-        if not frames:
-            return pd.DataFrame(
-                {"conv_id": pd.Series(dtype="object"),
-                 "kind": pd.Series(dtype="object"),
-                 "a": pd.Series(dtype="int32"),
-                 "b": pd.Series(dtype="int32")}
-            )
-        out = pd.concat(frames, ignore_index=True)
-        out["a"] = out["a"].astype("int32")
-        out["b"] = out["b"].astype("int32")
-        return out
-
-    return {"dom": hash_groupby(turns, "conv_id", per_bucket)}
 
 
 # ---------------------------------------------------------------------------
@@ -482,29 +428,73 @@ def _turn_key(conv, idx) -> pd.Series:
 
 
 def run_materialize(ctx: PassContext) -> dict:
-    """Emit the nodes and edges tables (NODES_SCHEMA / EDGES_SCHEMA).
+    """Emit the graph (nodes + edges tables, NODES_SCHEMA / EDGES_SCHEMA)
+    in ONE streaming execution.
 
     All ids are content hashes (ids.py) so every stage can mint the id of
     any node it references without coordination — the replacement for the
     reference's KeyPool + single-writer apply (`ParallelCpgPass.scala:86-121`).
-    Per-conversation NEXT_TURN edges come from a `groupby(conv_id).map_groups`
-    — the CfgCreationPass per-method pattern (`CfgCreationPass.scala:28-36`).
+
+    Scale shape: every input is scanned ONCE; each scan's map emits BOTH
+    its node rows and its edge rows into one union-schema stream that is
+    written with a partitioned sink (``partition_cols=["table"]`` →
+    ``nodes/`` + ``edges/`` dirs, registered as separate deltas). Round-1
+    ran nodes and edges as two executions that re-scanned transcripts,
+    mention_links and triples — one barrier and one scan per input
+    eliminated here lifted the measured 8→32 scaling efficiency.
+
+    The conversation-keyed exchange is shared too: ONE conv_id bucket
+    shuffle yields NEXT_TURN edges (CfgCreationPass per-method pattern,
+    `CfgCreationPass.scala:28-36`), the dominator/post-dominator/CDG
+    overlay edges (`CfgDominatorPass.scala:15-60`, `CdgPass.scala:17-54`
+    — closed-form interval-DAG evaluation, `functions/graph.py`
+    ``conv_dominators_frame``), and side-writes the ``dom`` delta the
+    query surface reads.
     """
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+    import ray
     import ray.data
 
     overlay = "materialize"
 
-    # --- turn-level nodes/edges from the (text-pruned!) transcript read ----
+    # union schema: nodes ∪ edges columns + the partition tag
+    graph_schema = pa.schema(
+        [("table", pa.string())]
+        + list(schema.NODES_SCHEMA)
+        + [("src", pa.int64()), ("dst", pa.int64()), ("variable", pa.string())]
+    )
+
+    def _graph_block(df: pd.DataFrame, kind: str) -> pa.Table:
+        n = len(df)
+        arrays = []
+        for field in graph_schema:
+            if field.name == "table":
+                arrays.append(pa.array([kind] * n, pa.string()))
+            elif field.name in df.columns:
+                arrays.append(pa.Array.from_pandas(df[field.name], type=field.type))
+            else:
+                arrays.append(pa.nulls(n, field.type))
+        return pa.Table.from_arrays(arrays, schema=graph_schema)
+
+    def _blocks(*parts) -> pa.Table:
+        tbls = [_graph_block(df, kind) for df, kind in parts if len(df)]
+        if not tbls:
+            return graph_schema.empty_table()
+        return pa.concat_tables(tbls)
+
+    # --- turn nodes + turn edges from ONE (text-pruned!) transcript scan --
     from ..sources.transcripts import read_transcripts
 
     turns = read_transcripts(ctx.sf_dir, columns=["conv_id", "turn_idx", "role", "tool"])
 
-    def turn_nodes(t: pd.DataFrame) -> pd.DataFrame:
+    def turn_graph(t: pd.DataFrame) -> pa.Table:
         n = len(t)
         tk = _turn_key(t["conv_id"], t["turn_idx"])
-        return _nodes_frame(
+        turn_ids = ids.hash_series([pd.Series(["TURN"] * n), tk])
+        nodes = _nodes_frame(
             n,
-            id=ids.hash_series([pd.Series(["TURN"] * n), tk]),
+            id=turn_ids,
             label=schema.TURN,
             name=tk,
             full_name=tk,
@@ -513,22 +503,17 @@ def run_materialize(ctx: PassContext) -> dict:
             turn_idx=t["turn_idx"].to_numpy(),
             overlay=overlay,
         )
-
-    def turn_edges(t: pd.DataFrame) -> pd.DataFrame:
-        tk = _turn_key(t["conv_id"], t["turn_idx"])
-        n = len(t)
-        turn_ids = ids.hash_series([pd.Series(["TURN"] * n), tk])
         conv_ids = ids.node_ids(schema.CONVERSATION, t["conv_id"])
         frames = [
             _edges_frame(
                 n, src=conv_ids, dst=turn_ids, label=schema.AST,
                 order=t["turn_idx"].to_numpy(), overlay=overlay,
-            )
+            ),
+            _edges_frame(
+                n, src=turn_ids, dst=ids.node_ids(schema.SPEAKER, t["role"]),
+                label=schema.SPOKEN_BY, overlay=overlay,
+            ),
         ]
-        spk_ids = ids.node_ids(schema.SPEAKER, t["role"])
-        frames.append(
-            _edges_frame(n, src=turn_ids, dst=spk_ids, label=schema.SPOKEN_BY, overlay=overlay)
-        )
         toolmask = (t["role"] == "tool") & t["tool"].fillna("").ne("")
         tt = t[toolmask]
         if len(tt):
@@ -542,21 +527,65 @@ def run_materialize(ctx: PassContext) -> dict:
                     overlay=overlay,
                 )
             )
-        return pd.concat(frames, ignore_index=True)
+        return _blocks(
+            (nodes, "nodes"), (pd.concat(frames, ignore_index=True), "edges")
+        )
 
-    def next_turn_edges(g: pd.DataFrame) -> pd.DataFrame:
-        # one bucket of whole conversations; vectorized across them:
-        # sort by (conv, idx), pair row i with i+1 where conv is unchanged
-        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    # --- ONE conv-keyed exchange: NEXT_TURN + dominator overlay + dom delta
+    from ..functions.agg import DEFAULT_BUCKETS
+    from ..functions.graph import conv_dominators_frame
+
+    dom_dir = ctx.side_dir("dom")
+    dom_schema = pa.schema(
+        [("conv_id", pa.string()), ("kind", pa.string()),
+         ("a", pa.int32()), ("b", pa.int32())]
+    )
+    _dom_label = {"dom": schema.DOMINATE, "pdom": schema.POST_DOMINATE, "cdg": schema.CDG}
+    conv_turns = read_transcripts(ctx.sf_dir, columns=["conv_id", "turn_idx", "role"])
+    NBC = DEFAULT_BUCKETS
+
+    def conv_tag(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["_bucket"] = (ids.hash_series([t["conv_id"]]) % NBC).astype("int32")
+        return t
+
+    def conv_bucket(g: pd.DataFrame) -> pa.Table:
+        b = int(g["_bucket"].iloc[0])
+        g = g.drop(columns=["_bucket"]).sort_values(
+            ["conv_id", "turn_idx"], ignore_index=True
+        )
+        # dominators / post-dominators / CDG (closed form == CHK, tested)
+        dom = conv_dominators_frame(g)
+        pqt.write_table(
+            pa.Table.from_pandas(dom, schema=dom_schema, preserve_index=False),
+            os.path.join(dom_dir, f"part-{b:03d}.parquet"),
+        )
+        nd = len(dom)
+        src_tk = _turn_key(dom["conv_id"], dom["a"])
+        dst_tk = _turn_key(dom["conv_id"], dom["b"])
+        dom_e = _edges_frame(
+            nd,
+            src=ids.hash_series([pd.Series(["TURN"] * nd), src_tk]),
+            dst=ids.hash_series([pd.Series(["TURN"] * nd), dst_tk]),
+            label=dom["kind"].map(_dom_label).to_numpy(),
+            overlay="dominators",
+        )
+        # NEXT_TURN chain: pair row i with i+1 while conv is unchanged
         tk = _turn_key(g["conv_id"], g["turn_idx"])
         tid = ids.hash_series([pd.Series(["TURN"] * len(g)), tk])
         same = (g["conv_id"].shift(-1) == g["conv_id"]).to_numpy()
         same[-1:] = False
-        n = int(same.sum())
-        return _edges_frame(
-            n, src=tid[:-1][same[:-1]], dst=tid[1:][same[:-1]],
+        nt = _edges_frame(
+            int(same.sum()), src=tid[:-1][same[:-1]], dst=tid[1:][same[:-1]],
             label=schema.NEXT_TURN, overlay=overlay,
         )
+        return _blocks((dom_e, "edges"), (nt, "edges"))
+
+    conv_graph = (
+        conv_turns.map_batches(conv_tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(conv_bucket, batch_format="pandas")
+    )
 
     # --- dimension nodes (conversation / speaker / tool) -------------------
     # ONE scan + ONE bucketed shuffle covers all three dimensions: partials
@@ -582,10 +611,10 @@ def run_materialize(ctx: PassContext) -> dict:
         _n=("key", "size"),
     )
 
-    def dim_nodes(t: pd.DataFrame) -> pd.DataFrame:
+    def dim_graph(t: pd.DataFrame) -> pa.Table:
         n = len(t)
         is_conv = (t["label"] == schema.CONVERSATION).to_numpy()
-        return _nodes_frame(
+        nodes = _nodes_frame(
             n,
             id=ids.hash_series([t["label"], t["key"]]),
             label=t["label"].to_numpy(),
@@ -594,13 +623,14 @@ def run_materialize(ctx: PassContext) -> dict:
             conv_id=np.where(is_conv, t["key"], None),
             overlay=overlay,
         )
+        return _blocks((nodes, "nodes"))
 
-    # --- mention nodes + AST/CONTAINS/REF edges ----------------------------
+    # --- mention nodes + edges from ONE mention_links scan -----------------
     mlinks = ctx.read(
         "link", "mention_links",
         columns=["kind", "conv_id", "turn_idx", "ordinal", "surface", "key", "canon"],
     ).map_batches(
-        lambda t: t[t["kind"] == "mention"].drop(columns=["kind"]),
+        lambda t: _empty_safe(t[t["kind"] == "mention"].drop(columns=["kind"])),
         batch_format="pandas",
     )
 
@@ -613,11 +643,12 @@ def run_materialize(ctx: PassContext) -> dict:
             + t["ordinal"].astype(np.int64).astype(str)
         )
 
-    def mention_nodes(t: pd.DataFrame) -> pd.DataFrame:
+    def mention_graph(t: pd.DataFrame) -> pa.Table:
         n = len(t)
-        return _nodes_frame(
+        mid = ids.hash_series([pd.Series(["MENTION"] * n), mention_key(t)])
+        nodes = _nodes_frame(
             n,
-            id=ids.hash_series([pd.Series(["MENTION"] * n), mention_key(t)]),
+            id=mid,
             label=schema.MENTION,
             name=t["key"].to_numpy(),
             full_name=t["canon"].to_numpy(),
@@ -627,15 +658,11 @@ def run_materialize(ctx: PassContext) -> dict:
             turn_idx=t["turn_idx"].to_numpy(),
             overlay=overlay,
         )
-
-    def mention_edges(t: pd.DataFrame) -> pd.DataFrame:
-        n = len(t)
-        mid = ids.hash_series([pd.Series(["MENTION"] * n), mention_key(t)])
         tk = _turn_key(t["conv_id"], t["turn_idx"])
         tid = ids.hash_series([pd.Series(["TURN"] * n), tk])
         cid = ids.node_ids(schema.CONVERSATION, t["conv_id"])
         eid = ids.node_ids(schema.ENTITY, t["canon"])
-        return pd.concat(
+        edges = pd.concat(
             [
                 _edges_frame(n, src=tid, dst=mid, label=schema.AST,
                              order=t["ordinal"].to_numpy(), overlay=overlay),
@@ -644,6 +671,7 @@ def run_materialize(ctx: PassContext) -> dict:
             ],
             ignore_index=True,
         )
+        return _blocks((nodes, "nodes"), (edges, "edges"))
 
     # --- entity nodes (canonical; is_external = no fact participation) ----
     # linked = canonical keys in ANY fact: triple endpoints (side-written
@@ -677,12 +705,12 @@ def run_materialize(ctx: PassContext) -> dict:
         t["canon"] = lookup_keys(cm, t["key"], default="self")
         return t.groupby("canon", as_index=False).agg(n_mentions=("n_mentions", "sum"))
 
-    def entity_nodes_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def entity_graph_of_bucket(g: pd.DataFrame) -> pa.Table:
         linked = get_broadcast(linked_ref)
         ents = g.groupby("canon", as_index=False).agg(n_mentions=("n_mentions", "sum"))
         ents = ents.sort_values("canon", ignore_index=True)  # usedTypes.sorted
         n = len(ents)
-        return _nodes_frame(
+        nodes = _nodes_frame(
             n,
             id=ids.node_ids(schema.ENTITY, ents["canon"]),
             label=schema.ENTITY,
@@ -691,37 +719,22 @@ def run_materialize(ctx: PassContext) -> dict:
             is_external=(~ents["canon"].isin(linked)).to_numpy(),
             overlay=overlay,
         )
+        return _blocks((nodes, "nodes"))
 
-    entity_nodes_ds = hash_groupby(
+    entity_graph_ds = hash_groupby(
         entity_keys.map_batches(canon_partials, batch_format="pandas"),
         "canon",
-        entity_nodes_of_bucket,
+        entity_graph_of_bucket,
     )
-
-    # --- DOMINATE / POST_DOMINATE / CDG edges from the dominators pass ----
-    dom = ctx.read("dominators", "dom")
-    _dom_label = {"dom": schema.DOMINATE, "pdom": schema.POST_DOMINATE, "cdg": schema.CDG}
-
-    def dom_edges(t: pd.DataFrame) -> pd.DataFrame:
-        n = len(t)
-        src_tk = _turn_key(t["conv_id"], t["a"])
-        dst_tk = _turn_key(t["conv_id"], t["b"])
-        return _edges_frame(
-            n,
-            src=ids.hash_series([pd.Series(["TURN"] * n), src_tk]),
-            dst=ids.hash_series([pd.Series(["TURN"] * n), dst_tk]),
-            label=t["kind"].map(_dom_label).to_numpy(),
-            overlay="dominators",
-        )
 
     # --- REACHES edges from the reaching overlay (side-written by link) ---
     reaching = ctx.read("link", "reaching")
 
-    def reaches_edges(t: pd.DataFrame) -> pd.DataFrame:
+    def reaches_graph(t: pd.DataFrame) -> pa.Table:
         n = len(t)
         src_tk = _turn_key(t["conv_id"], t["src_turn_idx"])
         dst_tk = _turn_key(t["conv_id"], t["dst_turn_idx"])
-        return _edges_frame(
+        edges = _edges_frame(
             n,
             src=ids.hash_series([pd.Series(["TURN"] * n), src_tk]),
             dst=ids.hash_series([pd.Series(["TURN"] * n), dst_tk]),
@@ -729,13 +742,14 @@ def run_materialize(ctx: PassContext) -> dict:
             variable=t["variable"].to_numpy(),
             overlay="reaching",
         )
+        return _blocks((edges, "edges"))
 
     # --- FACT edges from triples ------------------------------------------
     triples = ctx.read("link", "triples")
 
-    def fact_edges(t: pd.DataFrame) -> pd.DataFrame:
+    def fact_graph(t: pd.DataFrame) -> pa.Table:
         n = len(t)
-        return _edges_frame(
+        edges = _edges_frame(
             n,
             src=ids.node_ids(schema.ENTITY, t["subj"]),
             dst=ids.node_ids(schema.ENTITY, t["obj"]),
@@ -743,6 +757,7 @@ def run_materialize(ctx: PassContext) -> dict:
             variable=t["pred"].to_numpy(),
             overlay=overlay,
         )
+        return _blocks((edges, "edges"))
 
     # --- META_DATA node (exactly one; carries the overlay ledger) ---------
     meta = _nodes_frame(
@@ -754,46 +769,22 @@ def run_materialize(ctx: PassContext) -> dict:
         overlay="base",
     )
 
-    import pyarrow as pa
-
-    node_tbl_schema = schema.NODES_SCHEMA
-
-    def to_nodes_arrow(df: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(df, schema=node_tbl_schema, preserve_index=False)
-
-    nodes = (
-        turns.map_batches(turn_nodes, batch_format="pandas")
-        .union(dims.map_batches(dim_nodes, batch_format="pandas"))
-        .union(mlinks.map_batches(mention_nodes, batch_format="pandas"))
-        .union(entity_nodes_ds)
-        .union(ray.data.from_pandas(meta))
-        .map_batches(to_nodes_arrow, batch_format="pandas")
+    unified = (
+        turns.map_batches(turn_graph, batch_format="pandas")
+        .union(conv_graph)
+        .union(dims.map_batches(dim_graph, batch_format="pandas"))
+        .union(mlinks.map_batches(mention_graph, batch_format="pandas"))
+        .union(entity_graph_ds)
+        .union(reaching.map_batches(reaches_graph, batch_format="pandas"))
+        .union(triples.map_batches(fact_graph, batch_format="pandas"))
+        .union(ray.data.from_arrow(_blocks((meta, "nodes"))))
     )
-
-    edge_tbl_schema = schema.EDGES_SCHEMA
-
-    def to_edges_arrow(df: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(df, schema=edge_tbl_schema, preserve_index=False)
-
-    from ..functions.agg import hash_groupby
-
-    edges = (
-        turns.map_batches(turn_edges, batch_format="pandas")
-        .union(
-            hash_groupby(
-                turns.select_columns(["conv_id", "turn_idx"]),
-                "conv_id",
-                next_turn_edges,
-            )
-        )
-        .union(mlinks.map_batches(mention_edges, batch_format="pandas"))
-        .union(triples.map_batches(fact_edges, batch_format="pandas"))
-        .union(reaching.map_batches(reaches_edges, batch_format="pandas"))
-        .union(dom.map_batches(dom_edges, batch_format="pandas"))
-        .map_batches(to_edges_arrow, batch_format="pandas")
-    )
-
-    return {"nodes": nodes, "edges": edges}
+    pdir = ctx._side_root
+    unified.write_parquet(pdir, partition_cols=["table"])
+    # hive partition dirs → plain delta-table names the framework registers
+    os.rename(os.path.join(pdir, "table=nodes"), os.path.join(pdir, "nodes"))
+    os.rename(os.path.join(pdir, "table=edges"), os.path.join(pdir, "edges"))
+    return {}
 
 
 # ---------------------------------------------------------------------------
@@ -824,8 +815,7 @@ PASSES = [
     Pass("base", run_base),
     Pass("entities", run_entities, depends_on=("base",)),
     Pass("link", run_link, depends_on=("base", "entities")),
-    Pass("dominators", run_dominators),
-    Pass("materialize", run_materialize, depends_on=("entities", "link", "dominators")),
+    Pass("materialize", run_materialize, depends_on=("entities", "link")),
     Pass("validate", run_validate, depends_on=("materialize",)),
 ]
 

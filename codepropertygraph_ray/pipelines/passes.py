@@ -205,6 +205,7 @@ class PipelineRunner:
         metrics: dict = {"tables": {}}
         for tname, data in deltas.items():
             tdir = os.path.join(pdir, tname)
+            tw0 = time.perf_counter()
             if callable(data):
                 # deferred delta: computed AFTER earlier tables of this
                 # pass are on disk, so it can read them back instead of
@@ -214,6 +215,7 @@ class PipelineRunner:
             metrics["tables"][tname] = {
                 "files": _file_metrics(tdir),
                 "rows": sum(m["rows"] for m in _file_metrics(tdir)),
+                "wall_sec": round(time.perf_counter() - tw0, 4),
             }
             self.ctx._dirs[f"{p.name}/{tname}"] = tdir
         # side-written tables: a fused stage may emit a SECOND delta from

@@ -17,7 +17,8 @@ import pandas as pd
 
 from .kg import build_kg
 
-KG_OUT_ROOT = "/tmp/graft_kg_out"
+KG_OUT_ROOT = "/tmp/graft_kg_out_v2"  # bump on pass-layout changes: stale
+# ledgers from an older pass list must not be resumed into the new layout
 
 
 def kg_runner(sf_dir: str):
@@ -249,7 +250,7 @@ def dominators(sf_dir: str):
     side runs Cooper-Harvey-Kennedy per conversation — agreement IS the
     algorithm check."""
     r = kg_runner(sf_dir)
-    ds = r.ctx.read("dominators", "dom")
+    ds = r.ctx.read("materialize", "dom")
     return ds.map_batches(
         lambda t: t.loc[t["kind"] == "dom", ["conv_id", "b", "a"]].rename(
             columns={"b": "turn_idx", "a": "idom_turn_idx"}
@@ -264,7 +265,7 @@ def cdg_pairs(sf_dir: str):
     reverse graph, `CdgPass.scala:17-54`, `CfgDominatorFrontier.scala:14-38`).
     SQL oracle: Ferrante's definition with the interval-DAG span predicate."""
     r = kg_runner(sf_dir)
-    ds = r.ctx.read("dominators", "dom")
+    ds = r.ctx.read("materialize", "dom")
     return ds.map_batches(
         lambda t: t.loc[t["kind"] == "cdg", ["conv_id", "a", "b"]].rename(
             columns={"a": "controller", "b": "dependent"}

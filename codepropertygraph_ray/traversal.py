@@ -69,11 +69,23 @@ class GraphView:
     def _nodes(self, columns=None):
         import ray.data
 
+        from . import schema
+
+        # default to the node schema's own columns: the materialize delta
+        # is a union-schema partitioned table (nodes ∪ edges columns), so
+        # an unqualified read would drag all-null edge columns into every
+        # traversal frame
+        if columns is None:
+            columns = [f.name for f in schema.NODES_SCHEMA]
         return ray.data.read_parquet(self._expand(self.nodes_dirs), columns=columns)
 
     def _edges(self, columns=None):
         import ray.data
 
+        from . import schema
+
+        if columns is None:
+            columns = [f.name for f in schema.EDGES_SCHEMA]
         return ray.data.read_parquet(self._expand(self.edges_dirs), columns=columns)
 
     # --- starters (NodeTypeStarters analog) ------------------------------

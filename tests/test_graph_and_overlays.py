@@ -433,3 +433,62 @@ def test_schema_extension_registration(ray_session):
         schema.EDGE_FACTS[:] = saved[2]
         schema.OUT_DEGREE_FACTS.clear()
         schema.OUT_DEGREE_FACTS.update(saved[3])
+
+
+def test_conv_dominators_closed_form_matches_chk():
+    """The vectorized interval-DAG closed form (conv_dominators_frame) must
+    equal the generic CHK run (immediate/post dominators + CDG via the
+    dominance frontier) on the same reply-graph edge lists — including
+    gappy turn indices, single-turn conversations and role mixes."""
+    import numpy as np
+
+    from codepropertygraph_ray.functions.graph import (
+        conv_dominators_frame,
+        control_dependence,
+        immediate_dominators,
+        post_dominators,
+    )
+    from codepropertygraph_ray.pipelines.kg import conv_graph_edges
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for ci in range(200):
+        k = int(rng.integers(1, 14))
+        if rng.random() < 0.3:  # gappy turn indices
+            t = np.sort(rng.choice(np.arange(0, 3 * k + 1), size=k, replace=False))
+        else:
+            t = np.arange(k)
+        roles = rng.choice(["user", "assistant", "tool"], size=k)
+        rows += [(f"c{ci:03d}", int(t[i]), roles[i]) for i in range(k)]
+    g = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role"]).sample(
+        frac=1, random_state=1
+    )
+
+    got = conv_dominators_frame(g).sort_values(
+        ["conv_id", "kind", "a", "b"], ignore_index=True
+    )
+
+    frames = []
+    for conv, cg in g.sort_values(["conv_id", "turn_idx"]).groupby("conv_id", sort=False):
+        t = cg["turn_idx"].to_numpy(np.int64)
+        if len(t) < 2:
+            continue
+        edges = conv_graph_edges(t, cg["role"].to_numpy())
+        idom = immediate_dominators(edges, int(t[0]))
+        ipdom = post_dominators(edges, int(t[-1]))
+        cd = control_dependence(edges, int(t[-1]))
+        frames.append(pd.DataFrame({"conv_id": conv, "kind": "dom",
+            "a": [m for n, m in idom.items() if n != t[0]],
+            "b": [n for n in idom if n != t[0]]}))
+        frames.append(pd.DataFrame({"conv_id": conv, "kind": "pdom",
+            "a": [m for n, m in ipdom.items() if n != t[-1]],
+            "b": [n for n in ipdom if n != t[-1]]}))
+        if cd:
+            frames.append(pd.DataFrame({"conv_id": conv, "kind": "cdg",
+                "a": [c for c, _ in cd], "b": [d for _, d in cd]}))
+    ref = pd.concat(frames, ignore_index=True)
+    ref["a"] = ref["a"].astype("int32")
+    ref["b"] = ref["b"].astype("int32")
+    ref = ref.sort_values(["conv_id", "kind", "a", "b"], ignore_index=True)
+
+    pd.testing.assert_frame_equal(got, ref)
