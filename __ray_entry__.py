@@ -70,7 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reaches_closure": kgq.reaches_closure,
         "kg_member_resolve": kgq.member_resolve,
         "kg_dump_context": kgq.dump_turn_context,
-        "kg_dot_export": kgq.dot_export,  # DOT sink — no SQL oracle
+        "kg_dot_export": kgq.dot_export,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -88,7 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: text analysis -----------------------------
         "text_token_stats": text.token_stats,
         "text_quality": text.quality_signals,
-        "text_lang_id": text.lang_id,  # heuristic — no SQL oracle
+        "text_lang_id": text.lang_id,
         "text_simhash": text.simhash64,  # keyed hash — no SQL oracle
         "text_fingerprint": text.fingerprint,  # rolling hash — no SQL oracle
         # --- training-data ops: dedup --------------------------------------
@@ -344,6 +344,33 @@ def _kg_sql() -> dict[str, str]:
           UNION ALL SELECT 'SPEAKER', count(DISTINCT role) FROM {t}
           UNION ALL SELECT 'META_DATA', 1
         """,
+        # per-conversation Graphviz text (DOT sink, S11 —
+        # DotSerializer.scala analog): header + sorted node lines + chain
+        # edge lines, byte-identical to stages/export.conversation_dot on
+        # data with no chars needing escape (synthetic ids/roles are clean)
+        "kg_dot_export": f"""
+          WITH tt AS (SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn, role FROM {t}),
+          nodes AS (
+            SELECT conv_id,
+                   string_agg('  t' || turn || ' [label="' || turn || ':' || role || '"];',
+                              chr(10) ORDER BY turn) AS ns
+            FROM tt GROUP BY conv_id
+          ),
+          pairs AS (
+            SELECT conv_id, turn AS a,
+                   lead(turn) OVER (PARTITION BY conv_id ORDER BY turn) AS b
+            FROM tt
+          ),
+          chain AS (
+            SELECT conv_id,
+                   string_agg('  t' || a || ' -> t' || b || ';', chr(10) ORDER BY a) AS es
+            FROM pairs WHERE b IS NOT NULL GROUP BY conv_id
+          )
+          SELECT n.conv_id,
+                 'digraph "' || n.conv_id || '" {{' || chr(10) || n.ns
+                 || coalesce(chr(10) || e.es, '') || chr(10) || '}}' AS dot
+          FROM nodes n LEFT JOIN chain e ON e.conv_id = n.conv_id
+        """,
     }
 
 
@@ -426,9 +453,13 @@ def _rel_sql() -> dict[str, str]:
 def _ops_sql() -> dict[str, str]:
     from codepropertygraph_ray.functions.dedup import JACCARD_THRESHOLD, MAX_DF, SHINGLE_W
     from codepropertygraph_ray.functions.similarity import DUP_COS_THRESHOLD, KNN_K, N_QUERIES
-    from codepropertygraph_ray.functions.text import STOPWORDS
+    from codepropertygraph_ray.functions.text import LANG_MARKERS, STOPWORDS
 
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    mk = {
+        lang: ", ".join(f"'{w}'" for w in sorted(markers))
+        for lang, markers in LANG_MARKERS.items()
+    }
     # distinct word shingles per doc via lateral position unnest; the
     # stop-shingle DF cap (drop shingles in > MAX_DF docs) mirrors the Ray
     # path's fan-out bound so both sides measure the same Jaccard
@@ -452,6 +483,29 @@ def _ops_sql() -> dict[str, str]:
                  CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_distinct,
                  CAST(length(text) AS BIGINT) AS n_chars
           FROM documents
+        """,
+        # stopword-gazetteer language ID — same marker sets and the same
+        # deterministic tie-break as functions/text.lang_id: 'en' wins ties
+        # against all, then gazetteer order de > fr > es; score 0 → 'und';
+        # any CJK char → 'zh' (checked first, like the Python fast path)
+        "text_lang_id": f"""
+          SELECT doc_id,
+                 CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                      WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                      WHEN s_fr >= s_es THEN 'fr'
+                      ELSE 'es' END AS lang_pred
+          FROM (
+            SELECT doc_id, text,
+                   len(list_filter(words, w -> w IN ({mk['en']}))) AS s_en,
+                   len(list_filter(words, w -> w IN ({mk['de']}))) AS s_de,
+                   len(list_filter(words, w -> w IN ({mk['fr']}))) AS s_fr,
+                   len(list_filter(words, w -> w IN ({mk['es']}))) AS s_es
+            FROM (SELECT doc_id, text,
+                         regexp_extract_all(lower(text), '[a-z]+') AS words
+                  FROM documents)
+          )
         """,
         "text_quality": f"""
           SELECT doc_id,

@@ -85,8 +85,9 @@ def quality_signals(sf_dir: str):
 
 def lang_id(sf_dir: str):
     """(doc_id, lang_pred) — stopword-gazetteer language ID with a CJK
-    character fast path. Heuristic (no SQL oracle); accuracy asserted in
-    tests against a synthetic multilingual fixture."""
+    character fast path. Deterministic, so it carries a SQL oracle (the
+    same gazetteer + tie-break in DuckDB); accuracy additionally asserted
+    in tests against a synthetic multilingual fixture."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def classify(t: pd.DataFrame) -> pd.DataFrame:

@@ -381,44 +381,39 @@ def conv_graph_edges(turns: np.ndarray, roles: np.ndarray) -> list[tuple]:
 # ---------------------------------------------------------------------------
 
 
-def _empty_str(n: int) -> pd.Series:
-    return pd.Series([None] * n, dtype="object")
-
-
 def _as_np(v):
     """Positional semantics: strip pandas indexes before frame assembly."""
     return v.to_numpy() if isinstance(v, pd.Series) else v
 
 
 def _nodes_frame(n: int, **cols) -> pd.DataFrame:
-    out = pd.DataFrame(
-        {
-            "id": _as_np(cols["id"]),
-            "label": _as_np(cols["label"]),
-            "name": _as_np(cols.get("name", _empty_str(n))),
-            "full_name": _as_np(cols.get("full_name", _empty_str(n))),
-            "code": _as_np(cols.get("code", _empty_str(n))),
-            "order": pd.array(_as_np(cols.get("order", [None] * n)), dtype="Int32"),
-            "conv_id": _as_np(cols.get("conv_id", _empty_str(n))),
-            "turn_idx": pd.array(_as_np(cols.get("turn_idx", [None] * n)), dtype="Int32"),
-            "is_external": pd.array(_as_np(cols.get("is_external", [None] * n)), dtype="boolean"),
-            "overlay": _as_np(cols["overlay"]),
-        }
-    )
-    return out
+    """SPARSE node frame: only provided columns materialize (absent ones
+    become metadata-only ``pa.nulls`` in ``_graph_block`` — building dense
+    [None]*n object columns for every absent property measured as real
+    remote-wall in the 27M-row edge branches)."""
+    out = {"id": _as_np(cols["id"]), "label": _as_np(cols["label"])}
+    for k in ("name", "full_name", "code", "conv_id"):
+        if k in cols:
+            out[k] = _as_np(cols[k])
+    for k, dt in (("order", "Int32"), ("turn_idx", "Int32"), ("is_external", "boolean")):
+        if k in cols:
+            out[k] = pd.array(_as_np(cols[k]), dtype=dt)
+    out["overlay"] = _as_np(cols["overlay"])
+    return pd.DataFrame(out)
 
 
 def _edges_frame(n: int, **cols) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "src": _as_np(cols["src"]),
-            "dst": _as_np(cols["dst"]),
-            "label": _as_np(cols["label"]),
-            "variable": _as_np(cols.get("variable", _empty_str(n))),
-            "order": pd.array(_as_np(cols.get("order", [None] * n)), dtype="Int32"),
-            "overlay": _as_np(cols["overlay"]),
-        }
-    )
+    out = {
+        "src": _as_np(cols["src"]),
+        "dst": _as_np(cols["dst"]),
+        "label": _as_np(cols["label"]),
+    }
+    if "variable" in cols:
+        out["variable"] = _as_np(cols["variable"])
+    if "order" in cols:
+        out["order"] = pd.array(_as_np(cols["order"]), dtype="Int32")
+    out["overlay"] = _as_np(cols["overlay"])
+    return pd.DataFrame(out)
 
 
 def _turn_key(conv, idx) -> pd.Series:
@@ -490,8 +485,8 @@ def run_materialize(ctx: PassContext) -> dict:
 
     def turn_graph(t: pd.DataFrame) -> pa.Table:
         n = len(t)
-        tk = _turn_key(t["conv_id"], t["turn_idx"])
-        turn_ids = ids.hash_series([pd.Series(["TURN"] * n), tk])
+        tk = _turn_key(t["conv_id"], t["turn_idx"])  # display name only
+        turn_ids = ids.composite_ids("TURN", t["conv_id"], t["turn_idx"])
         nodes = _nodes_frame(
             n,
             id=turn_ids,
@@ -517,19 +512,18 @@ def run_materialize(ctx: PassContext) -> dict:
         toolmask = (t["role"] == "tool") & t["tool"].fillna("").ne("")
         tt = t[toolmask]
         if len(tt):
-            ttk = _turn_key(tt["conv_id"], tt["turn_idx"])
             frames.append(
                 _edges_frame(
                     len(tt),
-                    src=ids.hash_series([pd.Series(["TURN"] * len(tt)), ttk]),
+                    src=ids.composite_ids("TURN", tt["conv_id"], tt["turn_idx"]),
                     dst=ids.node_ids(schema.TOOL, tt["tool"]),
                     label=schema.USES_TOOL,
                     overlay=overlay,
                 )
             )
-        return _blocks(
-            (nodes, "nodes"), (pd.concat(frames, ignore_index=True), "edges")
-        )
+        # heterogeneous sparse frames convert to arrow individually (a
+        # pd.concat would densify every absent column to NaN objects)
+        return _blocks((nodes, "nodes"), *[(f, "edges") for f in frames])
 
     # --- ONE conv-keyed exchange: NEXT_TURN + dominator overlay + dom delta
     from ..functions.agg import DEFAULT_BUCKETS
@@ -561,18 +555,15 @@ def run_materialize(ctx: PassContext) -> dict:
             os.path.join(dom_dir, f"part-{b:03d}.parquet"),
         )
         nd = len(dom)
-        src_tk = _turn_key(dom["conv_id"], dom["a"])
-        dst_tk = _turn_key(dom["conv_id"], dom["b"])
         dom_e = _edges_frame(
             nd,
-            src=ids.hash_series([pd.Series(["TURN"] * nd), src_tk]),
-            dst=ids.hash_series([pd.Series(["TURN"] * nd), dst_tk]),
+            src=ids.composite_ids("TURN", dom["conv_id"], dom["a"]),
+            dst=ids.composite_ids("TURN", dom["conv_id"], dom["b"]),
             label=dom["kind"].map(_dom_label).to_numpy(),
             overlay="dominators",
         )
         # NEXT_TURN chain: pair row i with i+1 while conv is unchanged
-        tk = _turn_key(g["conv_id"], g["turn_idx"])
-        tid = ids.hash_series([pd.Series(["TURN"] * len(g)), tk])
+        tid = ids.composite_ids("TURN", g["conv_id"], g["turn_idx"])
         same = (g["conv_id"].shift(-1) == g["conv_id"]).to_numpy()
         same[-1:] = False
         nt = _edges_frame(
@@ -634,18 +625,9 @@ def run_materialize(ctx: PassContext) -> dict:
         batch_format="pandas",
     )
 
-    def mention_key(t: pd.DataFrame) -> pd.Series:
-        return (
-            t["conv_id"].astype(str)
-            + ":"
-            + t["turn_idx"].astype(np.int64).astype(str)
-            + ":"
-            + t["ordinal"].astype(np.int64).astype(str)
-        )
-
     def mention_graph(t: pd.DataFrame) -> pa.Table:
         n = len(t)
-        mid = ids.hash_series([pd.Series(["MENTION"] * n), mention_key(t)])
+        mid = ids.composite_ids("MENTION", t["conv_id"], t["turn_idx"], t["ordinal"])
         nodes = _nodes_frame(
             n,
             id=mid,
@@ -658,20 +640,16 @@ def run_materialize(ctx: PassContext) -> dict:
             turn_idx=t["turn_idx"].to_numpy(),
             overlay=overlay,
         )
-        tk = _turn_key(t["conv_id"], t["turn_idx"])
-        tid = ids.hash_series([pd.Series(["TURN"] * n), tk])
+        tid = ids.composite_ids("TURN", t["conv_id"], t["turn_idx"])
         cid = ids.node_ids(schema.CONVERSATION, t["conv_id"])
         eid = ids.node_ids(schema.ENTITY, t["canon"])
-        edges = pd.concat(
-            [
-                _edges_frame(n, src=tid, dst=mid, label=schema.AST,
-                             order=t["ordinal"].to_numpy(), overlay=overlay),
-                _edges_frame(n, src=cid, dst=mid, label=schema.CONTAINS, overlay=overlay),
-                _edges_frame(n, src=mid, dst=eid, label=schema.REF, overlay=overlay),
-            ],
-            ignore_index=True,
+        return _blocks(
+            (nodes, "nodes"),
+            (_edges_frame(n, src=tid, dst=mid, label=schema.AST,
+                          order=t["ordinal"].to_numpy(), overlay=overlay), "edges"),
+            (_edges_frame(n, src=cid, dst=mid, label=schema.CONTAINS, overlay=overlay), "edges"),
+            (_edges_frame(n, src=mid, dst=eid, label=schema.REF, overlay=overlay), "edges"),
         )
-        return _blocks((nodes, "nodes"), (edges, "edges"))
 
     # --- entity nodes (canonical; is_external = no fact participation) ----
     # linked = canonical keys in ANY fact: triple endpoints (side-written
@@ -732,12 +710,10 @@ def run_materialize(ctx: PassContext) -> dict:
 
     def reaches_graph(t: pd.DataFrame) -> pa.Table:
         n = len(t)
-        src_tk = _turn_key(t["conv_id"], t["src_turn_idx"])
-        dst_tk = _turn_key(t["conv_id"], t["dst_turn_idx"])
         edges = _edges_frame(
             n,
-            src=ids.hash_series([pd.Series(["TURN"] * n), src_tk]),
-            dst=ids.hash_series([pd.Series(["TURN"] * n), dst_tk]),
+            src=ids.composite_ids("TURN", t["conv_id"], t["src_turn_idx"]),
+            dst=ids.composite_ids("TURN", t["conv_id"], t["dst_turn_idx"]),
             label=schema.REACHES,
             variable=t["variable"].to_numpy(),
             overlay="reaching",
@@ -793,16 +769,23 @@ def run_materialize(ctx: PassContext) -> dict:
 
 
 def run_validate(ctx: PassContext) -> dict:
+    import pyarrow.dataset as pads
+
     from ..stages import validate as v
 
     nodes = ctx.read("materialize", "nodes")
     edges = ctx.read("materialize", "edges")
     budget = _p(ctx, "validate_broadcast_max_rows") or v.BROADCAST_MAX_ROWS
+    # path-selection scalar from parquet METADATA (row-group counts), not a
+    # Dataset.count() — counting the union-schema delta decoded every file
+    # (~30 s at 7M nodes)
+    n_nodes = pads.dataset(ctx.delta_dir("materialize", "nodes")).count_rows()
     return {
         "violations": v.validate_graph(
             nodes, edges,
             num_partitions=_p(ctx, "num_partitions"),
             broadcast_max_rows=budget,
+            n_nodes=n_nodes,
         )
     }
 

@@ -17,8 +17,9 @@ import pandas as pd
 
 from .kg import build_kg
 
-KG_OUT_ROOT = "/tmp/graft_kg_out_v2"  # bump on pass-layout changes: stale
-# ledgers from an older pass list must not be resumed into the new layout
+KG_OUT_ROOT = "/tmp/graft_kg_out_v3"  # bump on pass-layout/id-format changes:
+# stale ledgers from an older layout must not be resumed into the new one
+# (v3: composite numeric turn/mention ids)
 
 
 def kg_runner(sf_dir: str):
@@ -377,7 +378,7 @@ def dump_turn_context(sf_dir: str):
 
 def dot_export(sf_dir: str):
     """(conv_id, dot) — per-conversation Graphviz text (DOT sink, S11).
-    Rows-only check (dot strings are deterministic but not SQL-buildable)."""
+    SQL oracle: string_agg over sorted turns rebuilds the identical DOT."""
     from ..stages.export import conversation_dot
 
     return conversation_dot(sf_dir)

@@ -73,9 +73,17 @@ def _bound_matrix(code_of_label):
 
 
 def validate_graph(nodes, edges, num_partitions: int = 16,
-                   broadcast_max_rows: int = BROADCAST_MAX_ROWS) -> pa.Table:
-    """nodes, edges: ray Datasets → pyarrow Table of (check, detail) rows."""
-    n_nodes = nodes.count()
+                   broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+                   n_nodes: int | None = None) -> pa.Table:
+    """nodes, edges: ray Datasets → pyarrow Table of (check, detail) rows.
+
+    ``n_nodes`` selects the execution path; pass it from parquet metadata
+    (ledger row counts / ``pyarrow.dataset.count_rows``) when available —
+    ``Dataset.count()`` on a column-pruned read of the materialize delta
+    measured ~30 s at 7M nodes (a full decode of the union-schema files),
+    pure waste for a path-selection scalar."""
+    if n_nodes is None:
+        n_nodes = nodes.count()
     if n_nodes <= broadcast_max_rows:
         return _validate_broadcast(nodes, edges)
     return _validate_sharded(nodes, edges, num_partitions)
@@ -199,9 +207,21 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
         if bad:
             viols.append(_viol("edge_fact", bad))
         viols.append(_viol("_ref_partial", [str(int((t["label"] == schema.REF).sum()))]))
-        lcode = pd.Categorical(t["label"], categories=edge_labels).codes
+        lcode = np.asarray(pd.Categorical(t["label"], categories=edge_labels).codes)
+        # degree partials ONLY for (src_label, edge_label) combos that carry
+        # a finite bound — everything else shuffles for nothing (measured:
+        # 4 bounded combos cover ~6M of 27M edges at sf0.4, a 4× cut in the
+        # validator's shuffle volume). Unknown labels (code -1) are already
+        # flagged by the edge_fact/dangling checks above.
+        bm = get_broadcast(bounds_mat_ref)
+        bounded = (src_c >= 0) & (lcode >= 0)
+        bounded &= np.isfinite(
+            bm[np.clip(src_c, 0, None), np.clip(lcode, 0, None)]
+        )
         deg = (
-            pd.DataFrame({"src": t["src"].to_numpy(np.int64), "lcode": lcode})
+            pd.DataFrame(
+                {"src": t["src"].to_numpy(np.int64)[bounded], "lcode": lcode[bounded]}
+            )
             .groupby(["src", "lcode"], as_index=False, observed=True)
             .size()
             .rename(columns={"size": "n"})
