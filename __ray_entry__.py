@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: similarity search --------------------------
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,  # approximate — no SQL oracle
+        "sim_knn_ivf": similarity.knn_ivf,  # approximate — no SQL oracle
         "sim_embedding_dups": similarity.embedding_dups,
         # --- multimodal plumbing (decode stub) -----------------------------
         "mm_media_features": multimodal.media_features,  # no SQL oracle

@@ -6,6 +6,9 @@
   the 'broadcast small side + per-batch numpy kernel' baseline.
 * ``knn_lsh`` — the scale path: random-hyperplane signatures bucket the
   corpus; only same-bucket (plus probing neighbors) candidates are scored.
+* ``knn_ivf`` — the other classic scale path: a broadcast k-means codebook
+  assigns each vector to an inverted list; queries scan only their
+  ``nprobe`` nearest lists.
 * ``embedding_dups`` — near-duplicate pairs by cosine ≥ threshold (exact,
   SQL-oracled).
 """
@@ -137,6 +140,89 @@ def knn_lsh(sf_dir: str):
             # score ONLY the bucket survivors — this is where LSH saves
             # compute (one matvec over candidates, not a full matmul)
             cos = m[mask] @ qmat_[j]
+            out.append(pd.DataFrame({"query_id": qid, "neighbor_id": ids[mask], "cos": cos}))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(KNN_K)
+        return pd.DataFrame(
+            {"query_id": g["query_id"].to_numpy(np.int64),
+             "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+             "neighbor_id": g["neighbor_id"].to_numpy(np.int64)}
+        )
+
+    return (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(local_candidates, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(global_topk, batch_format="pandas")
+    )
+
+
+IVF_N_LISTS = 16
+IVF_NPROBE = 4
+IVF_TRAIN_MAX = 4096
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic IVF codebook: Lloyd's k-means on a bounded sample.
+
+    The sample is the first ``IVF_TRAIN_MAX`` vec_ids (deterministic, no
+    RNG over data order); init = the first vector of each of K strided
+    slices. At 100 TB the train set stays bounded — the codebook is
+    dimension-sized and broadcasts; only the assignment pass scans the
+    corpus."""
+    t = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {IVF_TRAIN_MAX}")
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    m = _matrix(t)
+    k = min(IVF_N_LISTS, len(m))
+    cent = m[:: max(len(m) // k, 1)][:k].copy()
+    for _ in range(10):  # Lloyd iterations on the sample (spherical k-means)
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(k):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def knn_ivf(sf_dir: str):
+    """(query_id, rank, neighbor_id) — approximate top-k via IVF: corpus
+    vectors assign to their nearest of ``IVF_N_LISTS`` centroids (one
+    broadcast codebook, one matmul per batch); each query scores only the
+    vectors in its ``IVF_NPROBE`` closest lists. The sub-quadratic scale
+    path when queries ≫ LSH probing can serve (the inverted-list scan is
+    |corpus|·nprobe/K instead of |corpus|). Approximate — no SQL oracle;
+    tests assert recall vs brute force (same discipline as ``knn_lsh``)."""
+    qids, qmat = _query_matrix(sf_dir)
+    cent = _ivf_centroids(sf_dir)
+    nprobe = min(IVF_NPROBE, len(cent))
+    # per-query probe set: the nprobe nearest centroid ids
+    qprobe = np.argsort(-(qmat @ cent.T), axis=1, kind="stable")[:, :nprobe]
+    ref = ray.put((qids, qmat, cent, qprobe))
+
+    def local_candidates(t: pd.DataFrame) -> pd.DataFrame:
+        qids_, qmat_, cent_, qprobe_ = get_broadcast(ref)
+        m = _matrix(t)
+        ids = t["vec_id"].to_numpy(np.int64)
+        assign = np.argmax(m @ cent_.T, axis=1)  # inverted-list id per vector
+        out = []
+        for j, qid in enumerate(qids_):
+            mask = np.isin(assign, qprobe_[j]) & (ids != qid)
+            if not mask.any():
+                continue
+            cos = m[mask] @ qmat_[j]  # score only the probed lists
             out.append(pd.DataFrame({"query_id": qid, "neighbor_id": ids[mask], "cos": cos}))
         if not out:
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),

@@ -339,6 +339,7 @@ def run_link(ctx: PassContext) -> dict:
                 pqt.write_table(
                     pa.table({"canon": pa.array(canons, type=pa.string())}),
                     os.path.join(canons_dir, f"part-{b:03d}.parquet"),
+                    compression="zstd",
                 )
                 return tri
             # conv bucket → reaching pairs (side-written)
@@ -346,6 +347,7 @@ def run_link(ctx: PassContext) -> dict:
             pqt.write_table(
                 pa.Table.from_pandas(pairs, schema=reaching_schema, preserve_index=False),
                 os.path.join(reaching_dir, f"part-{b - NB:03d}.parquet"),
+                compression="zstd",
             )
             return _empty_triples()
 
@@ -553,6 +555,7 @@ def run_materialize(ctx: PassContext) -> dict:
         pqt.write_table(
             pa.Table.from_pandas(dom, schema=dom_schema, preserve_index=False),
             os.path.join(dom_dir, f"part-{b:03d}.parquet"),
+            compression="zstd",
         )
         nd = len(dom)
         dom_e = _edges_frame(
@@ -756,7 +759,17 @@ def run_materialize(ctx: PassContext) -> dict:
         .union(ray.data.from_arrow(_blocks((meta, "nodes"))))
     )
     pdir = ctx._side_root
-    unified.write_parquet(pdir, partition_cols=["table"])
+    # min_rows_per_file bundles write-task inputs: the union feeds the Write
+    # operator UNFUSED (so bundling cannot cap upstream map parallelism —
+    # unlike the fused map+write case documented in passes._write_delta),
+    # and without it the write ran one task per upstream block: measured
+    # 501 tasks × ~1.5 s fixed cost each (~775 s remote wall, ~1000 tiny
+    # files for 3.2 GB at sf0.4@32cpus) — the single biggest non-scaling
+    # cost in the pipeline. Bundled: ~50 tasks, files ~10× larger.
+    unified.write_parquet(
+        pdir, partition_cols=["table"], min_rows_per_file=700_000,
+        compression="zstd",
+    )
     # hive partition dirs → plain delta-table names the framework registers
     os.rename(os.path.join(pdir, "table=nodes"), os.path.join(pdir, "nodes"))
     os.rename(os.path.join(pdir, "table=edges"), os.path.join(pdir, "edges"))

@@ -293,14 +293,18 @@ def _write_delta(data, tdir: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pqt
 
+    # zstd on every delta: the sandbox disk throttles buffered writeback to
+    # ~30 MB/s per writer (measured; O_DIRECT gets 433 MB/s) — written
+    # bytes are the one resource more CPUs cannot buy, so spend (scaling)
+    # CPU to halve the (non-scaling) IO
     if isinstance(data, pa.Table):
         os.makedirs(tdir, exist_ok=True)
-        pqt.write_table(data, os.path.join(tdir, "part-0.parquet"))
+        pqt.write_table(data, os.path.join(tdir, "part-0.parquet"), compression="zstd")
     else:  # ray.data.Dataset — streamed, multi-file (resumable layout)
         # NO min_rows_per_file: Ray satisfies it by BUNDLING write-task
         # inputs, capping the fused map+write at n_rows/min_rows tasks
         # (measured: 13 tasks on a 32-cpu box — it serialized every
         # pass's tail). Upstream block counts are already CPU-sized, so
         # file counts stay reasonable without coalescing.
-        data.write_parquet(tdir)
+        data.write_parquet(tdir, compression="zstd")
         os.makedirs(tdir, exist_ok=True)  # zero-row writes may skip the dir

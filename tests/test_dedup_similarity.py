@@ -162,3 +162,31 @@ def test_embedding_dups_block_join_matches_bruteforce(ray_session):
     got_df = embedding_dups(sf).to_pandas()
     got = set(zip(got_df["id_a"], got_df["id_b"]))
     assert got == want
+
+
+def test_knn_ivf_recall_vs_bruteforce(ray_session):
+    """IVF top-k recalls most of the exact top-k on the sf0.001 embeddings
+    (same discipline as the LSH recall check): with nprobe/IVF_N_LISTS = 1/4
+    of the lists scanned, recall of the exact neighbor set stays high on
+    this clustered synthetic corpus."""
+    from codepropertygraph_ray.functions.similarity import knn_bruteforce, knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_bruteforce(sf).to_pandas()
+    approx = knn_ivf(sf).to_pandas()
+    exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_set = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(approx_set) > 0
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+
+
+def test_knn_ivf_deterministic(ray_session):
+    """Two runs produce identical rows (codebook + assignment are seeded
+    and data-order-free)."""
+    from codepropertygraph_ray.functions.similarity import knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    a = knn_ivf(sf).to_pandas().sort_values(["query_id", "rank"], ignore_index=True)
+    b = knn_ivf(sf).to_pandas().sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)

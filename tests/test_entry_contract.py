@@ -51,9 +51,9 @@ def test_queries_and_oracles_align(entrymod):
     # every SQL-expressible op is oracled; the documented exceptions aren't
     no_oracle = set(qs) - set(oracles)
     assert no_oracle == {
-        "text_lang_id", "text_simhash", "text_fingerprint",
-        "dedup_minhash_lsh", "sim_knn_lsh",
-        "kg_dot_export", "mm_media_features",
+        "text_simhash", "text_fingerprint",  # keyed/rolling hash — not SQL
+        "dedup_minhash_lsh", "sim_knn_lsh", "sim_knn_ivf",  # approximate
+        "mm_media_features",  # SipHash fake decode
     }
 
 
