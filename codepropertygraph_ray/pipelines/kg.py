@@ -418,6 +418,23 @@ def _edges_frame(n: int, **cols) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def sparse_to_table(df: pd.DataFrame, sch) -> "object":
+    """Sparse node/edge frame → full-schema arrow table (absent columns
+    become ``pa.nulls``). The consumer for sparse `_nodes_frame` /
+    `_edges_frame` output everywhere OUTSIDE materialize's union stream
+    (e.g. the tag write-back pass)."""
+    import pyarrow as pa
+
+    n = len(df)
+    arrays = [
+        pa.Array.from_pandas(df[f.name], type=f.type)
+        if f.name in df.columns
+        else pa.nulls(n, f.type)
+        for f in sch
+    ]
+    return pa.Table.from_arrays(arrays, schema=sch)
+
+
 def _turn_key(conv, idx) -> pd.Series:
     c = pd.Series(_as_np(conv)).astype(str)
     i = pd.Series(_as_np(idx)).astype(np.int64).astype(str)

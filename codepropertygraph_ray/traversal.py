@@ -312,7 +312,7 @@ def tag_pass(runner, traversal: "Traversal", name: str) -> None:
     import pyarrow as pa
 
     from . import ids
-    from .pipelines.kg import _edges_frame, _nodes_frame
+    from .pipelines.kg import _edges_frame, _nodes_frame, sparse_to_table
     from .pipelines.passes import Pass
 
     tagged = traversal.to_pandas()[["id", "label"]]
@@ -330,9 +330,11 @@ def tag_pass(runner, traversal: "Traversal", name: str) -> None:
             label=schema.TAGGED_BY,
             overlay=f"tag_{name}",
         )
+        # frames are SPARSE (absent property columns omitted) — pad to the
+        # full schema with typed nulls
         return {
-            "nodes": pa.Table.from_pandas(nodes, schema=schema.NODES_SCHEMA, preserve_index=False),
-            "edges": pa.Table.from_pandas(edges, schema=schema.EDGES_SCHEMA, preserve_index=False),
+            "nodes": sparse_to_table(nodes, schema.NODES_SCHEMA),
+            "edges": sparse_to_table(edges, schema.EDGES_SCHEMA),
         }
 
     runner.run_extra(Pass(f"tag_{name}", run))
