@@ -43,9 +43,22 @@ def hash_series(parts: list[pd.Series | np.ndarray | list]) -> np.ndarray:
 
 
 def node_ids(label: str, keys: pd.Series | np.ndarray | list) -> np.ndarray:
-    """id = siphash(label ␟ key) — one id per canonical (label, key) pair."""
-    n = len(keys)
-    return hash_series([pd.Series([label] * n, dtype="object"), keys])
+    """id = siphash(label ␟ key) — one id per canonical (label, key) pair.
+
+    Duplicate-aware: graph-emission batches hash the same key many times
+    (every mention row re-derives its conversation/entity id), so the
+    column is factorized first (C-level) and only the UNIQUE keys go
+    through the string-hash path — a ~duplication-factor speedup on the
+    materialize hot path with bit-identical output."""
+    s = keys if isinstance(keys, pd.Series) else pd.Series(keys, dtype="object")
+    s = s.reset_index(drop=True).astype("string").fillna("")
+    codes, uniques = pd.factorize(s, sort=False)
+    if len(uniques) >= len(s):  # no duplication — skip the indirection
+        return hash_series([pd.Series([label] * len(s), dtype="object"), s])
+    uh = hash_series(
+        [pd.Series([label] * len(uniques), dtype="object"), pd.Series(uniques)]
+    )
+    return uh[codes]
 
 
 def node_id_scalar(label: str, key: str) -> int:
@@ -69,7 +82,12 @@ def composite_ids(label: str, str_key, *int_parts) -> np.ndarray:
     salt = _SALT_CACHE.get(label)
     if salt is None:
         salt = _SALT_CACHE.setdefault(label, np.int64(node_id_scalar("\x00label", label)))
-    base = hash_series([str_key])
+    s = str_key if isinstance(str_key, pd.Series) else pd.Series(str_key, dtype="object")
+    s = s.reset_index(drop=True).astype("string").fillna("")
+    # factorize: hash each DISTINCT string once (turn batches repeat each
+    # conv_id ~n_turns times), then fan back out by code
+    codes, uniques = pd.factorize(s, sort=False)
+    base = hash_series([pd.Series(uniques)])[codes]
     ints = [np.asarray(p).astype(np.int64, copy=False) for p in int_parts]
     return mix_ids(base, *ints, salt)
 
