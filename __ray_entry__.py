@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_extract_k": relational.events_extract_k,
         "rel_shipped_monthly": relational.shipped_monthly,
         "rel_asof_click_view": asof.asof_join_events,
+        "rel_sessionize": relational.sessionize_events,
+        "rel_topk_per_customer": relational.topk_orders_per_customer,
+        "rel_value_bands": relational.events_value_bands,
         # --- training-data ops: text analysis -----------------------------
         "text_token_stats": text.token_stats,
         "text_quality": text.quality_signals,
@@ -99,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_knn_lsh": similarity.knn_lsh,  # approximate — no SQL oracle
         "sim_knn_ivf": similarity.knn_ivf,  # approximate — no SQL oracle
         "sim_embedding_dups": similarity.embedding_dups,
+        "sim_dup_groups": similarity.dup_groups,
         # --- multimodal plumbing (decode stub) -----------------------------
         "mm_media_features": multimodal.media_features,  # no SQL oracle
     }
@@ -448,6 +452,47 @@ def _rel_sql() -> dict[str, str]:
           FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
           GROUP BY date_trunc('month', l_shipdate)
         """,
+        # gap-based sessionization: LAG + running sum of breaks = the same
+        # per-user session assignment the bucketed Ray pass computes
+        "rel_sessionize": """
+          WITH o AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ), s AS (
+            SELECT user_id, ts, value,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+            FROM o
+          )
+          SELECT user_id, CAST(sess + 1 AS BIGINT) AS session_idx,
+                 min(ts) AS session_start, max(ts) AS session_end,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 round(sum(value), 2) AS sum_value
+          FROM s GROUP BY user_id, sess
+        """,
+        "rel_topk_per_customer": """
+          SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+          FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders
+          ) WHERE rnk <= 3
+        """,
+        # genuine range join against the literal interval table (the Ray
+        # path broadcasts the same bands and probes with searchsorted)
+        "rel_value_bands": """
+          SELECT e.event_type, b.band,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 round(sum(e.value), 2) AS sum_value
+          FROM events e JOIN (VALUES
+            (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'), (100.0, 1e18, 'high')
+          ) AS b(lo, hi, band) ON e.value >= b.lo AND e.value < b.hi
+          GROUP BY e.event_type, b.band
+        """,
     }
 
 
@@ -547,6 +592,24 @@ def _ops_sql() -> dict[str, str]:
           SELECT a.vec_id AS id_a, b.vec_id AS id_b
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {DUP_COS_THRESHOLD}
+        """,
+        # connected components over the dup-pair graph: transitive closure
+        # by recursive CTE, component label = MIN reachable id — exactly
+        # the canonical label functions/cc.py assigns
+        "sim_dup_groups": f"""
+          WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {DUP_COS_THRESHOLD}
+          ),
+          e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+          reach(n, m) AS (
+            SELECT a, a FROM e GROUP BY a
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+          )
+          SELECT n AS vec_id, min(m) AS group_id FROM reach GROUP BY n
         """,
     }
 

@@ -345,3 +345,132 @@ def shipped_monthly(sf_dir: str):
     return out.map_batches(
         lambda t: t.assign(revenue=t["revenue"].round(2)), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# session windows (gap-based sessionization — the training-data log split)
+# ---------------------------------------------------------------------------
+
+
+def sessionize_events(sf_dir: str, gap_min: int = 30):
+    """Gap-based session windows per user over the events log.
+
+    The streaming sessionizer re-expressed batch-style (ray_guide
+    'Streaming-shaped workloads'): ``hash_groupby`` co-locates each user's
+    events, then ONE vectorized pass per bucket sorts, breaks on
+    ``gap > gap_min`` (LAG + cumulative sum — no per-row loop), and
+    aggregates per session. Scale shape: the shuffle is keyed by user, so
+    session state never crosses tasks and no watermark machinery is
+    needed; skew = the hottest single user, which fits one task by
+    construction.
+    """
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    gap = pd.Timedelta(minutes=gap_min)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = new_user | (g["ts"] - g["ts"].shift() > gap)
+        g["_sess"] = brk.cumsum()  # globally increasing → unique per session
+        out = g.groupby(["user_id", "_sess"], as_index=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+            sum_value=("value", "sum"),
+        )
+        # per-user session ordinal (sessions sort by start within a user)
+        out = out.sort_values(["user_id", "_sess"], ignore_index=True)
+        out["session_idx"] = out.groupby("user_id").cumcount() + 1
+        out["sum_value"] = out["sum_value"].round(2)
+        return out[
+            ["user_id", "session_idx", "session_start", "session_end",
+             "n_events", "sum_value"]
+        ]
+
+    return hash_groupby(ds, "user_id", per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (windowed rank — local combiner bounds the shuffle)
+# ---------------------------------------------------------------------------
+
+
+def topk_orders_per_customer(sf_dir: str, k: int = 3):
+    """Top-k orders per customer by price (orderkey tiebreak).
+
+    ROW_NUMBER-per-partition re-expressed with the partial-aggregation
+    discipline: a per-batch local top-k first (shuffle volume drops from
+    all rows to ≤ k per key per batch), then the bucketed groupby takes
+    the true top-k and ranks — never a global sort.
+    """
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    BY = ["o_custkey", "o_totalprice", "o_orderkey"]
+    ASC = [True, False, True]
+
+    def local_topk(t: pd.DataFrame) -> pd.DataFrame:
+        return t.sort_values(BY, ascending=ASC).groupby(
+            "o_custkey", as_index=False, sort=False
+        ).head(k)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(BY, ascending=ASC, ignore_index=True)
+        g = g.groupby("o_custkey", as_index=False, sort=False).head(k).copy()
+        g["rnk"] = g.groupby("o_custkey").cumcount() + 1
+        return g
+
+    return hash_groupby(
+        ds.map_batches(local_topk, batch_format="pandas"), "o_custkey", per_bucket
+    )
+
+
+# ---------------------------------------------------------------------------
+# range join against a small interval table (banded lookup)
+# ---------------------------------------------------------------------------
+
+# value bands: [lo, hi) half-open, covering the full domain
+_VALUE_BANDS = [
+    (0.0, 10.0, "low"),
+    (10.0, 100.0, "mid"),
+    (100.0, 1e18, "high"),
+]
+
+
+def events_value_bands(sf_dir: str):
+    """Range join of the event stream against a small interval table.
+
+    The canonical scale shape for banded / IP-range / threshold joins:
+    the small side is a constant broadcast (here a literal; at scale a
+    ``ray.put`` handle) and the probe is a per-batch vectorized
+    ``searchsorted`` over the sorted interval starts — no shuffle at all
+    on the big side until the final tiny aggregation. An all-to-all range
+    join is never needed when one side fits in memory.
+    """
+    from .agg import hash_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    los = np.array([b[0] for b in _VALUE_BANDS])
+    names = np.array([b[2] for b in _VALUE_BANDS], dtype=object)
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(los, t["value"].to_numpy(), side="right") - 1
+        g = pd.DataFrame(
+            {"event_type": t["event_type"], "band": names[idx],
+             "value": t["value"], "n": 1}
+        )
+        return g.groupby(["event_type", "band"], as_index=False).agg(
+            n_events=("n", "sum"), sum_value=("value", "sum")
+        )
+
+    out = hash_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "band"],
+        n_events=("n_events", "sum"),
+        sum_value=("sum_value", "sum"),
+    )
+    return out.map_batches(
+        lambda t: t.assign(sum_value=t["sum_value"].round(2)), batch_format="pandas"
+    )

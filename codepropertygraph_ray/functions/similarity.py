@@ -321,3 +321,25 @@ def embedding_dups(sf_dir: str):
         .groupby("pair")
         .map_groups(score, batch_format="pandas")
     )
+
+
+def dup_groups(sf_dir: str):
+    """Near-duplicate CLUSTERS: connected components over the pair graph.
+
+    ``embedding_dups`` yields pairs; dedup policy needs groups (keep one
+    representative per component). The engine's own connected-components
+    machinery (`functions/cc.py` — union-find on the driver for small
+    graphs, hash-min label propagation for large) canonicalizes each
+    component to its MIN vec_id, so the result is deterministic and the
+    recursive-CTE oracle can reproduce it exactly. Pair volume is
+    vocab-scale (duplicates only), far below corpus scale, so the
+    auto-path pick in ``canonical_map`` holds at 100 TB.
+    """
+    from .cc import canonical_map
+
+    pairs = embedding_dups(sf_dir).map_batches(
+        lambda t: t.rename(columns={"id_a": "a", "id_b": "b"}),
+        batch_format="pandas",
+    )
+    out = canonical_map(pairs)
+    return out.rename(columns={"node": "vec_id", "component": "group_id"})

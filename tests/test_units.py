@@ -291,3 +291,74 @@ def test_fingerprint_batch_matches_per_doc_reference():
     # identical docs get identical fingerprints
     dup = fingerprint_batch(pd.DataFrame({"doc_id": [0, 1], "text": [texts[5], texts[5]]}))
     assert dup["fingerprint"][0] == dup["fingerprint"][1]
+
+
+def test_sessionize_gap_breaks(ray_session, tmp_path):
+    import os
+    import pandas as pd
+
+    from codepropertygraph_ray.functions.relational import sessionize_events
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 01:00",  # u1: gap>30m
+         "2024-01-01 00:00"]                                          # u2
+    )
+    pd.DataFrame(
+        {"event_id": [1, 2, 3, 4], "ts": ts, "user_id": [1, 1, 1, 2],
+         "event_type": ["a"] * 4, "value": [1.0, 2.0, 4.0, 8.0],
+         "props": [""] * 4}
+    ).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = sessionize_events(str(tmp_path)).to_pandas().sort_values(
+        ["user_id", "session_idx"], ignore_index=True
+    )
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["session_idx"].tolist() == [1, 2, 1]
+    assert out["sum_value"].tolist() == [3.0, 4.0, 8.0]
+
+
+def test_topk_per_customer_rank_and_tiebreak(ray_session, tmp_path):
+    import os
+    import pandas as pd
+
+    from codepropertygraph_ray.functions.relational import topk_orders_per_customer
+
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4, 5], "o_custkey": [7, 7, 7, 7, 8],
+         "o_orderstatus": ["O"] * 5, "o_totalprice": [50.0, 90.0, 90.0, 10.0, 5.0],
+         "o_orderdate": pd.to_datetime(["2024-01-01"] * 5),
+         "o_orderpriority": ["1-URGENT"] * 5}
+    ).to_parquet(os.path.join(str(tmp_path), "orders.parquet"))
+    out = topk_orders_per_customer(str(tmp_path), k=3).to_pandas().sort_values(
+        ["o_custkey", "rnk"], ignore_index=True
+    )
+    # cust 7: price 90 (key 2), 90 (key 3 — tiebreak by key), 50 (key 1)
+    assert out.loc[out["o_custkey"] == 7, "o_orderkey"].tolist() == [2, 3, 1]
+    assert out.loc[out["o_custkey"] == 8, "rnk"].tolist() == [1]
+
+
+def test_value_bands_boundaries(ray_session, tmp_path):
+    import os
+    import pandas as pd
+
+    from codepropertygraph_ray.functions.relational import events_value_bands
+
+    pd.DataFrame(
+        {"event_id": [1, 2, 3, 4], "ts": pd.to_datetime(["2024-01-01"] * 4),
+         "user_id": [1, 1, 1, 1], "event_type": ["x"] * 4,
+         "value": [0.0, 9.99, 10.0, 100.0],  # [lo, hi) boundary semantics
+         "props": [""] * 4}
+    ).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = events_value_bands(str(tmp_path)).to_pandas()
+    got = dict(zip(out["band"], out["n_events"]))
+    assert got == {"low": 2, "mid": 1, "high": 1}
+
+
+def test_dup_groups_transitive(ray_session):
+    from codepropertygraph_ray.functions.similarity import dup_groups
+
+    out = dup_groups("/root/testdata/sf0.001")
+    # every group's id equals the min vec_id inside it (cc canonical label)
+    assert (out.groupby("group_id")["vec_id"].min() ==
+            out.groupby("group_id")["vec_id"].apply(lambda s: s.min())).all()
+    assert (out.groupby("group_id")["group_id"].first() ==
+            out.groupby("group_id")["vec_id"].min()).all()
