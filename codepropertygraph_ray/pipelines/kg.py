@@ -9,7 +9,7 @@ Ray-Data transposition of the reference's build lifecycle (SURVEY.md §3.4):
       → entities pass (FUSED): entity dimension     # F7/F8 TypeNodePass +
         + alias pairs + union-find canonical map    #   O14/NodeFilter analog
       → link pass (FUSED): broadcast canon probe    # O5/O10 Linker/CallLinker
-        → mention_links; dual-keyed exchange        #   + NodeFilter dedup +
+        + dual-keyed exchange in ONE execution      #   + NodeFilter dedup +
         → triples ∥ reaching ∥ linked-canons        #   ReachingDefPass analog
       → materialize nodes/edges (+ per-conv passes) # S8 + F5 CfgCreationPass
       → schema-facts validation                     # cpgvalidator analog
@@ -229,18 +229,22 @@ def run_link(ctx: PassContext) -> dict:
     themselves (log-and-continue soft-fail, `Linker.scala:244-266` — no row
     is dropped).
 
-    Execution shape (two executions total):
+    Execution shape (ONE execution — round 2 cut the ``mention_links``
+    full-table rewrite: the canon columns are a pure broadcast-lookup
+    function of the base records, so persisting records+canon as a second
+    corpus-scale delta bought nothing downstream consumers can't derive
+    per batch from the canon map; at 100 TB that delta was the single
+    largest write after the graph itself):
 
-    * exec 1 — ONE records scan links facts and mentions in the same batch
-      body → ``mention_links`` delta.
-    * exec 2 — ONE scan of the written delta feeds a DUAL-KEYED bucket
-      shuffle: fact rows bucket by (subj, pred, obj) for the exact-triple
-      dedup (NodeFilter.scala:12-27 first-wins, order-free: winner = the
-      lexicographic minimum (conv, turn)); mention rows bucket by conv_id
-      for the reaching-mentions overlay (ReachingDefPass analog,
+    * ONE base-records scan links facts and mentions in the batch body
+      and feeds a DUAL-KEYED bucket shuffle: fact rows bucket by
+      (subj, pred, obj) for the exact-triple dedup (NodeFilter.scala:12-27
+      first-wins, order-free: winner = the lexicographic minimum
+      (conv, turn)); mention rows bucket by conv_id for the
+      reaching-mentions overlay (ReachingDefPass analog,
       stages/reaching.py). The per-bucket reducer RETURNS triple rows and
-      SIDE-WRITES the reaching pairs and the linked-canon partials — three
-      deltas, one barrier.
+      SIDE-WRITES the reaching pairs and the linked-canon partials —
+      three deltas, one barrier.
     """
     import ray
 
@@ -249,20 +253,12 @@ def run_link(ctx: PassContext) -> dict:
     cmap = ctx.read_table("entities", "canon_map").to_pandas()
     canon_ref = ray.put(build_lookup(cmap["node"], cmap["component"]))
 
-    records = ctx.read(
-        "base",
-        "records",
-        columns=["kind", "conv_id", "turn_idx", "ordinal", "surface", "key", "pred", "obj_key"],
-    )
-
     def link_records(t: pd.DataFrame) -> pd.DataFrame:
         table = get_broadcast(canon_ref)
         t = t.copy()
         t["canon"] = lookup_keys(table, t["key"], default="self")
         t["obj_canon"] = lookup_keys(table, t["obj_key"], default="self")
         return t
-
-    linked_records = records.map_batches(link_records, batch_format="pandas")
 
     NB = 64  # spo buckets; conv buckets live at NB..2*NB-1
 
@@ -284,10 +280,10 @@ def run_link(ctx: PassContext) -> dict:
         )
 
         linked = c.read(
-            "link",
-            "mention_links",
-            columns=["kind", "pred", "conv_id", "turn_idx", "key", "canon", "obj_canon"],
-        )
+            "base",
+            "records",
+            columns=["kind", "pred", "conv_id", "turn_idx", "key", "obj_key"],
+        ).map_batches(link_records, batch_format="pandas")
 
         def tag(t: pd.DataFrame) -> pd.DataFrame:
             f = t[(t["kind"] == "fact") & (t["pred"] != schema.ALIAS_PRED)]
@@ -357,7 +353,7 @@ def run_link(ctx: PassContext) -> dict:
             .map_groups(dispatch, batch_format="pandas")
         )
 
-    return {"mention_links": linked_records, "triples": derived_from_delta}
+    return {"triples": derived_from_delta}
 
 
 # ---------------------------------------------------------------------------
@@ -636,14 +632,25 @@ def run_materialize(ctx: PassContext) -> dict:
         )
         return _blocks((nodes, "nodes"))
 
-    # --- mention nodes + edges from ONE mention_links scan -----------------
+    # --- mention nodes + edges from ONE base-records scan ------------------
+    # round 2: the mention_links delta (records + canon columns) is gone —
+    # canon is a pure broadcast-lookup function of the base records, so the
+    # scan re-derives it per batch instead of re-reading a second
+    # corpus-scale delta (the largest write after the graph itself).
+    from ..functions.joins import build_lookup, get_broadcast, lookup_keys
+
+    cmap = ctx.read_table("entities", "canon_map").to_pandas()
+    cmap_ref = ray.put(build_lookup(cmap["node"], cmap["component"]))
+
+    def mention_rows(t: pd.DataFrame) -> pd.DataFrame:
+        m = t[t["kind"] == "mention"].drop(columns=["kind"]).copy()
+        m["canon"] = lookup_keys(get_broadcast(cmap_ref), m["key"], default="self")
+        return _empty_safe(m)
+
     mlinks = ctx.read(
-        "link", "mention_links",
-        columns=["kind", "conv_id", "turn_idx", "ordinal", "surface", "key", "canon"],
-    ).map_batches(
-        lambda t: _empty_safe(t[t["kind"] == "mention"].drop(columns=["kind"])),
-        batch_format="pandas",
-    )
+        "base", "records",
+        columns=["kind", "conv_id", "turn_idx", "ordinal", "surface", "key"],
+    ).map_batches(mention_rows, batch_format="pandas")
 
     def mention_graph(t: pd.DataFrame) -> pa.Table:
         n = len(t)
@@ -679,12 +686,9 @@ def run_materialize(ctx: PassContext) -> dict:
     # is never driver-materialized (it grows with the corpus); only the
     # canon map and the linked-canon set (both vocab-dimension) broadcast.
     from ..functions.agg import hash_groupby
-    from ..functions.joins import build_lookup, get_broadcast, lookup_keys
 
     import pyarrow.dataset as pads
 
-    cmap = ctx.read_table("entities", "canon_map").to_pandas()
-    cmap_ref = ray.put(build_lookup(cmap["node"], cmap["component"]))
     linked_partials = (
         pads.dataset(ctx.delta_dir("link", "linked_canons")).to_table().column("canon")
     )
