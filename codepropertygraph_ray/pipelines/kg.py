@@ -439,27 +439,34 @@ def _turn_key(conv, idx) -> pd.Series:
 
 def run_materialize(ctx: PassContext) -> dict:
     """Emit the graph (nodes + edges tables, NODES_SCHEMA / EDGES_SCHEMA)
-    in ONE streaming execution.
+    in ONE streaming execution with IN-TASK writes.
 
     All ids are content hashes (ids.py) so every stage can mint the id of
     any node it references without coordination — the replacement for the
     reference's KeyPool + single-writer apply (`ParallelCpgPass.scala:86-121`).
 
-    Scale shape: every input is scanned ONCE; each scan's map emits BOTH
-    its node rows and its edge rows into one union-schema stream that is
-    written with a partitioned sink (``partition_cols=["table"]`` →
-    ``nodes/`` + ``edges/`` dirs, registered as separate deltas). Round-1
-    ran nodes and edges as two executions that re-scanned transcripts,
-    mention_links and triples — one barrier and one scan per input
-    eliminated here lifted the measured 8→32 scaling efficiency.
+    Scale shape: every input is scanned ONCE, and every scan's map WRITES
+    its node/edge rows to the ``nodes/`` + ``edges/`` delta dirs from
+    inside its own task (``write_graph`` below — single-threaded
+    pq.write_table, one file per task), returning only a tiny summary
+    block. The branches union into one summary stream whose count()
+    drives the execution. Earlier shapes paid for their plumbing at the
+    DRIVER: a union-schema stream into Ray's partitioned Write operator
+    cost ~500 extra unfused write tasks + the full graph moving through
+    the object store, and the measured driver-side cost of ~10-20 ms per
+    task launch×completion (~1,450 tasks ≈ 15-30 s) was the pipeline's
+    CPU-count-independent scaling floor. In-task writes + the fused
+    exchange below cut the task count roughly in half.
 
-    The conversation-keyed exchange is shared too: ONE conv_id bucket
-    shuffle yields NEXT_TURN edges (CfgCreationPass per-method pattern,
-    `CfgCreationPass.scala:28-36`), the dominator/post-dominator/CDG
-    overlay edges (`CfgDominatorPass.scala:15-60`, `CdgPass.scala:17-54`
-    — closed-form interval-DAG evaluation, `functions/graph.py`
-    ``conv_dominators_frame``), and side-writes the ``dom`` delta the
-    query surface reads.
+    The conversation-keyed exchange is shared AND dual-keyed (the link
+    pass pattern): ONE sort carries conv-bucketed turn rows (buckets
+    0..NBC-1 → NEXT_TURN edges, `CfgCreationPass.scala:28-36`;
+    dominator/post-dominator/CDG overlay edges,
+    `CfgDominatorPass.scala:15-60`, `CdgPass.scala:17-54` — closed-form
+    interval-DAG evaluation, `functions/graph.py`; CONVERSATION dimension
+    nodes, conv-exclusive per bucket; and the side-written ``dom`` delta)
+    and dim-partial rows (buckets NBC.. → globally-distinct SPEAKER/TOOL
+    dimension nodes).
     """
     import pyarrow as pa
     import pyarrow.parquet as pqt
@@ -467,38 +474,56 @@ def run_materialize(ctx: PassContext) -> dict:
     import ray.data
 
     overlay = "materialize"
+    ndir = os.path.join(ctx._side_root, "nodes")
+    edir = os.path.join(ctx._side_root, "edges")
+    os.makedirs(ndir, exist_ok=True)
+    os.makedirs(edir, exist_ok=True)
 
-    # union schema: nodes ∪ edges columns + the partition tag
-    graph_schema = pa.schema(
-        [("table", pa.string())]
-        + list(schema.NODES_SCHEMA)
-        + [("src", pa.int64()), ("dst", pa.int64()), ("variable", pa.string())]
-    )
+    _SUM_SCHEMA = pa.schema([("table", pa.string()), ("rows", pa.int64())])
 
-    def _graph_block(df: pd.DataFrame, kind: str) -> pa.Table:
-        n = len(df)
-        arrays = []
-        for field in graph_schema:
-            if field.name == "table":
-                arrays.append(pa.array([kind] * n, pa.string()))
-            elif field.name in df.columns:
-                arrays.append(pa.Array.from_pandas(df[field.name], type=field.type))
-            else:
-                arrays.append(pa.nulls(n, field.type))
-        return pa.Table.from_arrays(arrays, schema=graph_schema)
+    def write_graph(*parts) -> pa.Table:
+        """Write sparse node/edge frames from INSIDE the task (one file
+        per kind per call, single-threaded writer — see functions/sink.py
+        for why Ray's Write operator is avoided); returns a summary."""
+        import uuid as _uuid
 
-    def _blocks(*parts) -> pa.Table:
-        tbls = [_graph_block(df, kind) for df, kind in parts if len(df)]
-        if not tbls:
-            return graph_schema.empty_table()
-        return pa.concat_tables(tbls)
+        fname = f"part-{_uuid.uuid4().hex}.parquet"
+        groups: dict = {"nodes": [], "edges": []}
+        for df, kind in parts:
+            if len(df):
+                sch = schema.NODES_SCHEMA if kind == "nodes" else schema.EDGES_SCHEMA
+                groups[kind].append(
+                    sparse_to_table(df, sch).replace_schema_metadata(None)
+                )
+        names, rows = [], []
+        for kind, tbls in groups.items():
+            if not tbls:
+                continue
+            t = tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
+            pqt.write_table(
+                t,
+                os.path.join(ndir if kind == "nodes" else edir, fname),
+                compression="zstd",
+            )
+            names.append(kind)
+            rows.append(t.num_rows)
+        return pa.table({"table": names, "rows": rows}, schema=_SUM_SCHEMA)
 
-    # --- turn nodes + turn edges from ONE (text-pruned!) transcript scan --
+    # --- ONE (text-pruned!) transcript scan: writes TURN nodes +
+    # AST/SPOKEN_BY/USES_TOOL edges in-task, RETURNS the rows of the
+    # shared dual-keyed exchange (conv rows + dim partials)
     from ..sources.transcripts import read_transcripts
 
     turns = read_transcripts(ctx.sf_dir, columns=["conv_id", "turn_idx", "role", "tool"])
 
-    def turn_graph(t: pd.DataFrame) -> pa.Table:
+    from ..functions.agg import DEFAULT_BUCKETS
+    from ..functions.graph import conv_dominators_frame
+
+    NBC = DEFAULT_BUCKETS  # conv buckets 0..NBC-1
+    NBD = 8  # dim buckets NBC..NBC+NBD-1
+    _EXCH_COLS = ["_bucket", "conv_id", "turn_idx", "role", "dim_label", "dim_key"]
+
+    def turn_graph(t: pd.DataFrame) -> pd.DataFrame:
         n = len(t)
         tk = _turn_key(t["conv_id"], t["turn_idx"])  # display name only
         turn_ids = ids.composite_ids("TURN", t["conv_id"], t["turn_idx"])
@@ -536,31 +561,60 @@ def run_materialize(ctx: PassContext) -> dict:
                     overlay=overlay,
                 )
             )
-        # heterogeneous sparse frames convert to arrow individually (a
-        # pd.concat would densify every absent column to NaN objects)
-        return _blocks((nodes, "nodes"), *[(f, "edges") for f in frames])
+        write_graph((nodes, "nodes"), *[(f, "edges") for f in frames])
+        # exchange rows: every turn keyed by conv hash; per-batch-distinct
+        # SPEAKER/TOOL partials keyed by (label, key) hash (tiny)
+        conv = pd.DataFrame(
+            {
+                "_bucket": (ids.hash_series([t["conv_id"]]) % NBC).astype("int32"),
+                "conv_id": t["conv_id"].to_numpy(),
+                "turn_idx": t["turn_idx"].to_numpy(),
+                "role": t["role"].to_numpy(),
+                "dim_label": np.full(n, "", dtype=object),
+                "dim_key": np.full(n, "", dtype=object),
+            }
+        )
+        roles = t["role"].drop_duplicates()
+        tools = tt["tool"].drop_duplicates()
+        dl = pd.Series(
+            [schema.SPEAKER] * len(roles) + [schema.TOOL] * len(tools), dtype="object"
+        )
+        dk = pd.concat([roles, tools], ignore_index=True)
+        dims = pd.DataFrame(
+            {
+                "_bucket": (NBC + ids.hash_series([dl, dk]) % NBD).astype("int32"),
+                "conv_id": np.full(len(dl), "", dtype=object),
+                "turn_idx": np.zeros(len(dl), dtype=t["turn_idx"].dtype),
+                "role": np.full(len(dl), "", dtype=object),
+                "dim_label": dl.to_numpy(),
+                "dim_key": dk.to_numpy(),
+            }
+        )
+        return pd.concat([conv[_EXCH_COLS], dims[_EXCH_COLS]], ignore_index=True)
 
-    # --- ONE conv-keyed exchange: NEXT_TURN + dominator overlay + dom delta
-    from ..functions.agg import DEFAULT_BUCKETS
-    from ..functions.graph import conv_dominators_frame
-
+    # --- the shared exchange: conv buckets → NEXT_TURN + dominator overlay
+    # + dom delta + CONVERSATION nodes; dim buckets → SPEAKER/TOOL nodes
     dom_dir = ctx.side_dir("dom")
     dom_schema = pa.schema(
         [("conv_id", pa.string()), ("kind", pa.string()),
          ("a", pa.int32()), ("b", pa.int32())]
     )
     _dom_label = {"dom": schema.DOMINATE, "pdom": schema.POST_DOMINATE, "cdg": schema.CDG}
-    conv_turns = read_transcripts(ctx.sf_dir, columns=["conv_id", "turn_idx", "role"])
-    NBC = DEFAULT_BUCKETS
 
-    def conv_tag(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.copy()
-        t["_bucket"] = (ids.hash_series([t["conv_id"]]) % NBC).astype("int32")
-        return t
-
-    def conv_bucket(g: pd.DataFrame) -> pa.Table:
+    def conv_or_dim_bucket(g: pd.DataFrame) -> pa.Table:
         b = int(g["_bucket"].iloc[0])
-        g = g.drop(columns=["_bucket"]).sort_values(
+        if b >= NBC:  # dim bucket → globally-distinct SPEAKER/TOOL nodes
+            d = g.drop_duplicates(["dim_label", "dim_key"])
+            dim_nodes = _nodes_frame(
+                len(d),
+                id=ids.hash_series([d["dim_label"], d["dim_key"]]),
+                label=d["dim_label"].to_numpy(),
+                name=d["dim_key"].to_numpy(),
+                full_name=d["dim_key"].to_numpy(),
+                overlay=overlay,
+            )
+            return write_graph((dim_nodes, "nodes"))
+        g = g[["conv_id", "turn_idx", "role"]].sort_values(
             ["conv_id", "turn_idx"], ignore_index=True
         )
         # dominators / post-dominators / CDG (closed form == CHK, tested)
@@ -586,51 +640,27 @@ def run_materialize(ctx: PassContext) -> dict:
             int(same.sum()), src=tid[:-1][same[:-1]], dst=tid[1:][same[:-1]],
             label=schema.NEXT_TURN, overlay=overlay,
         )
-        return _blocks((dom_e, "edges"), (nt, "edges"))
-
-    conv_graph = (
-        conv_turns.map_batches(conv_tag, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(conv_bucket, batch_format="pandas")
-    )
-
-    # --- dimension nodes (conversation / speaker / tool) -------------------
-    # ONE scan + ONE bucketed shuffle covers all three dimensions: partials
-    # emit (label, key) for CONVERSATION / SPEAKER / TOOL alike
-    from ..functions.agg import hash_agg
-
-    def dim_partials(t: pd.DataFrame) -> pd.DataFrame:
-        convs = t["conv_id"].drop_duplicates()
-        roles = t["role"].drop_duplicates()
-        tools = t.loc[(t["role"] == "tool") & t["tool"].fillna("").ne(""), "tool"].drop_duplicates()
-        return pd.DataFrame(
-            {
-                "label": [schema.CONVERSATION] * len(convs)
-                + [schema.SPEAKER] * len(roles)
-                + [schema.TOOL] * len(tools),
-                "key": pd.concat([convs, roles, tools], ignore_index=True),
-            }
-        )
-
-    dims = hash_agg(
-        turns.map_batches(dim_partials, batch_format="pandas"),
-        ["label", "key"],
-        _n=("key", "size"),
-    )
-
-    def dim_graph(t: pd.DataFrame) -> pa.Table:
-        n = len(t)
-        is_conv = (t["label"] == schema.CONVERSATION).to_numpy()
-        nodes = _nodes_frame(
-            n,
-            id=ids.hash_series([t["label"], t["key"]]),
-            label=t["label"].to_numpy(),
-            name=t["key"].to_numpy(),
-            full_name=t["key"].to_numpy(),
-            conv_id=np.where(is_conv, t["key"], None),
+        # CONVERSATION dimension nodes: conv_ids are bucket-exclusive
+        # (hashed by conv_id), so per-bucket distinct IS globally distinct
+        convs = g["conv_id"].drop_duplicates()
+        conv_nodes = _nodes_frame(
+            len(convs),
+            id=ids.node_ids(schema.CONVERSATION, convs),
+            label=schema.CONVERSATION,
+            name=convs.to_numpy(),
+            full_name=convs.to_numpy(),
+            conv_id=convs.to_numpy(),
             overlay=overlay,
         )
-        return _blocks((nodes, "nodes"))
+        return write_graph(
+            (conv_nodes, "nodes"), (dom_e, "edges"), (nt, "edges")
+        )
+
+    conv_graph = (
+        turns.map_batches(turn_graph, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(conv_or_dim_bucket, batch_format="pandas")
+    )
 
     # --- mention nodes + edges from ONE base-records scan ------------------
     # round 2: the mention_links delta (records + canon columns) is gone —
@@ -670,7 +700,7 @@ def run_materialize(ctx: PassContext) -> dict:
         tid = ids.composite_ids("TURN", t["conv_id"], t["turn_idx"])
         cid = ids.node_ids(schema.CONVERSATION, t["conv_id"])
         eid = ids.node_ids(schema.ENTITY, t["canon"])
-        return _blocks(
+        return write_graph(
             (nodes, "nodes"),
             (_edges_frame(n, src=tid, dst=mid, label=schema.AST,
                           order=t["ordinal"].to_numpy(), overlay=overlay), "edges"),
@@ -721,7 +751,7 @@ def run_materialize(ctx: PassContext) -> dict:
             is_external=(~ents["canon"].isin(linked)).to_numpy(),
             overlay=overlay,
         )
-        return _blocks((nodes, "nodes"))
+        return write_graph((nodes, "nodes"))
 
     entity_graph_ds = hash_groupby(
         entity_keys.map_batches(canon_partials, batch_format="pandas"),
@@ -742,7 +772,7 @@ def run_materialize(ctx: PassContext) -> dict:
             variable=t["variable"].to_numpy(),
             overlay="reaching",
         )
-        return _blocks((edges, "edges"))
+        return write_graph((edges, "edges"))
 
     # --- FACT edges from triples ------------------------------------------
     triples = ctx.read("link", "triples")
@@ -757,9 +787,10 @@ def run_materialize(ctx: PassContext) -> dict:
             variable=t["pred"].to_numpy(),
             overlay=overlay,
         )
-        return _blocks((edges, "edges"))
+        return write_graph((edges, "edges"))
 
     # --- META_DATA node (exactly one; carries the overlay ledger) ---------
+    # written directly by the driver — no Ray execution for one row
     meta = _nodes_frame(
         1,
         id=[ids.node_id_scalar(schema.META_DATA, "kg")],
@@ -768,32 +799,22 @@ def run_materialize(ctx: PassContext) -> dict:
         full_name="codepropertygraph_ray/0.1.0",
         overlay="base",
     )
+    pqt.write_table(
+        sparse_to_table(meta, schema.NODES_SCHEMA).replace_schema_metadata(None),
+        os.path.join(ndir, "part-meta.parquet"),
+        compression="zstd",
+    )
 
-    unified = (
-        turns.map_batches(turn_graph, batch_format="pandas")
-        .union(conv_graph)
-        .union(dims.map_batches(dim_graph, batch_format="pandas"))
+    # every branch writes its own files; the union carries only the tiny
+    # per-task summaries, and ONE count() drives the whole execution
+    summaries = (
+        conv_graph
         .union(mlinks.map_batches(mention_graph, batch_format="pandas"))
         .union(entity_graph_ds)
         .union(reaching.map_batches(reaches_graph, batch_format="pandas"))
         .union(triples.map_batches(fact_graph, batch_format="pandas"))
-        .union(ray.data.from_arrow(_blocks((meta, "nodes"))))
     )
-    pdir = ctx._side_root
-    # min_rows_per_file bundles write-task inputs: the union feeds the Write
-    # operator UNFUSED (so bundling cannot cap upstream map parallelism —
-    # unlike the fused map+write case documented in passes._write_delta),
-    # and without it the write ran one task per upstream block: measured
-    # 501 tasks × ~1.5 s fixed cost each (~775 s remote wall, ~1000 tiny
-    # files for 3.2 GB at sf0.4@32cpus) — the single biggest non-scaling
-    # cost in the pipeline. Bundled: ~50 tasks, files ~10× larger.
-    unified.write_parquet(
-        pdir, partition_cols=["table"], min_rows_per_file=700_000,
-        compression="zstd",
-    )
-    # hive partition dirs → plain delta-table names the framework registers
-    os.rename(os.path.join(pdir, "table=nodes"), os.path.join(pdir, "nodes"))
-    os.rename(os.path.join(pdir, "table=edges"), os.path.join(pdir, "edges"))
+    summaries.count()
     return {}
 
 

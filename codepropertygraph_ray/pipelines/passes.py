@@ -301,10 +301,13 @@ def _write_delta(data, tdir: str) -> None:
         os.makedirs(tdir, exist_ok=True)
         pqt.write_table(data, os.path.join(tdir, "part-0.parquet"), compression="zstd")
     else:  # ray.data.Dataset — streamed, multi-file (resumable layout)
-        # NO min_rows_per_file: Ray satisfies it by BUNDLING write-task
-        # inputs, capping the fused map+write at n_rows/min_rows tasks
-        # (measured: 13 tasks on a 32-cpu box — it serialized every
-        # pass's tail). Upstream block counts are already CPU-sized, so
-        # file counts stay reasonable without coalescing.
-        data.write_parquet(tdir, compression="zstd")
-        os.makedirs(tdir, exist_ok=True)  # zero-row writes may skip the dir
+        # in-task single-threaded sink, NOT Dataset.write_parquet: Ray's
+        # Write operator runs pyarrow.dataset.write_dataset per task,
+        # whose process-global thread pool (sized to all cores) thrashes
+        # under concurrent writers — measured ~1.5 s fixed cost per write
+        # task at 32 cpus vs ~tens of ms for plain pq.write_table (see
+        # functions/sink.py). The sink fuses into the producing tasks, so
+        # no bundling/min_rows coalescing ever caps upstream parallelism.
+        from ..functions.sink import sink_parquet
+
+        sink_parquet(data, tdir)

@@ -112,6 +112,10 @@ def entity_stats(sf_dir: str):
     )
     out = ents.merge(counts, on="canon", how="left")
     out["n_mentions"] = out["n_mentions"].fillna(0).astype("int64")
+    # the parquet is_external column is nullable-bool (null on non-entity
+    # labels) → pandas object dtype after the read; re-assert plain bool
+    # so the dtype survives to the oracle compare
+    out["is_external"] = out["is_external"].astype(bool)
     return out.sort_values("canon", ignore_index=True)
 
 
