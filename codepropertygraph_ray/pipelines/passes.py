@@ -76,13 +76,15 @@ class PassContext:
 
         # Ray's auto read parallelism keys off bytes and can settle on ~16
         # blocks for a coalesced delta, capping every downstream stage
-        # below cluster width; ask for ≥2 blocks per CPU (cheap: blocks
-        # are split views of row groups, not extra reads).
+        # below cluster width; ask for ONE block per CPU (blocks are split
+        # views of row groups, not extra reads). Not 2×: per-task driver
+        # dispatch cost (~10 ms) scales with task count, i.e. with cluster
+        # width — the 2× slack measurably flattened 8→32 scaling.
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         return ray.data.read_parquet(
             self.delta_dir(pass_name, table),
             columns=columns,
-            override_num_blocks=2 * ncpu,
+            override_num_blocks=ncpu,
         )
 
     def read_table(self, pass_name: str, table: str, columns=None):
@@ -212,9 +214,10 @@ class PipelineRunner:
                 # re-executing their lineage
                 data = data(self.ctx)
             _write_delta(data, tdir)
+            fm = _file_metrics(tdir)
             metrics["tables"][tname] = {
-                "files": _file_metrics(tdir),
-                "rows": sum(m["rows"] for m in _file_metrics(tdir)),
+                "files": fm,
+                "rows": sum(m["rows"] for m in fm),
                 "wall_sec": round(time.perf_counter() - tw0, 4),
             }
             self.ctx._dirs[f"{p.name}/{tname}"] = tdir
@@ -227,9 +230,10 @@ class PipelineRunner:
             for tname in sorted(os.listdir(pdir)):
                 tdir = os.path.join(pdir, tname)
                 if os.path.isdir(tdir) and tname not in metrics["tables"]:
+                    fm = _file_metrics(tdir)
                     metrics["tables"][tname] = {
-                        "files": _file_metrics(tdir),
-                        "rows": sum(m["rows"] for m in _file_metrics(tdir)),
+                        "files": fm,
+                        "rows": sum(m["rows"] for m in fm),
                     }
                     self.ctx._dirs[f"{p.name}/{tname}"] = tdir
         metrics["wall_sec"] = round(time.perf_counter() - t0, 4)
