@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
         text,
     )
+    from codepropertygraph_ray.pipelines import analytics
     from codepropertygraph_ray.pipelines import queries as kgq
 
     return {
@@ -71,6 +72,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_member_resolve": kgq.member_resolve,
         "kg_dump_context": kgq.dump_turn_context,
         "kg_dot_export": kgq.dot_export,
+        # --- KG graph analytics (whole-graph query surface) ----------------
+        "kg_entity_cooccurrence": analytics.entity_cooccurrence,
+        "kg_entity_degree": analytics.entity_degree,
+        "kg_triangles": analytics.triangle_count,
+        "kg_entity_bfs": analytics.entity_bfs,
+        "kg_pagerank": analytics.pagerank,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -88,10 +95,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": relational.sessionize_events,
         "rel_topk_per_customer": relational.topk_orders_per_customer,
         "rel_value_bands": relational.events_value_bands,
+        "rel_rolling_avg": relational.rolling_avg_events,
+        "rel_lag_gaps": relational.lag_gaps,
+        "rel_median_price": relational.median_price_by_priority,
+        "rel_sample_hash": relational.sample_orders_hash,
         # --- training-data ops: text analysis -----------------------------
         "text_token_stats": text.token_stats,
         "text_quality": text.quality_signals,
         "text_lang_id": text.lang_id,
+        "text_bigrams": text.bigram_counts,
         "text_simhash": text.simhash64,  # keyed hash — no SQL oracle
         "text_fingerprint": text.fingerprint,  # rolling hash — no SQL oracle
         # --- training-data ops: dedup --------------------------------------
@@ -192,6 +204,19 @@ def _kg_sql() -> dict[str, str]:
       JOIN ({canon}) c ON c.key = m.key
       LEFT JOIN ({linked}) l ON l.canon = c.canon
       GROUP BY c.canon, l.canon
+    """
+
+    # the canonical co-mention edge list (a < b) shared by the graph-
+    # analytics oracles
+    cooc = f"""
+      WITH mc AS (SELECT DISTINCT m.conv_id, m.turn_idx, c.canon
+                  FROM ({mentions_keyed}) m JOIN ({canon}) c ON c.key = m.key)
+      SELECT a.canon AS canon_a, b.canon AS canon_b,
+             CAST(count(*) AS BIGINT) AS n_turns
+      FROM mc a JOIN mc b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.canon < b.canon
+      GROUP BY a.canon, b.canon
     """
 
     return {
@@ -340,6 +365,70 @@ def _kg_sql() -> dict[str, str]:
             FROM walk
           ) WHERE rn = 1
         """,
+        "kg_entity_cooccurrence": cooc,
+        "kg_entity_degree": f"""
+          WITH e AS ({cooc})
+          SELECT canon, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT canon_a AS canon FROM e
+            UNION ALL SELECT canon_b FROM e
+          ) GROUP BY canon
+        """,
+        # degree-ordered triangle enumeration collapses in SQL to the
+        # canonical 3-way self-join over the (a < b) edge list — each
+        # triangle {{x < y < z}} matched exactly once
+        "kg_triangles": f"""
+          WITH e AS ({cooc})
+          SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM e e1
+          JOIN e e2 ON e2.canon_a = e1.canon_a AND e2.canon_b > e1.canon_b
+          JOIN e e3 ON e3.canon_a = e1.canon_b AND e3.canon_b = e2.canon_b
+        """,
+        # BFS layers from the lexicographically-first entity: recursive CTE
+        # with min-distance fold, depth-capped like the Ray frontier loop.
+        # All outer CTE names carry a bfs_ prefix: DuckDB binds names
+        # declared in an enclosing WITH RECURSIVE *into* nested subquery
+        # WITH scopes, so generic names (e, reach) would capture the
+        # canonical-map snippet's own CTEs
+        "kg_entity_bfs": f"""
+          WITH RECURSIVE bfs_ec AS ({cooc}),
+          bfs_e(a, b) AS (SELECT canon_a, canon_b FROM bfs_ec
+                          UNION SELECT canon_b, canon_a FROM bfs_ec),
+          bfs_seed AS (SELECT min(a) AS s FROM bfs_e),
+          bfs_reach(n, d) AS (
+            SELECT s, 0 FROM bfs_seed
+            UNION
+            SELECT bfs_e.b, bfs_reach.d + 1 FROM bfs_reach
+            JOIN bfs_e ON bfs_e.a = bfs_reach.n WHERE bfs_reach.d < 4
+          )
+          SELECT n AS canon, CAST(min(d) AS BIGINT) AS dist
+          FROM bfs_reach GROUP BY n
+        """,
+        # 3-iteration PageRank over the directed FACT graph, unrolled;
+        # dangling mass dropped on both sides; (1 - 0.85) spelled as the
+        # same IEEE expression the Ray side evaluates
+        "kg_pagerank": f"""
+          WITH e AS (SELECT DISTINCT subj AS a, obj AS b FROM ({triples_all})),
+          nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+          nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+          od AS (SELECT a, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY a),
+          r0 AS (SELECT n, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes),
+          c1 AS (SELECT e.b AS n, sum(r0.pr / od.deg) AS c
+                 FROM e JOIN r0 ON r0.n = e.a JOIN od ON od.a = e.a GROUP BY e.b),
+          r1 AS (SELECT nodes.n,
+                        (1 - 0.85) / (SELECT cnt FROM nn) + 0.85 * coalesce(c1.c, 0) AS pr
+                 FROM nodes LEFT JOIN c1 ON c1.n = nodes.n),
+          c2 AS (SELECT e.b AS n, sum(r1.pr / od.deg) AS c
+                 FROM e JOIN r1 ON r1.n = e.a JOIN od ON od.a = e.a GROUP BY e.b),
+          r2 AS (SELECT nodes.n,
+                        (1 - 0.85) / (SELECT cnt FROM nn) + 0.85 * coalesce(c2.c, 0) AS pr
+                 FROM nodes LEFT JOIN c2 ON c2.n = nodes.n),
+          c3 AS (SELECT e.b AS n, sum(r2.pr / od.deg) AS c
+                 FROM e JOIN r2 ON r2.n = e.a JOIN od ON od.a = e.a GROUP BY e.b),
+          r3 AS (SELECT nodes.n,
+                        (1 - 0.85) / (SELECT cnt FROM nn) + 0.85 * coalesce(c3.c, 0) AS pr
+                 FROM nodes LEFT JOIN c3 ON c3.n = nodes.n)
+          SELECT n AS canon, round(pr, 7) AS pr FROM r3
+        """,
         "kg_node_label_counts": f"""
           SELECT 'TURN' AS label, CAST(count(*) AS BIGINT) AS n_nodes FROM {t}
           UNION ALL SELECT 'CONVERSATION', count(DISTINCT conv_id) FROM {t}
@@ -482,6 +571,36 @@ def _rel_sql() -> dict[str, str]:
             FROM orders
           ) WHERE rnk <= 3
         """,
+        # ordered per-key window functions (the Ray side runs one bucketed
+        # shuffle per partition key + a vectorized in-bucket window pass)
+        "rel_rolling_avg": """
+          SELECT user_id, event_id,
+                 round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+          FROM events
+        """,
+        "rel_lag_gaps": """
+          SELECT user_id, event_id, prev_event_id, gap_us FROM (
+            SELECT user_id, event_id,
+                   lag(event_id) OVER w AS prev_event_id,
+                   CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ) WHERE prev_event_id IS NOT NULL
+        """,
+        # exact distributed percentile: the Ray side's counting quantile
+        # (value-histogram + cumulative walk) equals percentile_disc
+        "rel_median_price": """
+          SELECT o_orderpriority,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price
+          FROM orders GROUP BY o_orderpriority
+        """,
+        # deterministic multiplicative-hash sample — identical subset at any
+        # parallelism, same arithmetic on both sides
+        "rel_sample_hash": """
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE (o_orderkey * 2654435761) % 4294967296 < 42949672
+        """,
         # genuine range join against the literal interval table (the Ray
         # path broadcasts the same bands and probes with searchsorted)
         "rel_value_bands": """
@@ -560,6 +679,15 @@ def _ops_sql() -> dict[str, str]:
                  CAST(coalesce(list_max(list_apply(words, w -> length(w))), 0) AS BIGINT) AS longest_word,
                  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
           FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents)
+        """,
+        # corpus bigram counts (1-based list indexing in DuckDB; split(' ')
+        # keeps empty tokens on both sides)
+        "text_bigrams": """
+          SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+            FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+                 LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+          ) GROUP BY bigram HAVING count(*) >= 5
         """,
         "dedup_ngram_jaccard": f"""
           WITH sh AS ({shingle_rows}),

@@ -428,6 +428,134 @@ def topk_orders_per_customer(sf_dir: str, k: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# ordered per-key window functions (rolling / lag)
+# ---------------------------------------------------------------------------
+
+
+def rolling_avg_events(sf_dir: str, window: int = 3):
+    """(user_id, event_id, avg3) — moving average of ``value`` over the
+    current + 2 preceding events per user, ordered by (ts, event_id).
+
+    The ordered-window archetype: Ray Data has no window operator, so the
+    scale shape is ONE bucketed shuffle keyed by the partition key (a
+    user's history co-locates; the hottest user bounds a task) and a
+    vectorized in-bucket sort + cython rolling — order stays data
+    (SURVEY.md §4 'ordering assumptions'), never block order."""
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        avg = (
+            g.groupby("user_id", sort=False)["value"]
+            .rolling(window, min_periods=1)
+            .mean()
+            .droplevel(0)
+        )
+        return pd.DataFrame(
+            {"user_id": g["user_id"], "event_id": g["event_id"],
+             "avg3": avg.round(4)}
+        )
+
+    return hash_groupby(ds, "user_id", per_bucket)
+
+
+def lag_gaps(sf_dir: str):
+    """(user_id, event_id, prev_event_id, gap_us) — LAG over each user's
+    event sequence ordered by (ts, event_id); all-integer output. Same
+    bucketed-window shape as ``rolling_avg_events``."""
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        same = g["user_id"].eq(g["user_id"].shift()).to_numpy()
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        prev_ev = g["event_id"].shift().to_numpy()
+        gap = ts_us - np.roll(ts_us, 1)
+        out = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy()[same],
+             "event_id": g["event_id"].to_numpy()[same],
+             "prev_event_id": prev_ev[same].astype("int64"),
+             "gap_us": gap[same]}
+        )
+        return out
+
+    return hash_groupby(ds, "user_id", per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# exact distributed percentile (counting quantile over value partials)
+# ---------------------------------------------------------------------------
+
+
+def median_price_by_priority(sf_dir: str):
+    """(o_orderpriority, median_price) — exact percentile_disc(0.5).
+
+    Exact distributed quantile via the counting method: per-batch
+    (group, value) partial counts collapse the stream to its value
+    histogram (bounded by DISTINCT values, not rows — prices have cents
+    precision, so the histogram is dimension-sized even at 10^12 rows),
+    then one bucketed shuffle per group walks the cumulative counts to the
+    smallest value with cume_dist ≥ 0.5 — exactly DuckDB's
+    ``percentile_disc(0.5)``. No sort of the raw stream, no driver
+    materialization of row-scale data."""
+    from .agg import hash_agg, hash_groupby
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        return t.groupby(["o_orderpriority", "o_totalprice"], as_index=False).agg(
+            n=("o_totalprice", "size")
+        )
+
+    hist = hash_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority", "o_totalprice"],
+        n=("n", "sum"),
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderpriority", "o_totalprice"], ignore_index=True)
+        out = []
+        for prio, grp in g.groupby("o_orderpriority", sort=False):
+            cum = grp["n"].cumsum().to_numpy()
+            total = cum[-1]
+            idx = int(np.searchsorted(cum * 2, total, side="left"))
+            out.append((prio, grp["o_totalprice"].to_numpy()[idx]))
+        return pd.DataFrame(out, columns=["o_orderpriority", "median_price"])
+
+    return hash_groupby(hist, "o_orderpriority", pick)
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling (the reproducible-subset operator)
+# ---------------------------------------------------------------------------
+
+SAMPLE_MULT = 2654435761  # Knuth multiplicative constant
+SAMPLE_MOD = 1 << 32
+SAMPLE_KEEP = SAMPLE_MOD // 100  # ≈ 1%
+
+
+def sample_orders_hash(sf_dir: str):
+    """(o_orderkey, o_custkey, o_totalprice) — deterministic ~1% sample by
+    multiplicative key hash. Sampling must be a pure function of the key —
+    never of block order or an RNG — so two runs (and the SQL oracle) pick
+    the IDENTICAL subset at any parallelism: the StableOutputTests
+    discipline applied to sampling. Embarrassingly parallel (a stateless
+    vectorized filter per batch; no shuffle)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def keep(t: pd.DataFrame) -> pd.DataFrame:
+        h = (t["o_orderkey"].to_numpy(np.int64) * SAMPLE_MULT) % SAMPLE_MOD
+        return t[h < SAMPLE_KEEP]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # range join against a small interval table (banded lookup)
 # ---------------------------------------------------------------------------
 

@@ -263,3 +263,43 @@ def fingerprint_batch(t: pd.DataFrame) -> pd.DataFrame:
         out[rows] = (fold & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
         nsel[rows] = np.diff(np.concatenate((seg, [len(d_u)])))
     return pd.DataFrame({"doc_id": t["doc_id"], "fingerprint": out, "n_selected": nsel})
+
+
+# ---------------------------------------------------------------------------
+# n-gram language statistics (global bigram counts)
+# ---------------------------------------------------------------------------
+
+BIGRAM_MIN_N = 5
+
+
+def bigram_counts(sf_dir: str, min_n: int = BIGRAM_MIN_N):
+    """(bigram, n) — corpus-wide word-bigram counts with count ≥ ``min_n``.
+
+    The n-gram statistics stage of a training-data pipeline (vocabulary
+    induction / contamination screens). Vectorized per batch: one explode
+    of the token stream, consecutive-token concat via a shifted view (no
+    per-document Python loop), per-batch value_counts partials, then one
+    bucketed sum — the partial-aggregation discipline keeps shuffle volume
+    at vocab scale. The ≥ ``min_n`` filter mirrors the oracle's HAVING."""
+    from .agg import hash_agg
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        ex = t["text"].str.split(" ").explode()
+        doc = ex.index.to_numpy()
+        tok = ex.to_numpy(dtype=object)
+        if len(tok) < 2:
+            return pd.DataFrame({"bigram": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        same = doc[1:] == doc[:-1]
+        big = pd.Series(tok[:-1][same]).str.cat(pd.Series(tok[1:][same]), sep=" ")
+        vc = big.value_counts()
+        return pd.DataFrame({"bigram": vc.index, "n": vc.to_numpy(np.int64)})
+
+    out = hash_agg(
+        ds.map_batches(partial, batch_format="pandas"), "bigram", n=("n", "sum")
+    )
+    return out.map_batches(
+        lambda t, m=min_n: t[t["n"] >= m], batch_format="pandas"
+    )

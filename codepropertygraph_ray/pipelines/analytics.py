@@ -1,0 +1,294 @@
+"""Graph analytics over the constructed KG — the query-surface extension.
+
+The reference's query layer walks the stored graph with traversals
+(`semanticcpg/.../language/package.scala`, call-graph extension
+`language/callgraphextension/Method.scala:9-78`); whole-graph analytics
+(degree, triangles, reachability, centrality) are what a KG consumer runs
+on top. Each operator here is expressed over the pipeline's output tables
+with the engine's own shuffle machinery (`functions/agg.py`) and checked
+against a DuckDB oracle.
+
+Scale discipline shared by all of them: the *entity* graph is vocab-scale
+(bounded by the entity vocabulary, not the corpus — SURVEY.md §7.1 step 6),
+so entity-keyed dimension tables (degrees, ranks, frontiers) broadcast,
+while every corpus-scale scan (mentions, triples) stays a distributed
+``map_batches``/``hash_groupby`` pipeline.
+
+* ``entity_cooccurrence`` — the co-mention edge list: distinct canonical
+  entity pairs sharing a turn, with turn counts. One bucketed shuffle keyed
+  by (conv, turn); per-turn fan-out is bounded by mentions-per-turn.
+* ``entity_degree`` — distinct-neighbor counts over that graph.
+* ``triangle_count`` — degree-ordered triangle counting (the classic
+  distributed formulation: orient edges small→large by (degree, id), emit
+  wedges from each apex's out-neighborhood, match wedges against oriented
+  edges in a bucketed hash join — wedge volume O(m^1.5), never the naive
+  Σdeg²).
+* ``entity_bfs`` — bounded BFS layers from the lexicographically-first
+  entity: frontier sets broadcast (vocab-scale), edge scans distributed —
+  the `.repeat(...).dedup.emit` closure generalized to whole-graph layers.
+* ``pagerank`` — fixed-iteration PageRank over the directed FACT graph
+  (subj→obj): ranks/degrees broadcast per iteration, contributions
+  aggregated with ``hash_agg``; dangling mass is dropped identically on
+  both sides (documented, mirrored in the unrolled SQL oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..functions.agg import empty_safe, hash_agg, hash_groupby
+from ..functions.joins import build_lookup, get_broadcast, lookup_keys
+from .queries import kg_runner
+
+BFS_MAX_DEPTH = 4
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_ROUND = 7
+
+
+def _canon_mention_turns(sf_dir: str):
+    """Dataset(conv_id, turn_idx, canon) — canonical entity per mention,
+    pre-deduped per batch (global per-turn dedup happens inside the
+    consumer's (conv, turn)-keyed bucket). The canon map is vocab-scale →
+    broadcast sorted-hash probe (never a shuffle of the mention stream)."""
+    r = kg_runner(sf_dir)
+    cm = r.ctx.read_table("entities", "canon_map").to_pandas()
+    ref = ray.put(build_lookup(cm["node"], cm["component"]))
+    ds = r.ctx.read("base", "records", columns=["kind", "conv_id", "turn_idx", "key"])
+
+    def to_canon(t: pd.DataFrame) -> pd.DataFrame:
+        t = t[t["kind"] == "mention"]
+        canon = lookup_keys(get_broadcast(ref), t["key"], default="self")
+        out = pd.DataFrame(
+            {"conv_id": t["conv_id"].to_numpy(),
+             "turn_idx": t["turn_idx"].to_numpy().astype("int32"),
+             "canon": canon}
+        )
+        return empty_safe(out.drop_duplicates())
+
+    return ds.map_batches(to_canon, batch_format="pandas")
+
+
+def entity_cooccurrence(sf_dir: str):
+    """(canon_a, canon_b, n_turns) — unordered canonical-entity pairs
+    co-mentioned in the same turn, counting turns. The co-mention graph is
+    the KG analog of the reference's shared-AST-parent structure queries."""
+    ds = _canon_mention_turns(sf_dir)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on=["conv_id", "turn_idx"])
+        m = m[m["canon_x"] < m["canon_y"]]
+        pc = m.groupby(["canon_x", "canon_y"], as_index=False).size()
+        return pc.rename(
+            columns={"canon_x": "canon_a", "canon_y": "canon_b", "size": "n_turns"}
+        )
+
+    return hash_agg(
+        hash_groupby(ds, ["conv_id", "turn_idx"], pairs),
+        ["canon_a", "canon_b"],
+        n_turns=("n_turns", "sum"),
+    )
+
+
+def _cooc_edges(sf_dir: str):
+    """Materialized distinct co-occurrence edge list (a < b)."""
+    return (
+        entity_cooccurrence(sf_dir)
+        .drop_columns(["n_turns"])
+        .rename_columns({"canon_a": "a", "canon_b": "b"})
+        .materialize()
+    )
+
+
+def entity_degree(sf_dir: str):
+    """(canon, degree) — distinct-neighbor count per canonical entity over
+    the co-occurrence graph (edge rows are distinct pairs, so degree is a
+    plain count after exploding both directions)."""
+    pairs = entity_cooccurrence(sf_dir)
+
+    def both(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"canon": pd.concat([t["canon_a"], t["canon_b"]], ignore_index=True)}
+        )
+
+    return hash_agg(
+        pairs.map_batches(both, batch_format="pandas"),
+        "canon",
+        degree=("canon", "size"),
+    )
+
+
+def triangle_count(sf_dir: str):
+    """Single row (n_triangles) — triangles in the co-occurrence graph.
+
+    Degree-ordered orientation: every edge points from its (degree, id)-
+    smaller endpoint, each apex emits wedges over its out-neighborhood
+    (bounded by out-degree ≤ sqrt-ish after orientation), and a wedge
+    closes a triangle iff its (x, y) pair — ordered by the same key — is
+    itself an oriented edge. The wedge⋈edge match is a bucketed hash join
+    (rows tagged, co-located by (x, y)) — no broadcast of the edge set, so
+    the operator survives an edge list larger than worker heap."""
+    edges = _cooc_edges(sf_dir)
+
+    deg = hash_agg(
+        edges.map_batches(
+            lambda t: pd.DataFrame(
+                {"canon": pd.concat([t["a"], t["b"]], ignore_index=True)}
+            ),
+            batch_format="pandas",
+        ),
+        "canon",
+        degree=("canon", "size"),
+    ).to_pandas()
+    dref = ray.put(build_lookup(deg["canon"], deg["degree"]))
+
+    def orient(t: pd.DataFrame) -> pd.DataFrame:
+        tbl = get_broadcast(dref)
+        da = lookup_keys(tbl, t["a"]).astype(np.int64)
+        db = lookup_keys(tbl, t["b"]).astype(np.int64)
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        swap = (db < da) | ((db == da) & (b < a))
+        return pd.DataFrame(
+            {"src": np.where(swap, b, a), "dst": np.where(swap, a, b)}
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        tbl = get_broadcast(dref)
+        m = g.merge(g, on="src")
+        dx = lookup_keys(tbl, m["dst_x"]).astype(np.int64)
+        dy = lookup_keys(tbl, m["dst_y"]).astype(np.int64)
+        x = m["dst_x"].to_numpy()
+        y = m["dst_y"].to_numpy()
+        # keep wedge pairs in orientation order so they compare against
+        # oriented edges directly; strict < dedups the symmetric wedge
+        keep = (dx < dy) | ((dx == dy) & (x < y))
+        w = pd.DataFrame({"x": x[keep], "y": y[keep]})
+        pc = w.groupby(["x", "y"], as_index=False).size()
+        pc["kind"] = "w"
+        return pc.rename(columns={"size": "nw"})
+
+    w = hash_groupby(oriented, "src", wedges)
+    e_tagged = oriented.map_batches(
+        lambda t: pd.DataFrame(
+            {"x": t["src"], "y": t["dst"], "nw": np.int64(0), "kind": "e"}
+        ),
+        batch_format="pandas",
+    )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        es = g.loc[g["kind"] == "e", ["x", "y"]]
+        ws = g[g["kind"] == "w"]
+        m = ws.merge(es, on=["x", "y"])
+        return pd.DataFrame({"n": [np.int64(m["nw"].sum())]})
+
+    total = hash_groupby(w.union(e_tagged), ["x", "y"], close).sum("n")
+    return pd.DataFrame({"n_triangles": [int(total or 0)]})
+
+
+def entity_bfs(sf_dir: str, max_depth: int = BFS_MAX_DEPTH):
+    """(canon, dist) — BFS layers from the lexicographically-first entity
+    of the co-occurrence graph, depth-capped (the MemberAccessLinker cap
+    discipline). Frontier/visited sets are vocab-scale → driver-held and
+    broadcast per round; each round's edge scan is distributed."""
+    edges = _cooc_edges(sf_dir)
+
+    def local_min(t: pd.DataFrame) -> pd.DataFrame:
+        if not len(t):
+            return empty_safe(pd.DataFrame({"m": pd.Series(dtype="object")}))
+        return pd.DataFrame({"m": [min(t["a"].min(), t["b"].min())]})
+
+    mins = edges.map_batches(local_min, batch_format="pandas").to_pandas()
+    if mins.empty or "m" not in mins.columns:
+        return pd.DataFrame({"canon": pd.Series(dtype="object"),
+                             "dist": pd.Series(dtype="int64")})
+    seed = mins["m"].min()
+    visited: dict = {seed: 0}
+    frontier = {seed}
+    for d in range(1, max_depth + 1):
+        fref = ray.put(frozenset(frontier))
+
+        def nbrs(t: pd.DataFrame) -> pd.DataFrame:
+            fs = get_broadcast(fref)
+            out = pd.concat(
+                [t.loc[t["a"].isin(fs), "b"], t.loc[t["b"].isin(fs), "a"]],
+                ignore_index=True,
+            )
+            return empty_safe(pd.DataFrame({"canon": out.drop_duplicates()}))
+
+        cand = edges.map_batches(nbrs, batch_format="pandas").to_pandas()
+        got = cand["canon"].unique() if "canon" in cand.columns else []
+        frontier = {c for c in got if c not in visited}
+        if not frontier:
+            break
+        visited.update({c: d for c in frontier})
+    out = pd.DataFrame({"canon": list(visited), "dist": list(visited.values())})
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values("canon", ignore_index=True)
+
+
+def pagerank(sf_dir: str):
+    """(canon, pr) — PageRank over the directed FACT graph (subj→obj),
+    ``PR_ITERS`` fixed iterations, damping ``PR_DAMPING``, uniform init.
+    Dangling-node mass is dropped (not redistributed) — mirrored exactly in
+    the unrolled SQL oracle, so agreement checks the whole computation.
+
+    Ranks and out-degrees are entity-vocab-scale → broadcast sorted-hash
+    probes rebuilt per iteration; the distinct-edge reduction and each
+    iteration's contribution sum are bucketed shuffles over the (already
+    vocab-scale) edge list. Values round to ``PR_ROUND`` decimals on both
+    sides to absorb summation-order float noise."""
+    r = kg_runner(sf_dir)
+    tri = r.ctx.read("link", "triples", columns=["subj", "obj"])
+    edges = hash_groupby(
+        tri.map_batches(lambda t: t.drop_duplicates(), batch_format="pandas"),
+        ["subj", "obj"],
+        lambda g: g.drop_duplicates(),
+    ).materialize()
+
+    deg = hash_agg(edges, "subj", deg=("obj", "size")).to_pandas()
+    nodes_ds = hash_groupby(
+        edges.map_batches(
+            lambda t: pd.DataFrame(
+                {"n": pd.concat([t["subj"], t["obj"]], ignore_index=True)}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        "n",
+        lambda g: g.drop_duplicates(),
+    )
+    nodes = nodes_ds.to_pandas()["n"].to_numpy()
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"canon": pd.Series(dtype="object"),
+                             "pr": pd.Series(dtype="float64")})
+    dref = ray.put(build_lookup(deg["subj"], deg["deg"].astype("float64")))
+    rank = pd.Series(np.full(n, 1.0 / n), index=nodes)
+    base = (1.0 - PR_DAMPING) / n
+
+    for _ in range(PR_ITERS):
+        rref = ray.put(build_lookup(rank.index, rank.to_numpy()))
+
+        def contrib(t: pd.DataFrame) -> pd.DataFrame:
+            dt = get_broadcast(dref)
+            rt = get_broadcast(rref)
+            dv = lookup_keys(dt, t["subj"]).astype(np.float64)
+            rv = lookup_keys(rt, t["subj"]).astype(np.float64)
+            g = pd.DataFrame({"node": t["obj"], "c": rv / dv})
+            return g.groupby("node", as_index=False).agg(c=("c", "sum"))
+
+        cs = hash_agg(
+            edges.map_batches(contrib, batch_format="pandas"),
+            "node",
+            c=("c", "sum"),
+        ).to_pandas()
+        rank = pd.Series(np.full(n, base), index=nodes)
+        rank.loc[cs["node"]] += PR_DAMPING * cs["c"].to_numpy()
+
+    out = pd.DataFrame({"canon": nodes, "pr": rank.to_numpy().round(PR_ROUND)})
+    return out.sort_values("canon", ignore_index=True)

@@ -1,0 +1,199 @@
+"""Graph-analytics + window-operator tests.
+
+Every distributed result is checked against a single-threaded pure-python/
+pandas reference on the same input (the CodeToCpgSuite fixture discipline,
+`semanticcpg-tests/.../testfixtures/CodeToCpgSuite.scala:14-49`): the
+distributed shuffle plan and the obviously-correct loop must agree exactly.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict, deque
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cooc_edges(ray_session, kg_run):
+    from codepropertygraph_ray.pipelines.analytics import _cooc_edges
+
+    return _cooc_edges(SF_DIR).to_pandas()
+
+
+def test_cooccurrence_edge_invariants(ray_session, cooc_edges):
+    assert len(cooc_edges) > 0
+    assert (cooc_edges["a"] < cooc_edges["b"]).all()
+    assert not cooc_edges.duplicated(["a", "b"]).any()
+
+
+def test_degree_matches_edge_list(ray_session, cooc_edges):
+    from codepropertygraph_ray.pipelines.analytics import entity_degree
+
+    deg = entity_degree(SF_DIR).to_pandas()
+    ref = pd.concat(
+        [cooc_edges["a"], cooc_edges["b"]], ignore_index=True
+    ).value_counts()
+    assert dict(zip(deg["canon"], deg["degree"])) == ref.to_dict()
+
+
+def test_triangle_count_matches_bruteforce(ray_session, cooc_edges):
+    from codepropertygraph_ray.pipelines.analytics import triangle_count
+
+    got = int(triangle_count(SF_DIR)["n_triangles"].iloc[0])
+    adj: dict = defaultdict(set)
+    for a, b in zip(cooc_edges["a"], cooc_edges["b"]):
+        adj[a].add(b)
+        adj[b].add(a)
+    ref = sum(
+        1
+        for a, b in zip(cooc_edges["a"], cooc_edges["b"])
+        for c in (adj[a] & adj[b])
+        if b < c
+    )
+    assert got == ref
+    assert got > 0  # the corpus plants co-mention cliques
+
+
+def test_bfs_matches_reference(ray_session, cooc_edges):
+    from codepropertygraph_ray.pipelines.analytics import BFS_MAX_DEPTH, entity_bfs
+
+    adj: dict = defaultdict(list)
+    for a, b in zip(cooc_edges["a"], cooc_edges["b"]):
+        adj[a].append(b)
+        adj[b].append(a)
+    seed = min(cooc_edges["a"].min(), cooc_edges["b"].min())
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if dist[u] >= BFS_MAX_DEPTH:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = entity_bfs(SF_DIR)
+    assert dict(zip(got["canon"], got["dist"])) == dist
+
+
+def test_pagerank_matches_reference(ray_session, kg_run):
+    from codepropertygraph_ray.pipelines.analytics import (
+        PR_DAMPING,
+        PR_ITERS,
+        pagerank,
+    )
+    from codepropertygraph_ray.pipelines.queries import kg_runner
+
+    tri = (
+        kg_runner(SF_DIR)
+        .ctx.read("link", "triples", columns=["subj", "obj"])
+        .to_pandas()
+        .drop_duplicates()
+    )
+    nodes = sorted(set(tri["subj"]) | set(tri["obj"]))
+    n = len(nodes)
+    deg = tri.groupby("subj").size().to_dict()
+    r = {x: 1.0 / n for x in nodes}
+    for _ in range(PR_ITERS):
+        c: dict = defaultdict(float)
+        for s, o in zip(tri["subj"], tri["obj"]):
+            c[o] += r[s] / deg[s]
+        r = {x: (1.0 - PR_DAMPING) / n + PR_DAMPING * c.get(x, 0.0) for x in nodes}
+    got = pagerank(SF_DIR)
+    assert list(got["canon"]) == nodes
+    ref = np.array([r[x] for x in nodes])
+    assert np.allclose(got["pr"].to_numpy(), ref, atol=1e-9)
+    # total rank ≤ 1 (dangling mass drops, never grows) modulo the
+    # PR_ROUND per-row rounding slack
+    assert got["pr"].sum() <= 1.0 + 5e-8 * len(got)
+
+
+# ---------------------------------------------------------------------------
+# window / percentile / sampling operators
+# ---------------------------------------------------------------------------
+
+
+def _events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True
+    )
+
+
+def test_rolling_avg_matches_direct_window(ray_session):
+    from codepropertygraph_ray.functions.relational import rolling_avg_events
+
+    got = rolling_avg_events(SF_DIR).to_pandas()
+    ev = _events()
+    ref = {}
+    for _, g in ev.groupby("user_id"):
+        v = g["value"].to_numpy()
+        e = g["event_id"].to_numpy()
+        for i in range(len(v)):
+            ref[e[i]] = round(float(np.mean(v[max(0, i - 2) : i + 1])), 4)
+    assert len(got) == len(ev)
+    assert {e: round(a, 4) for e, a in zip(got["event_id"], got["avg3"])} == ref
+
+
+def test_lag_gaps_matches_shift(ray_session):
+    from codepropertygraph_ray.functions.relational import lag_gaps
+
+    got = lag_gaps(SF_DIR).to_pandas().sort_values("event_id", ignore_index=True)
+    ev = _events()
+    same = ev["user_id"].eq(ev["user_id"].shift())
+    ts_us = ev["ts"].astype("datetime64[us]").astype("int64")
+    ref = pd.DataFrame(
+        {
+            "event_id": ev["event_id"][same],
+            "prev_event_id": ev["event_id"].shift()[same].astype("int64"),
+            "gap_us": (ts_us - ts_us.shift())[same].astype("int64"),
+        }
+    ).sort_values("event_id", ignore_index=True)
+    assert got[["event_id", "prev_event_id", "gap_us"]].equals(ref)
+
+
+def test_median_is_percentile_disc(ray_session):
+    from codepropertygraph_ray.functions.relational import median_price_by_priority
+
+    got = median_price_by_priority(SF_DIR).to_pandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    for prio, g in orders.groupby("o_orderpriority"):
+        v = np.sort(g["o_totalprice"].to_numpy())
+        # percentile_disc(0.5): smallest value with cume_dist ≥ 0.5
+        idx = int(np.ceil(len(v) * 0.5)) - 1
+        assert got.loc[got["o_orderpriority"] == prio, "median_price"].iloc[0] == v[idx]
+
+
+def test_hash_sample_is_deterministic_subset(ray_session):
+    from codepropertygraph_ray.functions.relational import (
+        SAMPLE_KEEP,
+        SAMPLE_MOD,
+        SAMPLE_MULT,
+        sample_orders_hash,
+    )
+
+    got = sample_orders_hash(SF_DIR).to_pandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    h = (orders["o_orderkey"].to_numpy(np.int64) * SAMPLE_MULT) % SAMPLE_MOD
+    ref = set(orders["o_orderkey"][h < SAMPLE_KEEP])
+    assert set(got["o_orderkey"]) == ref
+    again = sample_orders_hash(SF_DIR).to_pandas()
+    assert set(again["o_orderkey"]) == ref
+
+
+def test_bigram_counts_match_counter(ray_session):
+    from collections import Counter
+
+    from codepropertygraph_ray.functions.text import bigram_counts
+
+    got = bigram_counts(SF_DIR, min_n=5).to_pandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    ctr: Counter = Counter()
+    for text in docs["text"]:
+        toks = text.split(" ")
+        ctr.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    ref = {k: v for k, v in ctr.items() if v >= 5}
+    assert dict(zip(got["bigram"], got["n"])) == ref
