@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": analytics.triangle_count,
         "kg_entity_bfs": analytics.entity_bfs,
         "kg_pagerank": analytics.pagerank,
+        "kg_entity_jaccard": analytics.entity_jaccard,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -99,11 +100,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_lag_gaps": relational.lag_gaps,
         "rel_median_price": relational.median_price_by_priority,
         "rel_sample_hash": relational.sample_orders_hash,
+        "rel_pivot_events": relational.pivot_event_types,
+        "rel_region_nations": relational.region_nation_list,
         # --- training-data ops: text analysis -----------------------------
         "text_token_stats": text.token_stats,
         "text_quality": text.quality_signals,
         "text_lang_id": text.lang_id,
         "text_bigrams": text.bigram_counts,
+        "text_top_term": text.top_term,
         "text_simhash": text.simhash64,  # keyed hash — no SQL oracle
         "text_fingerprint": text.fingerprint,  # rolling hash — no SQL oracle
         # --- training-data ops: dedup --------------------------------------
@@ -429,6 +433,27 @@ def _kg_sql() -> dict[str, str]:
                  FROM nodes LEFT JOIN c3 ON c3.n = nodes.n)
           SELECT n AS canon, round(pr, 7) AS pr FROM r3
         """,
+        # neighborhood Jaccard for co-occurring pairs with ≥1 shared
+        # neighbor (wedge counting; ej_ prefixes avoid CTE capture by the
+        # nested canonical-map snippet)
+        "kg_entity_jaccard": f"""
+          WITH ej_ec AS ({cooc}),
+          ej_und(a, b) AS (SELECT canon_a, canon_b FROM ej_ec
+                           UNION ALL SELECT canon_b, canon_a FROM ej_ec),
+          ej_deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d
+                     FROM ej_und GROUP BY a),
+          ej_common AS (SELECT u1.b AS x, u2.b AS y,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM ej_und u1 JOIN ej_und u2
+                          ON u1.a = u2.a AND u1.b < u2.b
+                        GROUP BY u1.b, u2.b)
+          SELECT e.canon_a, e.canon_b,
+                 round(c.c * 1.0 / (da.d + db.d - c.c), 6) AS jac
+          FROM ej_ec e
+          JOIN ej_common c ON c.x = e.canon_a AND c.y = e.canon_b
+          JOIN ej_deg da ON da.a = e.canon_a
+          JOIN ej_deg db ON db.a = e.canon_b
+        """,
         "kg_node_label_counts": f"""
           SELECT 'TURN' AS label, CAST(count(*) AS BIGINT) AS n_nodes FROM {t}
           UNION ALL SELECT 'CONVERSATION', count(DISTINCT conv_id) FROM {t}
@@ -601,6 +626,23 @@ def _rel_sql() -> dict[str, str]:
           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
           WHERE (o_orderkey * 2654435761) % 4294967296 < 42949672
         """,
+        # pivot as conditional aggregation (the declared type enum is the
+        # column set — one shuffled row per user)
+        "rel_pivot_events": """
+          SELECT user_id,
+                 CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                 CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                 CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                 CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                 CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+          FROM events GROUP BY user_id
+        """,
+        # deterministic collect: sorted string_agg (order as data)
+        "rel_region_nations": """
+          SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+          FROM nation JOIN region ON r_regionkey = n_regionkey
+          GROUP BY r_name
+        """,
         # genuine range join against the literal interval table (the Ray
         # path broadcasts the same bands and probes with searchsorted)
         "rel_value_bands": """
@@ -688,6 +730,17 @@ def _ops_sql() -> dict[str, str]:
             FROM (SELECT string_split(text, ' ') AS toks FROM documents),
                  LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
           ) GROUP BY bigram HAVING count(*) >= 5
+        """,
+        # per-document most-frequent token, lexicographic tiebreak
+        "text_top_term": """
+          SELECT doc_id, top_term, n FROM (
+            SELECT doc_id, term AS top_term, CAST(count(*) AS BIGINT) AS n,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY count(*) DESC, term ASC) AS rn
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY doc_id, term
+          ) WHERE rn = 1
         """,
         "dedup_ngram_jaccard": f"""
           WITH sh AS ({shingle_rows}),

@@ -52,10 +52,13 @@ def _shingles(text: str) -> list[str]:
     return [" ".join(toks[i : i + SHINGLE_W]) for i in range(len(toks) - SHINGLE_W + 1)]
 
 
-def _shingle_rows(t: pd.DataFrame) -> pd.DataFrame:
+def _shingle_rows(t: pd.DataFrame):
     sh = t["text"].map(lambda x: sorted(set(_shingles(x))))
     exploded = pd.DataFrame({"doc_id": t["doc_id"], "shingle": sh}).explode("shingle")
-    return exploded.dropna().reset_index(drop=True)
+    from .agg import empty_safe
+
+    # typed-empty: 0-row object frames trip Ray's block-size sampler
+    return empty_safe(exploded.dropna().reset_index(drop=True))
 
 
 def _hot_shingles(shingled, max_df: int) -> frozenset:

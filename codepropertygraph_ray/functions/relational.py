@@ -602,3 +602,50 @@ def events_value_bands(sf_dir: str):
     return out.map_batches(
         lambda t: t.assign(sum_value=t["sum_value"].round(2)), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot (conditional aggregation) + deterministic collect (string_agg)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_types(sf_dir: str):
+    """(user_id, n_click, n_error, n_purchase, n_signup, n_view) — the
+    pivot/crosstab operator as conditional aggregation: one wide partial
+    row per (user, batch) via a vectorized crosstab, then a bucketed sum —
+    the column set is the (fixed, declared) type enum, so the shuffle
+    carries one row per user, never one per event."""
+    from .agg import hash_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(t["user_id"], t["event_type"])
+        ct = ct.reindex(columns=EVENT_TYPES, fill_value=0)
+        ct.columns = cols
+        return ct.reset_index().astype({c: "int64" for c in cols})
+
+    return hash_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        "user_id",
+        **{c: (c, "sum") for c in cols},
+    )
+
+
+def region_nation_list(sf_dir: str):
+    """(r_name, nations) — per-region comma-joined SORTED nation names: the
+    collect_list/string_agg operator with order as data (deterministic at
+    any parallelism, `usedTypes.sorted` discipline). Dimension-sized input;
+    the same shape scales as hash_groupby + per-group sorted join."""
+    nat = _read(sf_dir, "nation", ["n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    m = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    out = (
+        m.sort_values(["r_name", "n_name"])
+        .groupby("r_name", as_index=False)
+        .agg(nations=("n_name", ",".join))
+    )
+    return out

@@ -303,3 +303,30 @@ def bigram_counts(sf_dir: str, min_n: int = BIGRAM_MIN_N):
     return out.map_batches(
         lambda t, m=min_n: t[t["n"] >= m], batch_format="pandas"
     )
+
+
+def top_term(sf_dir: str):
+    """(doc_id, top_term, n) — each document's most frequent whitespace
+    token, ties broken lexicographically (order-as-data, never luck).
+
+    TF-IDF-style distinctive-term extraction reduced to its deterministic
+    integer core. Documents are row-contained, so the whole computation is
+    one stateless vectorized ``map_batches`` — explode, count, one sort,
+    first-per-doc — with no shuffle at all."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def pick(t: pd.DataFrame) -> pd.DataFrame:
+        ex = t[["doc_id"]].join(t["text"].str.split(" ").explode().rename("term"))
+        g = ex.groupby(["doc_id", "term"], as_index=False).size()
+        g = g.sort_values(
+            ["doc_id", "size", "term"], ascending=[True, False, True],
+            ignore_index=True,
+        )
+        first = g.drop_duplicates("doc_id", keep="first")
+        return pd.DataFrame(
+            {"doc_id": first["doc_id"].to_numpy(np.int64),
+             "top_term": first["term"].to_numpy(),
+             "n": first["size"].to_numpy(np.int64)}
+        )
+
+    return ds.map_batches(pick, batch_format="pandas")

@@ -292,3 +292,79 @@ def pagerank(sf_dir: str):
 
     out = pd.DataFrame({"canon": nodes, "pr": rank.to_numpy().round(PR_ROUND)})
     return out.sort_values("canon", ignore_index=True)
+
+
+JAC_ROUND = 6
+
+
+def entity_jaccard(sf_dir: str):
+    """(canon_a, canon_b, jac) — neighborhood Jaccard similarity for every
+    co-occurring entity pair with ≥1 shared neighbor: the graph-similarity
+    operator (link prediction / alias-candidate scoring).
+
+    Shape: wedge counting — every apex's neighbor pairs emit once from the
+    apex's bucket, a bucketed sum gives |N(a)∩N(b)| per pair, and an
+    (x, y)-bucketed tag join restricts to actual edges; degrees broadcast
+    (vocab-scale). Wedge volume is Σdeg² — the inherent all-pairs-common-
+    neighbor cost; at hub-skewed scale, cap apex degree or route through
+    the MinHash/LSH family (functions/dedup.py) instead."""
+    edges = _cooc_edges(sf_dir)
+
+    deg_df = hash_agg(
+        edges.map_batches(
+            lambda t: pd.DataFrame(
+                {"canon": pd.concat([t["a"], t["b"]], ignore_index=True)}
+            ),
+            batch_format="pandas",
+        ),
+        "canon",
+        degree=("canon", "size"),
+    ).to_pandas()
+    dref = ray.put(build_lookup(deg_df["canon"], deg_df["degree"]))
+
+    und = edges.map_batches(
+        lambda t: pd.DataFrame(
+            {"apex": pd.concat([t["a"], t["b"]], ignore_index=True),
+             "nbr": pd.concat([t["b"], t["a"]], ignore_index=True)}
+        ),
+        batch_format="pandas",
+    )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="apex")
+        m = m[m["nbr_x"] < m["nbr_y"]]
+        pc = m.groupby(["nbr_x", "nbr_y"], as_index=False).size()
+        out = pc.rename(columns={"nbr_x": "x", "nbr_y": "y", "size": "c"})
+        out["kind"] = "w"
+        return out
+
+    w = hash_agg(
+        hash_groupby(und, "apex", wedges).drop_columns(["kind"]),
+        ["x", "y"],
+        c=("c", "sum"),
+    ).map_batches(lambda t: t.assign(kind="w"), batch_format="pandas")
+    e_tagged = edges.map_batches(
+        lambda t: pd.DataFrame(
+            {"x": t["a"], "y": t["b"], "c": np.int64(0), "kind": "e"}
+        ),
+        batch_format="pandas",
+    )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        es = g.loc[g["kind"] == "e", ["x", "y"]]
+        ws = g[g["kind"] == "w"]
+        m = ws.merge(es, on=["x", "y"])
+        if not len(m):
+            return empty_safe(
+                pd.DataFrame({"canon_a": pd.Series(dtype="object"),
+                              "canon_b": pd.Series(dtype="object"),
+                              "jac": pd.Series(dtype="float64")})
+            )
+        tbl = get_broadcast(dref)
+        da = lookup_keys(tbl, m["x"]).astype(np.int64)
+        db = lookup_keys(tbl, m["y"]).astype(np.int64)
+        c = m["c"].to_numpy(np.int64)
+        jac = (c / (da + db - c)).round(JAC_ROUND)
+        return pd.DataFrame({"canon_a": m["x"], "canon_b": m["y"], "jac": jac})
+
+    return hash_groupby(w.union(e_tagged), ["x", "y"], score)

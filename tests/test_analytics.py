@@ -197,3 +197,60 @@ def test_bigram_counts_match_counter(ray_session):
         ctr.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
     ref = {k: v for k, v in ctr.items() if v >= 5}
     assert dict(zip(got["bigram"], got["n"])) == ref
+
+
+def test_entity_jaccard_matches_setmath(ray_session, cooc_edges):
+    from codepropertygraph_ray.pipelines.analytics import entity_jaccard
+
+    got = entity_jaccard(SF_DIR).to_pandas()
+    adj: dict = defaultdict(set)
+    for a, b in zip(cooc_edges["a"], cooc_edges["b"]):
+        adj[a].add(b)
+        adj[b].add(a)
+    ref = {}
+    for a, b in zip(cooc_edges["a"], cooc_edges["b"]):
+        c = len(adj[a] & adj[b])
+        if c:
+            ref[(a, b)] = round(c / (len(adj[a]) + len(adj[b]) - c), 6)
+    assert {(a, b): j for a, b, j in zip(got["canon_a"], got["canon_b"], got["jac"])} == ref
+
+
+def test_pivot_matches_crosstab(ray_session):
+    from codepropertygraph_ray.functions.relational import (
+        EVENT_TYPES,
+        pivot_event_types,
+    )
+
+    got = pivot_event_types(SF_DIR).to_pandas().sort_values("user_id", ignore_index=True)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ref = (
+        pd.crosstab(ev["user_id"], ev["event_type"])
+        .reindex(columns=EVENT_TYPES, fill_value=0)
+        .reset_index()
+    )
+    for t in EVENT_TYPES:
+        assert (got[f"n_{t}"].to_numpy() == ref[t].to_numpy()).all()
+
+
+def test_region_nations_sorted_join(ray_session):
+    from codepropertygraph_ray.functions.relational import region_nation_list
+
+    got = region_nation_list(SF_DIR)
+    assert len(got) == 5
+    for ns in got["nations"]:
+        parts = ns.split(",")
+        assert parts == sorted(parts) and len(parts) == 5
+
+
+def test_top_term_matches_counter(ray_session):
+    from collections import Counter
+
+    from codepropertygraph_ray.functions.text import top_term
+
+    got = top_term(SF_DIR).to_pandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ctr = Counter(text.split(" "))
+        best = min(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        row = got[got["doc_id"] == doc_id].iloc[0]
+        assert (row["top_term"], row["n"]) == best
