@@ -88,6 +88,20 @@ def _hot_shingles(shingled, max_df: int) -> frozenset:
     return frozenset(hot["shingle"])
 
 
+def _doc_sizes(docs_ds, hot: frozenset = frozenset()) -> dict:
+    """{doc_id: n distinct shingles not in ``hot``} — shuffle-free: each
+    document's text is one row, so the count is exact per batch; the
+    result is dimension-sized (one int per doc) and broadcasts."""
+    def count(t: pd.DataFrame) -> pd.DataFrame:
+        ns = t["text"].map(
+            lambda x, h=hot: sum(1 for s in set(_shingles(x)) if s not in h)
+        )
+        return pd.DataFrame({"doc_id": t["doc_id"], "n": ns.astype("int64")})
+
+    sizes = docs_ds.map_batches(count, batch_format="pandas").to_pandas()
+    return dict(zip(sizes["doc_id"], sizes["n"]))
+
+
 def ngram_jaccard_pairs(sf_dir: str, max_df: int = MAX_DF):
     """(id_a, id_b): document pairs with word-3-gram Jaccard ≥ 0.5, the
     Jaccard computed over shingles with DF ≤ ``max_df`` (the stop-shingle
@@ -111,16 +125,10 @@ def ngram_jaccard_pairs(sf_dir: str, max_df: int = MAX_DF):
             batch_format="pandas",
         )
 
-    # |A| per doc over KEPT shingles (broadcast — dimension-sized)
-    sizes = hash_agg(
-        shingled.map_batches(
-            lambda t: t.groupby("doc_id", as_index=False).agg(n=("shingle", "size")),
-            batch_format="pandas",
-        ),
-        "doc_id",
-        n=("n", "sum"),
-    ).to_pandas()
-    size_ref = ray.put(dict(zip(sizes["doc_id"], sizes["n"])))
+    # |A| per doc over KEPT shingles (broadcast — dimension-sized).
+    # NO shuffle: _doc_sizes recomputes per-doc distinct-shingle counts
+    # straight from the docs stream (each document is row-contained)
+    size_ref = ray.put(_doc_sizes(_read_docs(sf_dir, ["doc_id", "text"]), hot))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # all occurrences of a shingle co-locate → vectorized self-merge;
@@ -251,14 +259,14 @@ def minhash_lsh_pairs(sf_dir: str):
             columns={"doc_id_x": "id_a", "doc_id_y": "id_b"}
         )
 
+    # cross-band duplicate pairs dedup on the DRIVER: the candidate set is
+    # pair-scale and broadcasts below anyway, so a second shuffle just to
+    # dedupe would pay a whole execution for work the driver does in one
+    # drop_duplicates
     candidates = (
-        hash_agg(
-            hash_groupby(bands, ["band_id", "band_hash"], bucket_pairs),
-            ["id_a", "id_b"],
-            _n=("id_a", "size"),  # distinct pairs across bands
-        )
-        .drop_columns(["_n"])
+        hash_groupby(bands, ["band_id", "band_hash"], bucket_pairs)
         .to_pandas()
+        .drop_duplicates(ignore_index=True)
     )
     if candidates.empty:
         from ray.data import from_pandas
@@ -281,15 +289,15 @@ def minhash_lsh_pairs(sf_dir: str):
         batch_format="pandas",
     ).materialize()
 
-    sizes = hash_agg(
-        shingled.map_batches(
-            lambda t: t.groupby("doc_id", as_index=False).agg(n=("shingle", "size")),
-            batch_format="pandas",
-        ),
-        "doc_id",
-        n=("n", "sum"),
-    ).to_pandas()
-    size_ref = ray.put(dict(zip(sizes["doc_id"], sizes["n"])))
+    # shuffle-free per-doc sizes (docs are row-contained; candidate docs only)
+    size_ref = ray.put(
+        _doc_sizes(
+            _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+                lambda t: t[t["doc_id"].isin(get_broadcast(docs_ref))],
+                batch_format="pandas",
+            )
+        )
+    )
 
     def cand_pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="shingle")
