@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sample_hash": relational.sample_orders_hash,
         "rel_pivot_events": relational.pivot_event_types,
         "rel_region_nations": relational.region_nation_list,
+        "rel_rollup_revenue": relational.rollup_revenue,
+        "rel_sample_stratified": relational.sample_stratified_events,
         # --- training-data ops: text analysis -----------------------------
         "text_token_stats": text.token_stats,
         "text_quality": text.quality_signals,
@@ -642,6 +644,29 @@ def _rel_sql() -> dict[str, str]:
           SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
           FROM nation JOIN region ON r_regionkey = n_regionkey
           GROUP BY r_name
+        """,
+        # multi-level aggregate: ROLLUP subtotals, grouped-out levels as 'ALL'
+        "rel_rollup_revenue": """
+          SELECT coalesce(r_name, 'ALL') AS r_name,
+                 coalesce(n_name, 'ALL') AS n_name,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM orders
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation ON n_nationkey = c_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          GROUP BY ROLLUP(r_name, n_name)
+        """,
+        # deterministic stratified sample: smallest multiplicative hash per
+        # stratum, event_id tiebreak (same subset at any parallelism)
+        "rel_sample_stratified": """
+          SELECT event_type, event_id FROM (
+            SELECT event_type, event_id,
+                   row_number() OVER (
+                     PARTITION BY event_type
+                     ORDER BY (event_id * 2654435761) % 4294967296, event_id
+                   ) AS rn
+            FROM events
+          ) WHERE rn <= 10
         """,
         # genuine range join against the literal interval table (the Ray
         # path broadcasts the same bands and probes with searchsorted)

@@ -32,6 +32,9 @@ TIMED_QUERIES = [
     "dedup_minhash_lsh",
     "sim_knn_bruteforce",
     "text_token_stats",
+    "rel_rolling_avg",
+    "rel_pivot_events",
+    "text_bigrams",
 ]
 
 

@@ -649,3 +649,74 @@ def region_nation_list(sf_dir: str):
         .agg(nations=("n_name", ",".join))
     )
     return out
+
+
+def rollup_revenue(sf_dir: str):
+    """(r_name, n_name, revenue) — revenue with ROLLUP subtotals: one row
+    per (region, nation), per region (n_name='ALL'), and a grand total.
+
+    The multi-level aggregate: the corpus-scale work is ONE distributed
+    pass (the same broadcast-join + partial-agg plan as nation_revenue);
+    the rollup levels derive from the unrounded base aggregate, which is
+    dimension-sized (|regions|×|nations|), on the driver. Rounding happens
+    once at the end on every level — matching SQL ROLLUP exactly."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )[["c_custkey", "n_name", "r_name"]]
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, on="o_custkey", right_on="c_custkey")
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        return t.groupby(["r_name", "n_name"], as_index=False).agg(
+            revenue=("o_totalprice", "sum")
+        )
+
+    base = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    per_region = base.groupby("r_name", as_index=False).agg(revenue=("revenue", "sum"))
+    per_region["n_name"] = "ALL"
+    total = pd.DataFrame(
+        {"r_name": ["ALL"], "n_name": ["ALL"], "revenue": [base["revenue"].sum()]}
+    )
+    out = pd.concat([base, per_region, total], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    return out[["r_name", "n_name", "revenue"]]
+
+
+STRAT_K = 10
+
+
+def sample_stratified_events(sf_dir: str, k: int = STRAT_K):
+    """(event_type, event_id) — per event type, the k events with the
+    smallest multiplicative key hash: a deterministic stratified sample
+    (reservoir sampling without the RNG — same subset at any parallelism
+    and in the SQL oracle). Shape = the top-k-per-group combiner: a local
+    per-batch top-k bounds the shuffle to ≤ k rows per (type, batch)."""
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id"])
+
+    def with_hash(t: pd.DataFrame) -> pd.DataFrame:
+        h = (t["event_id"].to_numpy(np.int64) * SAMPLE_MULT) % SAMPLE_MOD
+        t = t.assign(_h=h)
+        return t.sort_values(["event_type", "_h", "event_id"]).groupby(
+            "event_type", as_index=False, sort=False
+        ).head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "_h", "event_id"], ignore_index=True)
+        g = g.groupby("event_type", as_index=False, sort=False).head(k)
+        return g[["event_type", "event_id"]]
+
+    return hash_groupby(
+        ds.map_batches(with_hash, batch_format="pandas"), "event_type", final_topk
+    )

@@ -254,3 +254,40 @@ def test_top_term_matches_counter(ray_session):
         best = min(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
         row = got[got["doc_id"] == doc_id].iloc[0]
         assert (row["top_term"], row["n"]) == best
+
+
+def test_rollup_levels_consistent(ray_session):
+    from codepropertygraph_ray.functions.relational import rollup_revenue
+
+    got = rollup_revenue(SF_DIR)
+    base = got[(got["r_name"] != "ALL") & (got["n_name"] != "ALL")]
+    per_region = got[(got["r_name"] != "ALL") & (got["n_name"] == "ALL")]
+    total = got[(got["r_name"] == "ALL") & (got["n_name"] == "ALL")]
+    assert len(total) == 1
+    # each level re-sums the one below (rounding slack ≤ a cent per term)
+    for r, rev in zip(per_region["r_name"], per_region["revenue"]):
+        sub = base.loc[base["r_name"] == r, "revenue"].sum()
+        assert abs(sub - rev) < 0.05
+    assert abs(base["revenue"].sum() - total["revenue"].iloc[0]) < 0.25
+
+
+def test_stratified_sample_matches_reference(ray_session):
+    from codepropertygraph_ray.functions.relational import (
+        SAMPLE_MOD,
+        SAMPLE_MULT,
+        STRAT_K,
+        sample_stratified_events,
+    )
+
+    got = sample_stratified_events(SF_DIR).to_pandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev.assign(_h=(ev["event_id"].to_numpy(np.int64) * SAMPLE_MULT) % SAMPLE_MOD)
+    ref = (
+        ev.sort_values(["event_type", "_h", "event_id"])
+        .groupby("event_type")
+        .head(STRAT_K)
+    )
+    assert set(zip(got["event_type"], got["event_id"])) == set(
+        zip(ref["event_type"], ref["event_id"])
+    )
+    assert got.groupby("event_type").size().le(STRAT_K).all()
