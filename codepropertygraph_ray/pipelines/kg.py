@@ -87,8 +87,10 @@ def run_base(ctx: PassContext) -> dict:
 
     path = ensure_transcripts(ctx.sf_dir)
     nbytes = corpus_bytes(path)
+    from .passes import blocks_per_cpu
+
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    nblocks = max(ncpu, nbytes // (32 << 20))
+    nblocks = max(ncpu * blocks_per_cpu(), nbytes // (32 << 20))
     ds = ray.data.read_parquet(
         path, columns=["conv_id", "turn_idx", "text"], override_num_blocks=nblocks
     )

@@ -40,6 +40,15 @@ SUCCESS = "_SUCCESS"
 INVERSE = "inverse.json"
 
 
+def blocks_per_cpu() -> int:
+    """Task granularity knob: blocks per CPU for delta reads (and the base
+    read). 1 minimizes fixed per-task dispatch cost (the quiet-box
+    optimum); 2 halves the straggler penalty of full-width barrier stages
+    when core speeds are uneven (co-tenant steal). Env-tunable so a noisy
+    deployment can flip it without a code change."""
+    return max(1, int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "1")))
+
+
 @dataclass
 class PassContext:
     """Handed to each pass; passes exchange data only through overlay dirs
@@ -76,15 +85,20 @@ class PassContext:
 
         # Ray's auto read parallelism keys off bytes and can settle on ~16
         # blocks for a coalesced delta, capping every downstream stage
-        # below cluster width; ask for ONE block per CPU (blocks are split
-        # views of row groups, not extra reads). Not 2×: per-task driver
-        # dispatch cost (~10 ms) scales with task count, i.e. with cluster
-        # width — the 2× slack measurably flattened 8→32 scaling.
+        # below cluster width; ask for blocks_per_cpu() blocks per CPU
+        # (blocks are split views of row groups, not extra reads). Default
+        # ONE per CPU: per-task driver dispatch cost (~10 ms) scales with
+        # task count, i.e. with cluster width — 2× slack measurably
+        # flattened 8→32 scaling on a quiet box. On a box with UNEVEN core
+        # speeds (co-tenant steal pinning some cores), every full-width
+        # barrier waits for the slowest core and finer blocks rebalance:
+        # set GRAFT_BLOCKS_PER_CPU=2 there (measured trade-off in
+        # BASELINE.md 'Scaling').
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         return ray.data.read_parquet(
             self.delta_dir(pass_name, table),
             columns=columns,
-            override_num_blocks=ncpu,
+            override_num_blocks=ncpu * blocks_per_cpu(),
         )
 
     def read_table(self, pass_name: str, table: str, columns=None):
