@@ -94,24 +94,67 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
 # ---------------------------------------------------------------------------
 
 
+def _merge_sorted_runs(runs: list[tuple[np.ndarray, np.ndarray]]):
+    """Pairwise vectorized merge of sorted (ids, codes) runs → one sorted
+    pair. O(n log k) in whole-array numpy passes — no Python per element."""
+    while len(runs) > 1:
+        nxt = []
+        for j in range(0, len(runs) - 1, 2):
+            ia, ca = runs[j]
+            ib, cb = runs[j + 1]
+            n = len(ia) + len(ib)
+            pos = np.searchsorted(ia, ib, side="left") + np.arange(len(ib))
+            out_i = np.empty(n, np.int64)
+            out_c = np.empty(n, np.int16)
+            mask = np.zeros(n, dtype=bool)
+            mask[pos] = True
+            out_i[mask] = ib
+            out_c[mask] = cb
+            out_i[~mask] = ia
+            out_c[~mask] = ca
+            nxt.append((out_i, out_c))
+        if len(runs) % 2:
+            nxt.append(runs[-1])
+        runs = nxt
+    return runs[0] if runs else (np.empty(0, np.int64), np.empty(0, np.int16))
+
+
 def _validate_broadcast(nodes, edges) -> pa.Table:
     label_names, code_of_label = _label_codes()
     edge_labels = list(schema.EDGE_LABELS)  # captured: includes extensions
 
     def node_dim_batch(t: pd.DataFrame) -> pd.DataFrame:
-        code = t["label"].map(code_of_label).fillna(-1).astype("int16")
-        return pd.DataFrame({"id": t["id"].astype("int64"), "code": code})
+        # categorical codes (C-level) — unknown labels → -1 like the old map
+        code = pd.Categorical(t["label"], categories=label_names).codes.astype("int16")
+        out = pd.DataFrame({"id": t["id"].astype("int64"), "code": code})
+        return out.sort_values("id", ignore_index=True)  # per-block, parallel
 
-    # the dim arrives SORTED by id from a distributed sort — the driver
-    # never argsorts a corpus-scale array (measured ~2.3 s single-threaded
-    # at 7M nodes, a fixed cost that capped 8→32 scaling efficiency);
-    # block order is preserved by to_pandas, so concatenation stays sorted
-    dim = (
+    # the dim arrives as per-block SORTED runs (the O(n log n) work runs
+    # distributed inside the map tasks) and the driver finishes with a
+    # vectorized k-way merge — measured 13.3 s for Ray's distributed
+    # sort("id")+to_pandas at 7.3M nodes vs ~6 s for run-merge (the global
+    # sort's sample/exchange barriers dwarf the actual compute at this
+    # table size, and the merge is O(n log k) whole-array numpy passes)
+    # Ray may re-chunk/coalesce map outputs, so a fetched batch is a
+    # concatenation of sorted pieces — split it back at descent points
+    # (piece count ≈ map-task count, preserving the distributed sort work)
+    runs = []
+    for b in (
         nodes.select_columns(["id", "label"])
-        .map_batches(node_dim_batch, batch_format="pandas")
-        .sort("id")
-        .to_pandas()
-    )
+        # batch_size=None: sort WHOLE blocks (the default ~8k-row chunking
+        # would hand the driver ~30× more runs → ~2× more merge levels)
+        .map_batches(node_dim_batch, batch_format="pandas", batch_size=None)
+        .iter_batches(batch_size=None, batch_format="pandas")
+    ):
+        if not len(b):
+            continue
+        ids_b = b["id"].to_numpy(np.int64)
+        codes_b = b["code"].to_numpy(np.int16)
+        cuts = np.flatnonzero(ids_b[1:] < ids_b[:-1]) + 1
+        for lo, hi in zip(np.r_[0, cuts], np.r_[cuts, len(ids_b)]):
+            runs.append((ids_b[lo:hi], codes_b[lo:hi]))
+    ids_sorted_m, codes_sorted_m = _merge_sorted_runs(runs)
+    dim = pd.DataFrame({"id": ids_sorted_m, "code": codes_sorted_m})
     driver_viols = [_EMPTY]
     codes_sorted = dim["code"].to_numpy(np.int16)
     if (codes_sorted < 0).any():  # exceptional path: name the unknown labels
@@ -153,43 +196,33 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
         out = np.where(found, codes[pos], -1)
         return out
 
-    # ---- ONE edges scan does everything edge-side -----------------------
-    # Per batch: dangling + edge-fact checks, a REF-count partial, and
-    # (src,label) degree partials. All ride one combined frame through the
-    # bucketed shuffle; the per-bucket reducer finishes degree bounds and
-    # passes violation rows through.
+    # ---- ONE edges scan does everything edge-side, NO shuffle -----------
+    # Per batch: dangling + edge-fact checks, a REF-count partial, and the
+    # degree-bound evidence. Every finite bound in the base schema is
+    # max == 1, and "out-degree ≤ 1 for every src" ⟺ "edge count ==
+    # distinct-src count": each batch emits the POSITIONS (indexes into
+    # the sorted broadcast dim) of its bounded edges' srcs as one packed
+    # binary cell per (src_label, edge_label); the driver ORs them into a
+    # bitmap and compares popcount to the total. That replaced the
+    # (src,lcode) degree-partial shuffle — measured ~6M shuffled rows and
+    # most of the validator's residual wall at sf0.4. Extension-registered
+    # bounds with max > 1 (rare) fall back to per-batch partial counts
+    # reduced on the driver — still shuffle-free; the driver already holds
+    # a dim of this scale on the broadcast path by definition.
     bound_mat = _bound_matrix(code_of_label)
     bounds_mat_ref = ray.put(bound_mat)
-
-    _combined_empty = pd.DataFrame(
-        {"check": pd.Series([], dtype="string"),
-         "detail": pd.Series([], dtype="string"),
-         "src": pd.Series([], dtype="int64"),
-         "lcode": pd.Series([], dtype="int8"),
-         "n": pd.Series([], dtype="int64")}
-    )
-
-    def _as_combined(viol_df: pd.DataFrame | None, deg_df: pd.DataFrame | None):
-        frames = []
-        if viol_df is not None and len(viol_df):
-            v = viol_df.copy()
-            v["src"] = np.int64(-1)
-            v["lcode"] = np.int8(-1)
-            v["n"] = np.int64(0)
-            frames.append(v)
-        if deg_df is not None and len(deg_df):
-            d = deg_df.copy()
-            d["check"] = pd.Series([None] * len(d), dtype="string")
-            d["detail"] = pd.Series([None] * len(d), dtype="string")
-            frames.append(d[["check", "detail", "src", "lcode", "n"]])
-        if not frames:
-            return _combined_empty
-        return pd.concat(frames, ignore_index=True)[_combined_empty.columns]
+    has_multi = bool(np.isfinite(bound_mat[bound_mat > 1]).any())
 
     def edge_scan(t: pd.DataFrame) -> pd.DataFrame:
         table = get_broadcast(label_of)
-        names = table[2]
-        src_c = _lookup(t["src"].to_numpy(np.int64), table)
+        ids_s, codes_s, names = table
+        src_v = t["src"].to_numpy(np.int64)
+        if len(ids_s):
+            pos_src = np.clip(np.searchsorted(ids_s, src_v), 0, len(ids_s) - 1)
+            src_c = np.where(ids_s[pos_src] == src_v, codes_s[pos_src], -1)
+        else:
+            pos_src = np.zeros(len(t), dtype=np.int64)
+            src_c = np.full(len(t), -1, dtype=np.int16)
         dst_c = _lookup(t["dst"].to_numpy(np.int64), table)
         viols = []
         dangling = (src_c < 0) | (dst_c < 0)
@@ -207,67 +240,94 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
         if bad:
             viols.append(_viol("edge_fact", bad))
         viols.append(_viol("_ref_partial", [str(int((t["label"] == schema.REF).sum()))]))
+        out = pd.concat(viols, ignore_index=True)
+        out["scode"] = np.int16(-1)
+        out["lcode"] = np.int16(-1)
+        out["n"] = np.int64(0)
+        out["pos"] = pd.Series([None] * len(out), dtype="object")
+        frames = [out]
+
         lcode = np.asarray(pd.Categorical(t["label"], categories=edge_labels).codes)
-        # degree partials ONLY for (src_label, edge_label) combos that carry
-        # a finite bound — everything else shuffles for nothing (measured:
-        # 4 bounded combos cover ~6M of 27M edges at sf0.4, a 4× cut in the
-        # validator's shuffle volume). Unknown labels (code -1) are already
-        # flagged by the edge_fact/dangling checks above.
         bm = get_broadcast(bounds_mat_ref)
-        bounded = (src_c >= 0) & (lcode >= 0)
-        bounded &= np.isfinite(
-            bm[np.clip(src_c, 0, None), np.clip(lcode, 0, None)]
-        )
-        deg = (
-            pd.DataFrame(
-                {"src": t["src"].to_numpy(np.int64)[bounded], "lcode": lcode[bounded]}
-            )
-            .groupby(["src", "lcode"], as_index=False, observed=True)
-            .size()
-            .rename(columns={"size": "n"})
-        )
-        deg["lcode"] = deg["lcode"].astype("int8")
-        return _as_combined(pd.concat(viols, ignore_index=True), deg)
-
-    def bucket_reduce(g: pd.DataFrame) -> pd.DataFrame:
-        table = get_broadcast(label_of)
-        names = table[2]
-        bm = get_broadcast(bounds_mat_ref)
-        passthrough = g[g["check"].notna()][["check", "detail"]]
-        deg = g[g["check"].isna()].groupby(["src", "lcode"], as_index=False)["n"].sum()
-        out = [passthrough]
-        if len(deg):
-            src_c = _lookup(deg["src"].to_numpy(np.int64), table)
-            lc = deg["lcode"].to_numpy(np.int64)
-            lim = np.where(src_c >= 0, bm[np.clip(src_c, 0, None), lc], np.inf)
-            over = deg["n"].to_numpy() > lim
-            if over.any():
-                sel = deg[over]
-                src_l = [names[c] if c >= 0 else None for c in src_c[over]]
-                out.append(
-                    _viol(
-                        "out_degree_exceeded",
-                        [
-                            f"{s}:{edge_labels[l]}={n}"
-                            for s, l, n in zip(src_l, sel["lcode"], sel["n"])
-                        ],
-                    )
+        valid = (src_c >= 0) & (lcode >= 0)
+        lim = np.where(valid, bm[np.clip(src_c, 0, None), np.clip(lcode, 0, None)], np.inf)
+        b1 = valid & (lim == 1)
+        if b1.any():
+            key = src_c[b1].astype(np.int64) * 1024 + lcode[b1]
+            order = np.argsort(key, kind="stable")
+            uk, starts = np.unique(key[order], return_index=True)
+            pos_sorted = pos_src[b1][order].astype("<i4")
+            blobs, scs, lcs, ns = [], [], [], []
+            bounds = np.r_[starts, len(key)]
+            for i, kk in enumerate(uk):
+                seg = pos_sorted[bounds[i]:bounds[i + 1]]
+                blobs.append(seg.tobytes())
+                scs.append(np.int16(kk // 1024))
+                lcs.append(np.int16(kk % 1024))
+                ns.append(np.int64(len(seg)))
+            frames.append(pd.DataFrame(
+                {"check": pd.Series(["_deg1"] * len(uk), dtype="string"),
+                 "detail": pd.Series([None] * len(uk), dtype="string"),
+                 "scode": scs, "lcode": lcs, "n": ns,
+                 "pos": pd.Series(blobs, dtype="object")}
+            ))
+        if has_multi:
+            bn = valid & np.isfinite(lim) & (lim > 1)
+            if bn.any():
+                deg = (
+                    pd.DataFrame({"srcp": pos_src[bn].astype(np.int64),
+                                  "scode": src_c[bn].astype(np.int16),
+                                  "lcode": lcode[bn].astype(np.int16)})
+                    .groupby(["srcp", "scode", "lcode"], as_index=False)
+                    .size()
                 )
-        return pd.concat(out, ignore_index=True) if out else _EMPTY
+                frames.append(pd.DataFrame(
+                    {"check": pd.Series(["_degN"] * len(deg), dtype="string"),
+                     "detail": pd.Series(deg["srcp"].astype(str), dtype="string"),
+                     "scode": deg["scode"], "lcode": deg["lcode"],
+                     "n": deg["size"].astype(np.int64),
+                     "pos": pd.Series([None] * len(deg), dtype="object")}
+                ))
+        return pd.concat(frames, ignore_index=True)
 
-    from ..functions.agg import hash_groupby
-
-    edge_results = hash_groupby(
-        edges.select_columns(["src", "dst", "label"]).map_batches(
-            edge_scan, batch_format="pandas"
-        ),
-        ["src", "lcode"],
-        bucket_reduce,
-    ).to_pandas()
+    edge_results = (
+        edges.select_columns(["src", "dst", "label"])
+        .map_batches(edge_scan, batch_format="pandas")
+        .to_pandas()
+    )
 
     ref_rows = edge_results["check"] == "_ref_partial"
     n_refs = edge_results.loc[ref_rows, "detail"].astype(int).sum()
-    edge_results = edge_results[~ref_rows]
+
+    deg1 = edge_results[edge_results["check"] == "_deg1"]
+    for (sc, lc), grp in deg1.groupby(["scode", "lcode"]):
+        total = int(grp["n"].sum())
+        bitmap = np.zeros(len(ids_sorted_m), dtype=bool)
+        for blob in grp["pos"]:
+            bitmap[np.frombuffer(blob, dtype="<i4")] = True
+        distinct = int(bitmap.sum())
+        if total > distinct:
+            driver_viols.append(_viol(
+                "out_degree_exceeded",
+                [f"{label_names[int(sc)]}:{edge_labels[int(lc)]}"
+                 f" n={total} distinct_src={distinct}"],
+            ))
+    degn = edge_results[edge_results["check"] == "_degN"]
+    if len(degn):
+        agg = degn.groupby(["detail", "scode", "lcode"], as_index=False)["n"].sum()
+        lim = bound_mat[agg["scode"].to_numpy(np.int64),
+                        agg["lcode"].to_numpy(np.int64)]
+        over = agg[agg["n"].to_numpy() > lim]
+        if len(over):
+            driver_viols.append(_viol(
+                "out_degree_exceeded",
+                [f"{label_names[int(s)]}:{edge_labels[int(l)]}={n}"
+                 for s, l, n in zip(over["scode"], over["lcode"], over["n"])],
+            ))
+
+    edge_results = edge_results[
+        ~ref_rows & ~edge_results["check"].isin(["_deg1", "_degN"])
+    ][["check", "detail"]]
     if n_refs != n_mentions:  # every MENTION has exactly one REF out-edge
         driver_viols.append(
             _viol("mention_ref_count", [f"mentions={n_mentions} refs={n_refs}"])
