@@ -94,31 +94,6 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
 # ---------------------------------------------------------------------------
 
 
-def _merge_sorted_runs(runs: list[tuple[np.ndarray, np.ndarray]]):
-    """Pairwise vectorized merge of sorted (ids, codes) runs → one sorted
-    pair. O(n log k) in whole-array numpy passes — no Python per element."""
-    while len(runs) > 1:
-        nxt = []
-        for j in range(0, len(runs) - 1, 2):
-            ia, ca = runs[j]
-            ib, cb = runs[j + 1]
-            n = len(ia) + len(ib)
-            pos = np.searchsorted(ia, ib, side="left") + np.arange(len(ib))
-            out_i = np.empty(n, np.int64)
-            out_c = np.empty(n, np.int16)
-            mask = np.zeros(n, dtype=bool)
-            mask[pos] = True
-            out_i[mask] = ib
-            out_c[mask] = cb
-            out_i[~mask] = ia
-            out_c[~mask] = ca
-            nxt.append((out_i, out_c))
-        if len(runs) % 2:
-            nxt.append(runs[-1])
-        runs = nxt
-    return runs[0] if runs else (np.empty(0, np.int64), np.empty(0, np.int16))
-
-
 def _validate_broadcast(nodes, edges) -> pa.Table:
     label_names, code_of_label = _label_codes()
     edge_labels = list(schema.EDGE_LABELS)  # captured: includes extensions
@@ -126,38 +101,37 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
     def node_dim_batch(t: pd.DataFrame) -> pd.DataFrame:
         # categorical codes (C-level) — unknown labels → -1 like the old map
         code = pd.Categorical(t["label"], categories=label_names).codes.astype("int16")
-        out = pd.DataFrame({"id": t["id"].astype("int64"), "code": code})
-        return out.sort_values("id", ignore_index=True)  # per-block, parallel
+        return pd.DataFrame({"id": t["id"].astype("int64"), "code": code})
 
-    # the dim arrives as per-block SORTED runs (the O(n log n) work runs
-    # distributed inside the map tasks) and the driver finishes with a
-    # vectorized k-way merge — measured 13.3 s for Ray's distributed
-    # sort("id")+to_pandas at 7.3M nodes vs ~6 s for run-merge (the global
-    # sort's sample/exchange barriers dwarf the actual compute at this
-    # table size, and the merge is O(n log k) whole-array numpy passes)
-    # Ray may re-chunk/coalesce map outputs, so a fetched batch is a
-    # concatenation of sorted pieces — split it back at descent points
-    # (piece count ≈ map-task count, preserving the distributed sort work)
-    runs = []
-    for b in (
+    # The probe table is the (id, code) dim fetched UNSORTED and argsorted
+    # on the driver. Measured alternatives at 7.3M/14.7M nodes, same box:
+    # Ray's distributed sort("id") 13.3 s (sample + range-exchange
+    # barriers), serial k-way run merge 6.8 s (and scaling-hostile),
+    # parallel Ray-task merge tree 12.5 s (searchsorted merges are
+    # cache-miss-bound, not O(n)) — vs driver np.argsort+take 1.2 s/2.3 s
+    # (introsort on values). The driver holds the dim on this path by
+    # definition (≤ BROADCAST_MAX_ROWS ⇒ argsort ≤ ~8 s at the cap, a
+    # width-independent constant); beyond the cap the sharded path runs.
+    dim = (
         nodes.select_columns(["id", "label"])
-        # batch_size=None: sort WHOLE blocks (the default ~8k-row chunking
-        # would hand the driver ~30× more runs → ~2× more merge levels)
         .map_batches(node_dim_batch, batch_format="pandas", batch_size=None)
-        .iter_batches(batch_size=None, batch_format="pandas")
-    ):
-        if not len(b):
-            continue
-        ids_b = b["id"].to_numpy(np.int64)
-        codes_b = b["code"].to_numpy(np.int16)
-        cuts = np.flatnonzero(ids_b[1:] < ids_b[:-1]) + 1
-        for lo, hi in zip(np.r_[0, cuts], np.r_[cuts, len(ids_b)]):
-            runs.append((ids_b[lo:hi], codes_b[lo:hi]))
-    ids_sorted_m, codes_sorted_m = _merge_sorted_runs(runs)
-    dim = pd.DataFrame({"id": ids_sorted_m, "code": codes_sorted_m})
+        .to_pandas()
+    )
+    ids_u = dim["id"].to_numpy(np.int64)
+    codes_u = dim["code"].to_numpy(np.int16)
+    order = np.argsort(ids_u)
+    ids_sorted = ids_u[order]
+    codes_sorted = codes_u[order]
+    n_dim_rows = len(ids_sorted)
+    dup_ids = (
+        np.unique(ids_sorted[1:][ids_sorted[1:] == ids_sorted[:-1]])
+        if n_dim_rows > 1 else np.empty(0, np.int64)
+    )
+    counts = np.bincount(codes_sorted[codes_sorted >= 0], minlength=len(label_names))
+    n_unknown = int((codes_sorted < 0).sum())
+
     driver_viols = [_EMPTY]
-    codes_sorted = dim["code"].to_numpy(np.int16)
-    if (codes_sorted < 0).any():  # exceptional path: name the unknown labels
+    if n_unknown:  # exceptional path: name the unknown labels
         bad = (
             nodes.select_columns(["label"])
             .map_batches(
@@ -167,17 +141,8 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
             .to_pandas()["label"].drop_duplicates()
         )
         driver_viols.append(_viol("unknown_node_label", bad))
-
-    ids_sorted = dim["id"].to_numpy(np.int64)
-    dup_mask = np.zeros(len(ids_sorted), dtype=bool)
-    if len(ids_sorted) > 1:
-        eq = ids_sorted[1:] == ids_sorted[:-1]
-        dup_mask[1:] = eq
-    if dup_mask.any():
-        driver_viols.append(
-            _viol("duplicate_node_id", np.unique(ids_sorted[dup_mask]).astype(str))
-        )
-    counts = np.bincount(codes_sorted[codes_sorted >= 0], minlength=len(label_names))
+    if len(dup_ids):
+        driver_viols.append(_viol("duplicate_node_id", dup_ids.astype(str)))
     if counts[code_of_label[schema.META_DATA]] != 1:
         driver_viols.append(_viol("meta_data_count", ["expected exactly 1"]))
     n_mentions = int(counts[code_of_label[schema.MENTION]])
@@ -186,11 +151,13 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
     # copy numpy arrays + np.searchsorted — 100× faster per batch than a
     # Series.map(dict) probe at 10^6+ nodes, and the dominant validator
     # cost at scale.
-    label_of = ray.put((ids_sorted, codes_sorted, label_names))
+    label_of = ray.put((ids_sorted, codes_sorted))
     allowed = frozenset(schema.EDGE_FACTS)
 
     def _lookup(ids: np.ndarray, table) -> np.ndarray:
-        ids_s, codes, _names = table
+        ids_s, codes = table
+        if not len(ids_s):
+            return np.full(len(ids), -1, dtype=np.int16)
         pos = np.clip(np.searchsorted(ids_s, ids), 0, len(ids_s) - 1)
         found = ids_s[pos] == ids
         out = np.where(found, codes[pos], -1)
@@ -215,7 +182,8 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
 
     def edge_scan(t: pd.DataFrame) -> pd.DataFrame:
         table = get_broadcast(label_of)
-        ids_s, codes_s, names = table
+        ids_s, codes_s = table
+        names = label_names
         src_v = t["src"].to_numpy(np.int64)
         if len(ids_s):
             pos_src = np.clip(np.searchsorted(ids_s, src_v), 0, len(ids_s) - 1)
@@ -302,7 +270,7 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
     deg1 = edge_results[edge_results["check"] == "_deg1"]
     for (sc, lc), grp in deg1.groupby(["scode", "lcode"]):
         total = int(grp["n"].sum())
-        bitmap = np.zeros(len(ids_sorted_m), dtype=bool)
+        bitmap = np.zeros(max(n_dim_rows, 1), dtype=bool)
         for blob in grp["pos"]:
             bitmap[np.frombuffer(blob, dtype="<i4")] = True
         distinct = int(bitmap.sum())
