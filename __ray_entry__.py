@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_facts": kgq.facts,
         "kg_entity_keys": kgq.entity_keys,
         "kg_canonical_map": kgq.canonical_map,
+        "kg_canonical_map_dist": kgq.canonical_map_distributed,
         "kg_triples": kgq.triples,
         "kg_entity_stats": kgq.entity_stats,
         "kg_conv_stats": kgq.conv_stats,
@@ -230,6 +231,9 @@ def _kg_sql() -> dict[str, str]:
         "kg_facts": facts_keyed,
         "kg_entity_keys": f"SELECT key, CAST(count(*) AS BIGINT) AS n_mentions FROM ({mentions_keyed}) GROUP BY key",
         "kg_canonical_map": canon,
+        # same oracle: the forced distributed hash-min path must agree with
+        # the recursive-CTE closure exactly (algorithm check, not a rerun)
+        "kg_canonical_map_dist": canon,
         "kg_triples": triples,
         "kg_entity_stats": entity_stats,
         "kg_conv_stats": f"""

@@ -77,6 +77,43 @@ def canonical_map(sf_dir: str):
     return out[["key", "canon"]].sort_values("key", ignore_index=True)
 
 
+def canonical_map_distributed(sf_dir: str):
+    """(key, canon) — identical semantics to :func:`canonical_map`, but the
+    union-find runs on the FORCED hash-min label-propagation path
+    (``functions/cc.cc_distributed``): per round, two bucketed shuffles
+    propagate labels one hop and take the min, until the changed-count
+    aggregate hits 0. This is the 100-TB path the auto-switch picks above
+    ``DRIVER_CC_MAX_EDGES``; exposing it as its own oracle-gated query puts
+    the distributed rounds (not just the driver union-find) under the
+    side-by-side DuckDB check."""
+    import ray.data
+
+    from ..functions.cc import canonical_map as cc_canonical_map
+
+    r = kg_runner(sf_dir)
+    ek = (
+        r.ctx.read_table("entities", "entity_keys", columns=["key", "is_alias"])
+        .to_pandas()
+    )
+    rec = r.ctx.read("base", "records", columns=["kind", "pred", "key", "obj_key"])
+    from ..functions.agg import empty_safe
+
+    alias_pairs = rec.map_batches(
+        lambda t: empty_safe(
+            t.loc[(t["kind"] == "fact") & (t["pred"] == "alias_of"),
+                  ["key", "obj_key"]]
+            .rename(columns={"key": "a", "obj_key": "b"})
+            .drop_duplicates()
+        ),
+        batch_format="pandas",
+    )
+    cm = cc_canonical_map(alias_pairs, distributed=True)
+    keys = ek.loc[~ek["is_alias"], ["key"]]
+    out = keys.merge(cm, left_on="key", right_on="node", how="left")
+    out["canon"] = out["component"].fillna(out["key"])
+    return out[["key", "canon"]].sort_values("key", ignore_index=True)
+
+
 def triples(sf_dir: str):
     """(subj, pred, obj, conv_id, turn_idx) — canonical triples with
     earliest-stating-turn lineage. THE flagship output."""
