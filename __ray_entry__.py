@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_dup_groups": similarity.dup_groups,
         # --- multimodal plumbing (decode stub) -----------------------------
         "mm_media_features": multimodal.media_features,  # no SQL oracle
+        "mm_frame_features": multimodal.frame_features,  # no SQL oracle
+        "mm_media_stats": multimodal.media_stats,
     }
 
 
@@ -759,6 +761,13 @@ def _ops_sql() -> dict[str, str]:
             FROM (SELECT string_split(text, ' ') AS toks FROM documents),
                  LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
           ) GROUP BY bigram HAVING count(*) >= 5
+        """,
+        # media metadata rollup: payload bytes = utf-8 text bytes, so the
+        # media plumbing's sizes are exactly octet_length(text)
+        "mm_media_stats": """
+          SELECT 'image' AS kind, CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+          FROM documents
         """,
         # per-document most-frequent token, lexicographic tiebreak
         "text_top_term": """

@@ -133,3 +133,139 @@ def media_features(sf_dir: str):
     n_bytes, features). Rows-only check (no SQL oracle: feature fakes are
     keyed-hash-derived)."""
     return decode_media(synthetic_media(sf_dir))
+
+
+FRAME_EVERY_MS = 500
+
+
+def synthetic_video(sf_dir: str):
+    """Deterministic fake VIDEO table: payload = utf-8 text bytes,
+    duration derived from payload length (1–6 s) — the frame-sampling
+    plumbing gets a real variable-length input without external data."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").to_pylist()
+        n = len(text)
+        payload = [(t or "").encode() for t in text]
+        dur = [1000 + (len(p) % 5000) for p in payload]
+        return pa.table(
+            {
+                "media_id": batch.column("doc_id"),
+                "kind": pa.array(["video"] * n),
+                "payload": pa.array(payload, pa.binary()),
+                "mime": pa.array(["video/fake"] * n),
+                "width": pa.array([None] * n, pa.int32()),
+                "height": pa.array([None] * n, pa.int32()),
+                "duration_ms": pa.array(dur, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
+
+
+def sample_frames(media_ds, every_ms: int = FRAME_EVERY_MS, batch_size: int = 64):
+    """video rows → frame rows (1→N flat map): one frame per ``every_ms``
+    of duration, frame payload = the corresponding byte slice of the
+    encoded stream (stub for a real seek+decode). The row fan-out stage of
+    a video pipeline: small batches (wide binary rows × N frames), arrow
+    end-to-end, deterministic output order via explicit frame_idx."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mids, kinds, payloads, durs = (
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("duration_ms").to_pylist(),
+        )
+        out_id, out_idx, out_ts, out_pay = [], [], [], []
+        for mid, kind, pay, dur in zip(mids, kinds, payloads, durs):
+            if kind != "video" or not dur:
+                continue
+            n_frames = max(int(dur) // every_ms, 1)
+            pay = pay or b""
+            step = max(len(pay) // n_frames, 1)
+            for i in range(n_frames):
+                out_id.append(mid)
+                out_idx.append(i)
+                out_ts.append(i * every_ms)
+                out_pay.append(pay[i * step : (i + 1) * step])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "ts_ms": pa.array(out_ts, pa.int32()),
+                "payload": pa.array(out_pay, pa.binary()),
+            }
+        )
+
+    return media_ds.map_batches(explode, batch_format="pyarrow", batch_size=batch_size)
+
+
+class FrameFeaturizer(MediaDecoder):
+    """Per-frame feature extraction (actor pool) — same decode stub, frame
+    granularity; a real deployment would batch frames through the model."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        if self.strict:
+            raise NotImplementedError(
+                "media codecs are not available in this environment; "
+                "run with strict=False for deterministic fake features"
+            )
+        payloads = batch.column("payload").to_pylist()
+        feats = self._fake_features(payloads)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "frame_idx": batch.column("frame_idx"),
+                "ts_ms": batch.column("ts_ms"),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.ravel(), pa.float32()), FEATURE_DIM
+                ),
+            }
+        )
+
+
+def frame_features(sf_dir: str):
+    """queries() surface: synthetic video → frame sampling → per-frame
+    features. Rows-only (keyed-hash fakes); pytest asserts the frame
+    fan-out equals the duration-derived count and is run-deterministic."""
+    frames = sample_frames(synthetic_video(sf_dir))
+    return frames.map_batches(
+        FrameFeaturizer,
+        fn_constructor_kwargs={"strict": False},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+
+def media_stats(sf_dir: str):
+    """(kind, n_items, total_bytes) — metadata rollup over the media table.
+    The payload is the documents' utf-8 text, so total_bytes is
+    SQL-expressible (octet_length) and the media schema/payload plumbing
+    sits under the exact-hash oracle gate."""
+    import pandas as pd
+
+    from .agg import hash_agg
+
+    ds = synthetic_media(sf_dir)
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        kinds = batch.column("kind").to_pylist()
+        sizes = pc.binary_length(batch.column("payload")).to_pylist()
+        g = pd.DataFrame({"kind": kinds, "b": sizes, "n": 1})
+        return g.groupby("kind", as_index=False).agg(
+            n_items=("n", "sum"), total_bytes=("b", "sum")
+        )
+
+    return hash_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "kind",
+        n_items=("n_items", "sum"),
+        total_bytes=("total_bytes", "sum"),
+    )

@@ -291,3 +291,30 @@ def test_stratified_sample_matches_reference(ray_session):
         zip(ref["event_type"], ref["event_id"])
     )
     assert got.groupby("event_type").size().le(STRAT_K).all()
+
+
+def test_frame_sampling_fanout_and_determinism(ray_session):
+    from codepropertygraph_ray.functions.multimodal import (
+        FRAME_EVERY_MS,
+        frame_features,
+        synthetic_video,
+    )
+
+    media = synthetic_video(SF_DIR).to_pandas()
+    expected = sum(
+        max(int(d) // FRAME_EVERY_MS, 1) for d in media["duration_ms"]
+    )
+    a = frame_features(SF_DIR).to_pandas().sort_values(
+        ["media_id", "frame_idx"], ignore_index=True
+    )
+    assert len(a) == expected
+    assert (a["ts_ms"] == a["frame_idx"] * FRAME_EVERY_MS).all()
+    b = frame_features(SF_DIR).to_pandas().sort_values(
+        ["media_id", "frame_idx"], ignore_index=True
+    )
+    assert a[["media_id", "frame_idx", "ts_ms"]].equals(
+        b[["media_id", "frame_idx", "ts_ms"]]
+    )
+    import numpy as np
+
+    assert np.array_equal(np.stack(a["features"]), np.stack(b["features"]))
