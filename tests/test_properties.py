@@ -1,0 +1,164 @@
+"""Property-based tests (hypothesis) over the pure-function core.
+
+The reference has no randomized testing (SURVEY.md §5); these go beyond
+it: each property pits a distributed-engine primitive against an
+obviously-correct brute-force definition on randomized inputs —
+regression armor for the primitives everything else is built on.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict, deque
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from codepropertygraph_ray.functions.cc import cc_local
+from codepropertygraph_ray.functions.graph import (
+    immediate_dominators,
+    resolve_functional,
+)
+from codepropertygraph_ray.ids import node_ids
+
+# -- ids: content-derived, order-free, label-scoped --------------------------
+
+keys_st = st.lists(
+    st.text(min_size=0, max_size=8), min_size=1, max_size=30
+)
+
+
+@given(keys_st, st.randoms())
+@settings(max_examples=50, deadline=None)
+def test_node_ids_order_free(keys, rnd):
+    a = node_ids("ENTITY", keys)
+    perm = list(range(len(keys)))
+    rnd.shuffle(perm)
+    b = node_ids("ENTITY", [keys[i] for i in perm])
+    assert {k: v for k, v in zip(keys, a)} == {
+        keys[i]: v for i, v in zip(perm, b)
+    }
+
+
+@given(st.text(min_size=1, max_size=8))
+@settings(max_examples=30, deadline=None)
+def test_node_ids_label_scoped(key):
+    assert node_ids("ENTITY", [key])[0] != node_ids("TURN", [key])[0]
+
+
+# -- union-find vs BFS components --------------------------------------------
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges_st)
+@settings(max_examples=100, deadline=None)
+def test_cc_local_matches_bfs_components(pairs):
+    df = pd.DataFrame(
+        {"a": [f"n{a}" for a, _ in pairs], "b": [f"n{b}" for _, b in pairs]}
+    )
+    got = cc_local(df)
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[f"n{a}"].add(f"n{b}")
+        adj[f"n{b}"].add(f"n{a}")
+    seen: dict = {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, q = [], deque([start])
+        comp_seen = {start}
+        while q:
+            u = q.popleft()
+            comp.append(u)
+            for v in adj[u]:
+                if v not in comp_seen:
+                    comp_seen.add(v)
+                    q.append(v)
+        rep = min(comp)
+        for n in comp:
+            seen[n] = rep
+    assert dict(zip(got["node"], got["component"])) == seen
+
+
+# -- CHK dominators vs the path definition ------------------------------------
+
+
+@given(
+    st.integers(3, 8).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+                min_size=n - 1,
+                max_size=3 * n,
+            ),
+        )
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_dominators_match_removal_definition(case):
+    n, raw = case
+    # force reachability skeleton: chain 0→1→…→n-1, plus random edges
+    edges = sorted(set([(i, i + 1) for i in range(n - 1)] + raw))
+    succ = defaultdict(list)
+    for s, d in edges:
+        succ[s].append(d)
+
+    def reachable(exclude=None):
+        seen, q = {0}, deque([0])
+        if exclude == 0:
+            return set()
+        while q:
+            u = q.popleft()
+            for v in succ[u]:
+                if v != exclude and v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        return seen
+
+    idom = immediate_dominators(edges, 0)
+    base = reachable()
+    for node in base:
+        if node == 0:
+            continue
+        # dominators of node = m such that removing m makes node unreachable
+        doms = {m for m in base if m != node and node not in reachable(exclude=m)}
+        doms.add(node)
+        # idom = the strict dominator dominated by all other strict doms:
+        # it is the strict dominator whose own strict-dominator set is
+        # largest (the closest one)
+        strict = doms - {node}
+        got = idom[node]
+        assert got in strict
+        # every other strict dominator of node must dominate got as well
+        for m in strict - {got}:
+            assert got not in reachable(exclude=m) or got == m
+
+
+# -- memoized functional resolve vs naive walk --------------------------------
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 20), st.integers(0, 20), min_size=0, max_size=20
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_resolve_functional_matches_naive(fmap):
+    # make acyclic: only keep strictly-decreasing edges (the caller contract)
+    f = {k: v for k, v in fmap.items() if v < k}
+    starts = list(f)
+    got = resolve_functional(f, starts)
+    for s in starts:
+        cur = s
+        for _ in range(100):
+            if cur not in f:
+                break
+            cur = f[cur]
+        assert got[s] == cur
