@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: dedup --------------------------------------
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # no SQL oracle
+        "dedup_keep_list": dedup.dedup_keep_list,
         # --- training-data ops: similarity search --------------------------
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,  # approximate — no SQL oracle
@@ -714,6 +715,19 @@ def _ops_sql() -> dict[str, str]:
         GROUP BY shingle HAVING count(*) <= {MAX_DF}
       )
     """
+    ngram_pairs_sql = f"""
+      WITH sh AS ({shingle_rows}),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) >= {JACCARD_THRESHOLD}
+    """
     return {
         "text_token_stats": r"""
           SELECT doc_id,
@@ -780,18 +794,22 @@ def _ops_sql() -> dict[str, str]:
             GROUP BY doc_id, term
           ) WHERE rn = 1
         """,
-        "dedup_ngram_jaccard": f"""
-          WITH sh AS ({shingle_rows}),
-          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-          inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-          )
-          SELECT id_a, id_b FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) >= {JACCARD_THRESHOLD}
+        "dedup_ngram_jaccard": ngram_pairs_sql,
+        # end-to-end dedup policy: pairs → connected components (recursive
+        # closure, min-id representative) → keep representative or
+        # untouched docs (dk_ prefixes: see the CTE-capture note above)
+        "dedup_keep_list": f"""
+          WITH RECURSIVE dk_pairs AS ({ngram_pairs_sql}),
+          dk_e(a, b) AS (SELECT id_a, id_b FROM dk_pairs
+                         UNION SELECT id_b, id_a FROM dk_pairs),
+          dk_reach(n, m) AS (
+            SELECT a, a FROM dk_e GROUP BY a
+            UNION
+            SELECT r.n, dk_e.b FROM dk_reach r JOIN dk_e ON r.m = dk_e.a
+          ),
+          dk_comp AS (SELECT n, min(m) AS comp FROM dk_reach GROUP BY n)
+          SELECT d.doc_id, (c.n IS NULL OR c.comp = d.doc_id) AS keep
+          FROM documents d LEFT JOIN dk_comp c ON c.n = d.doc_id
         """,
         "sim_knn_bruteforce": f"""
           WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -328,3 +328,44 @@ def minhash_lsh_pairs(sf_dir: str):
         return keep[["id_a", "id_b"]].astype("int64")
 
     return pair_counts.map_batches(verify, batch_format="pandas")
+
+
+def dedup_keep_list(sf_dir: str):
+    """(doc_id, keep) — the END-TO-END dedup policy: near-dup pairs
+    (exact n-gram Jaccard ≥ 0.5, stop-shingle-capped) → connected
+    components (the engine's union-find) → keep = component representative
+    (MIN doc_id) or any doc in no component. The full
+    candidate→verify→cluster→select flow a training-data pipeline runs;
+    each stage is the already-oracled operator, and the composition has
+    its own recursive-CTE oracle.
+
+    Scale shape: pair volume is duplicate-scale (≪ corpus), so the
+    component map broadcasts; the corpus-scale doc list streams through a
+    vectorized membership probe."""
+    from .cc import canonical_map
+
+    pairs = ngram_jaccard_pairs(sf_dir).map_batches(
+        lambda t: t.rename(columns={"id_a": "a", "id_b": "b"}),
+        batch_format="pandas",
+    )
+    cm = canonical_map(pairs)  # DataFrame(node, component) — dup-scale
+    if len(cm):
+        nodes = cm["node"].to_numpy(np.int64)
+        comps = cm["component"].to_numpy(np.int64)
+        keep_mask = nodes == comps
+        drop_sorted = np.sort(nodes[~keep_mask])
+    else:
+        drop_sorted = np.empty(0, np.int64)
+    dref = ray.put(drop_sorted)
+
+    def flag(t: pd.DataFrame) -> pd.DataFrame:
+        drops = get_broadcast(dref)
+        ids_v = t["doc_id"].to_numpy(np.int64)
+        if len(drops):
+            pos = np.clip(np.searchsorted(drops, ids_v), 0, len(drops) - 1)
+            keep = drops[pos] != ids_v
+        else:
+            keep = np.ones(len(ids_v), dtype=bool)
+        return pd.DataFrame({"doc_id": ids_v, "keep": keep})
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(flag, batch_format="pandas")

@@ -190,3 +190,18 @@ def test_knn_ivf_deterministic(ray_session):
     a = knn_ivf(sf).to_pandas().sort_values(["query_id", "rank"], ignore_index=True)
     b = knn_ivf(sf).to_pandas().sort_values(["query_id", "rank"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_keep_list_policy(ray_session, tmp_path):
+    """keep = exactly one representative (min id) per near-dup component,
+    all untouched docs kept."""
+    from codepropertygraph_ray.functions.dedup import dedup_keep_list
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [base, base + " iota", "totally different words here now", base]
+    sf = _write_docs(tmp_path, texts)
+    out = dedup_keep_list(sf).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert len(out) == 4
+    kept = set(out.loc[out["keep"], "doc_id"])
+    # docs 0,1,3 are one near-dup component (rep = 0); doc 2 untouched
+    assert kept == {0, 2}
