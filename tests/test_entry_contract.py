@@ -77,3 +77,33 @@ def test_query_matches_oracle_spot(ray_session, entrymod, con, name):
     ray_df = to_pandas(entrymod.queries()[name](SF))
     sql_df = con.sql(entrymod.oracle_sql()[name]).df()
     assert compare(name, ray_df, sql_df) is None
+
+
+def test_cli_run_validate_and_queries(tmp_path):
+    """The console-analog CLI: run (resumable) → validate → list queries.
+    Own subprocess = own Ray session (the CLI owns init, library doesn't)."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cli_out")
+    env_argv = [sys.executable, "-m", "codepropertygraph_ray", "--num-cpus", "4"]
+    r = subprocess.run(
+        env_argv + ["run", "--sf-dir", SF, "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    led = json.loads(r.stdout.strip().splitlines()[-1])
+    assert led["applied"] == ["base", "entities", "link", "materialize", "validate"]
+    r2 = subprocess.run(
+        env_argv + ["validate", "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert json.loads(r2.stdout.strip().splitlines()[-1])["violations"] == 0
+    r3 = subprocess.run(
+        [sys.executable, "-m", "codepropertygraph_ray", "queries"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r3.returncode == 0
+    assert "kg_triples" in r3.stdout
