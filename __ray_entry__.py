@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": text.lang_id,
         "text_bigrams": text.bigram_counts,
         "text_top_term": text.top_term,
+        "text_contamination": text.contamination,
+        "text_dataset_split": text.dataset_split,
         "text_simhash": text.simhash64,  # keyed hash — no SQL oracle
         "text_fingerprint": text.fingerprint,  # rolling hash — no SQL oracle
         # --- training-data ops: dedup --------------------------------------
@@ -692,6 +694,9 @@ def _rel_sql() -> dict[str, str]:
 def _ops_sql() -> dict[str, str]:
     from codepropertygraph_ray.functions.dedup import JACCARD_THRESHOLD, MAX_DF, SHINGLE_W
     from codepropertygraph_ray.functions.similarity import DUP_COS_THRESHOLD, KNN_K, N_QUERIES
+    from codepropertygraph_ray.functions.text import (
+        CONTAMINATION_PROBES as CONTAM_PROBES,
+    )
     from codepropertygraph_ray.functions.text import LANG_MARKERS, STOPWORDS
 
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -775,6 +780,21 @@ def _ops_sql() -> dict[str, str]:
             FROM (SELECT string_split(text, ' ') AS toks FROM documents),
                  LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
           ) GROUP BY bigram HAVING count(*) >= 5
+        """,
+        # benchmark-contamination screen: substring probes, same set
+        "text_contamination": f"""
+          SELECT doc_id,
+                 ({" OR ".join(f"contains(text, '{p}')" for p in CONTAM_PROBES)})
+                 AS contaminated
+          FROM documents
+        """,
+        # deterministic 80/10/10 split by multiplicative hash, same arithmetic
+        "text_dataset_split": """
+          SELECT CASE WHEN h < 80 THEN 'train'
+                      WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM (SELECT (doc_id * 2654435761) % 4294967296 % 100 AS h FROM documents)
+          GROUP BY 1
         """,
         # media metadata rollup: payload bytes = utf-8 text bytes, so the
         # media plumbing's sizes are exactly octet_length(text)

@@ -330,3 +330,56 @@ def top_term(sf_dir: str):
         )
 
     return ds.map_batches(pick, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination screen + deterministic dataset split
+# ---------------------------------------------------------------------------
+
+# probe phrases (benchmark n-grams to screen for) — embedded verbatim in
+# the SQL oracle, so keep them single-quote-free
+CONTAMINATION_PROBES = ["merge slow join", "the fast key", "vector join vector"]
+
+
+def contamination(sf_dir: str, probes: list[str] | None = None):
+    """(doc_id, contaminated) — docs containing ANY probe phrase as a
+    substring: the decontamination screen of a training-data pipeline.
+    The probe set is dimension-sized → a constant broadcast; the scan is
+    a stateless vectorized ``str.contains`` OR-fold per batch (at a large
+    probe set, swap in the Aho-Corasick automaton as per-process state —
+    same stage shape)."""
+    ps = CONTAMINATION_PROBES if probes is None else probes
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def flag(t: pd.DataFrame) -> pd.DataFrame:
+        hit = np.zeros(len(t), dtype=bool)
+        for p in ps:
+            hit |= t["text"].str.contains(p, regex=False).to_numpy()
+        return pd.DataFrame({"doc_id": t["doc_id"], "contaminated": hit})
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+SPLIT_MULT = 2654435761
+SPLIT_MOD = 1 << 32
+
+
+def dataset_split(sf_dir: str):
+    """(split, n_docs) — deterministic 80/10/10 train/val/test assignment
+    by multiplicative key hash (never an RNG, never row order: the same
+    doc lands in the same split at any parallelism, across runs, and in
+    the SQL oracle). The split itself is a stateless per-batch map; only
+    the tiny count rollup aggregates."""
+    from .agg import hash_agg
+
+    ds = _read_docs(sf_dir, ["doc_id"])
+
+    def assign(t: pd.DataFrame) -> pd.DataFrame:
+        h = (t["doc_id"].to_numpy(np.int64) * SPLIT_MULT) % SPLIT_MOD % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        g = pd.DataFrame({"split": split, "n": 1})
+        return g.groupby("split", as_index=False).agg(n_docs=("n", "sum"))
+
+    return hash_agg(
+        ds.map_batches(assign, batch_format="pandas"), "split", n_docs=("n_docs", "sum")
+    )

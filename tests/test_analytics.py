@@ -318,3 +318,29 @@ def test_frame_sampling_fanout_and_determinism(ray_session):
     import numpy as np
 
     assert np.array_equal(np.stack(a["features"]), np.stack(b["features"]))
+
+
+def test_contamination_and_split(ray_session):
+    from codepropertygraph_ray.functions.text import (
+        CONTAMINATION_PROBES,
+        SPLIT_MOD,
+        SPLIT_MULT,
+        contamination,
+        dataset_split,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    got = contamination(SF_DIR).to_pandas()
+    ref = {
+        did: any(p in t for p in CONTAMINATION_PROBES)
+        for did, t in zip(docs["doc_id"], docs["text"])
+    }
+    assert dict(zip(got["doc_id"], got["contaminated"])) == ref
+    assert got["contaminated"].any()  # probes chosen to hit the corpus
+
+    sp = dataset_split(SF_DIR).to_pandas()
+    h = (docs["doc_id"].to_numpy(np.int64) * SPLIT_MULT) % SPLIT_MOD % 100
+    exp = {"train": int((h < 80).sum()),
+           "val": int(((h >= 80) & (h < 90)).sum()),
+           "test": int((h >= 90).sum())}
+    assert dict(zip(sp["split"], sp["n_docs"])) == {k: v for k, v in exp.items() if v}
