@@ -382,7 +382,7 @@ def _kg_sql() -> dict[str, str]:
         """,
         "kg_entity_cooccurrence": cooc,
         "kg_entity_degree": f"""
-          WITH e AS ({cooc})
+          WITH e AS MATERIALIZED ({cooc})
           SELECT canon, CAST(count(*) AS BIGINT) AS degree FROM (
             SELECT canon_a AS canon FROM e
             UNION ALL SELECT canon_b FROM e
@@ -392,7 +392,7 @@ def _kg_sql() -> dict[str, str]:
         # canonical 3-way self-join over the (a < b) edge list — each
         # triangle {{x < y < z}} matched exactly once
         "kg_triangles": f"""
-          WITH e AS ({cooc})
+          WITH e AS MATERIALIZED ({cooc})
           SELECT CAST(count(*) AS BIGINT) AS n_triangles
           FROM e e1
           JOIN e e2 ON e2.canon_a = e1.canon_a AND e2.canon_b > e1.canon_b
@@ -405,7 +405,7 @@ def _kg_sql() -> dict[str, str]:
         # WITH scopes, so generic names (e, reach) would capture the
         # canonical-map snippet's own CTEs
         "kg_entity_bfs": f"""
-          WITH RECURSIVE bfs_ec AS ({cooc}),
+          WITH RECURSIVE bfs_ec AS MATERIALIZED ({cooc}),
           bfs_e(a, b) AS (SELECT canon_a, canon_b FROM bfs_ec
                           UNION SELECT canon_b, canon_a FROM bfs_ec),
           bfs_seed AS (SELECT min(a) AS s FROM bfs_e),
@@ -448,7 +448,7 @@ def _kg_sql() -> dict[str, str]:
         # neighbor (wedge counting; ej_ prefixes avoid CTE capture by the
         # nested canonical-map snippet)
         "kg_entity_jaccard": f"""
-          WITH ej_ec AS ({cooc}),
+          WITH ej_ec AS MATERIALIZED ({cooc}),
           ej_und(a, b) AS (SELECT canon_a, canon_b FROM ej_ec
                            UNION ALL SELECT canon_b, canon_a FROM ej_ec),
           ej_deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d
@@ -819,7 +819,7 @@ def _ops_sql() -> dict[str, str]:
         # closure, min-id representative) → keep representative or
         # untouched docs (dk_ prefixes: see the CTE-capture note above)
         "dedup_keep_list": f"""
-          WITH RECURSIVE dk_pairs AS ({ngram_pairs_sql}),
+          WITH RECURSIVE dk_pairs AS MATERIALIZED ({ngram_pairs_sql}),
           dk_e(a, b) AS (SELECT id_a, id_b FROM dk_pairs
                          UNION SELECT id_b, id_a FROM dk_pairs),
           dk_reach(n, m) AS (
