@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_topk_per_customer": relational.topk_orders_per_customer,
         "rel_value_bands": relational.events_value_bands,
         "rel_rolling_avg": relational.rolling_avg_events,
+        "rel_sliding_max": relational.sliding_max_events,
         "rel_lag_gaps": relational.lag_gaps,
         "rel_median_price": relational.median_price_by_priority,
         "rel_sample_hash": relational.sample_orders_hash,
@@ -613,6 +614,15 @@ def _rel_sql() -> dict[str, str]:
           SELECT user_id, event_id,
                  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+          FROM events
+        """,
+        # time-RANGE sliding window (SlickDeque-style trailing max); max is
+        # order-exact so no rounding needed
+        "rel_sliding_max": """
+          SELECT user_id, event_id,
+                 max(value) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                                            AND CURRENT ROW) AS max30
           FROM events
         """,
         "rel_lag_gaps": """

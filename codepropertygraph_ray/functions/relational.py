@@ -720,3 +720,35 @@ def sample_stratified_events(sf_dir: str, k: int = STRAT_K):
     return hash_groupby(
         ds.map_batches(with_hash, batch_format="pandas"), "event_type", final_topk
     )
+
+
+def sliding_max_events(sf_dir: str, window_min: int = 30):
+    """(user_id, event_id, max30) — max value over each user's trailing
+    30-minute TIME window (RANGE semantics, both ends inclusive).
+
+    The time-based sliding-window aggregate (cf. SlickDeque, EDBT 2018 —
+    the incremental deque that a true streaming engine would keep per
+    key): batch-side, the same result comes from one user-keyed bucketed
+    shuffle + a cython time-rolling pass per bucket. Window membership is
+    by TIMESTAMP, not row count — `closed="both"` mirrors SQL's RANGE
+    BETWEEN ... PRECEDING AND CURRENT ROW exactly. Max is order-exact
+    (no float summation), so the oracle compares unrounded."""
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], ignore_index=True)
+        r = (
+            g.groupby("user_id", sort=False)
+            .rolling(f"{window_min}min", on="ts", closed="both")["value"]
+            .max()
+        )
+        # rolling(on="ts") indexes the result by (group, ts) — align
+        # POSITIONALLY: group order of appearance == g's sorted order
+        return pd.DataFrame(
+            {"user_id": g["user_id"], "event_id": g["event_id"],
+             "max30": r.to_numpy()}
+        )
+
+    return hash_groupby(ds, "user_id", per_bucket)

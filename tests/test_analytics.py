@@ -344,3 +344,19 @@ def test_contamination_and_split(ray_session):
            "val": int(((h >= 80) & (h < 90)).sum()),
            "test": int((h >= 90).sum())}
     assert dict(zip(sp["split"], sp["n_docs"])) == {k: v for k, v in exp.items() if v}
+
+
+def test_sliding_max_matches_direct_window(ray_session):
+    from codepropertygraph_ray.functions.relational import sliding_max_events
+
+    got = sliding_max_events(SF_DIR).to_pandas()
+    ev = _events()
+    ref = {}
+    for _, g in ev.groupby("user_id"):
+        ts = g["ts"].to_numpy()
+        v = g["value"].to_numpy()
+        e = g["event_id"].to_numpy()
+        for i in range(len(v)):
+            lo = ts[i] - np.timedelta64(30, "m")
+            ref[e[i]] = v[(ts >= lo) & (ts <= ts[i])].max()
+    assert dict(zip(got["event_id"], got["max30"])) == ref
