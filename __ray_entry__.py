@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_knn_ivf": similarity.knn_ivf,  # approximate — no SQL oracle
         "sim_embedding_dups": similarity.embedding_dups,
         "sim_dup_groups": similarity.dup_groups,
+        "sim_dbscan": similarity.dbscan_embeddings,
         # --- multimodal plumbing (decode stub) -----------------------------
         "mm_media_features": multimodal.media_features,  # no SQL oracle
         "mm_frame_features": multimodal.frame_features,  # no SQL oracle
@@ -703,7 +704,13 @@ def _rel_sql() -> dict[str, str]:
 
 def _ops_sql() -> dict[str, str]:
     from codepropertygraph_ray.functions.dedup import JACCARD_THRESHOLD, MAX_DF, SHINGLE_W
-    from codepropertygraph_ray.functions.similarity import DUP_COS_THRESHOLD, KNN_K, N_QUERIES
+    from codepropertygraph_ray.functions.similarity import (
+        DBSCAN_COS,
+        DBSCAN_MIN_PTS,
+        DUP_COS_THRESHOLD,
+        KNN_K,
+        N_QUERIES,
+    )
     from codepropertygraph_ray.functions.text import (
         CONTAMINATION_PROBES as CONTAM_PROBES,
     )
@@ -863,6 +870,43 @@ def _ops_sql() -> dict[str, str]:
         # connected components over the dup-pair graph: transitive closure
         # by recursive CTE, component label = MIN reachable id — exactly
         # the canonical label functions/cc.py assigns
+        # DBSCAN over the cosine-eps graph: cores by neighbor count,
+        # clusters = CC of core-core edges (min-id label), borders attach
+        # to the MIN adjacent-core cluster, noise = -1 — all tie-breaks
+        # are mins, so SQL reproduces the distributed result exactly
+        "sim_dbscan": f"""
+          WITH RECURSIVE db_pairs AS MATERIALIZED (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {DBSCAN_COS}
+          ),
+          db_und(a, b) AS (SELECT id_a, id_b FROM db_pairs
+                           UNION ALL SELECT id_b, id_a FROM db_pairs),
+          db_core AS (SELECT a FROM db_und GROUP BY a
+                      HAVING count(*) >= {DBSCAN_MIN_PTS}),
+          db_ce(a, b) AS (SELECT u.a, u.b FROM db_und u
+                          JOIN db_core c1 ON c1.a = u.a
+                          JOIN db_core c2 ON c2.a = u.b),
+          db_reach(n, m) AS (
+            SELECT a, a FROM db_core
+            UNION
+            SELECT r.n, db_ce.b FROM db_reach r JOIN db_ce ON db_ce.a = r.m
+          ),
+          db_cl AS (SELECT n, min(m) AS cluster FROM db_reach GROUP BY n),
+          db_border AS (
+            SELECT u.a AS n, min(cl.cluster) AS cluster
+            FROM db_und u
+            JOIN db_cl cl ON cl.n = u.b
+            WHERE u.a NOT IN (SELECT a FROM db_core)
+            GROUP BY u.a
+          )
+          SELECT e.vec_id,
+                 coalesce(cl.cluster, bo.cluster, -1) AS cluster,
+                 (cl.n IS NOT NULL) AS is_core
+          FROM embeddings e
+          LEFT JOIN db_cl cl ON cl.n = e.vec_id
+          LEFT JOIN db_border bo ON bo.n = e.vec_id
+        """,
         "sim_dup_groups": f"""
           WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -249,7 +249,7 @@ def knn_ivf(sf_dir: str):
 DUP_N_BLOCKS = 8
 
 
-def embedding_dups(sf_dir: str):
+def embedding_dups(sf_dir: str, threshold: float = DUP_COS_THRESHOLD):
     """(id_a, id_b) — exact near-duplicate pairs with cosine ≥ threshold.
 
     Distributed BLOCK-PAIR join (the standard exact all-pairs shape):
@@ -300,14 +300,14 @@ def embedding_dups(sf_dir: str):
         blk = g["blk"].to_numpy(np.int64)
         if i == j:
             sims = m @ m.T
-            ia, ib = np.where(np.triu(sims >= DUP_COS_THRESHOLD, k=1))
+            ia, ib = np.where(np.triu(sims >= threshold, k=1))
             left, right = ids_[ia], ids_[ib]
         else:
             li, ri = blk == i, blk == j
             if not li.any() or not ri.any():
                 return empty
             sims = m[li] @ m[ri].T
-            ia, ib = np.where(sims >= DUP_COS_THRESHOLD)
+            ia, ib = np.where(sims >= threshold)
             left, right = ids_[li][ia], ids_[ri][ib]
         if not len(left):
             return empty
@@ -343,3 +343,59 @@ def dup_groups(sf_dir: str):
     )
     out = canonical_map(pairs)
     return out.rename(columns={"node": "vec_id", "component": "group_id"})
+
+
+# ---------------------------------------------------------------------------
+# density-based clustering (DBSCAN over the cosine-threshold graph)
+# ---------------------------------------------------------------------------
+
+DBSCAN_COS = 0.35  # eps as a cosine floor (looser than the dup threshold)
+DBSCAN_MIN_PTS = 2  # neighbors (excluding self) needed to be a core point
+
+
+def dbscan_embeddings(sf_dir: str):
+    """(vec_id, cluster, is_core) — DBSCAN over embeddings: eps-neighbors
+    = cosine ≥ ``DBSCAN_COS``, core = ≥ ``DBSCAN_MIN_PTS`` neighbors,
+    clusters = connected components of the core-core graph (label = MIN
+    core id), border points attach to the MIN cluster among adjacent
+    cores, everything else is noise (-1). Deterministic — every tie-break
+    is a min — so the SQL oracle reproduces it exactly (the batch
+    transposition of the density-clustering family, cf. DISC, ICDE 2021).
+
+    Scale shape: the eps-neighbor pairs come from the block-pair join
+    (``embedding_dups`` — no corpus broadcast); pair volume is
+    neighborhood-scale, so degrees/cores/clusters are dimension-sized
+    driver state broadcast back over one streamed membership pass."""
+    import ray.data
+
+    from .cc import canonical_map
+
+    pairs = embedding_dups(sf_dir, threshold=DBSCAN_COS).to_pandas()
+    deg = (
+        pd.concat([pairs["id_a"], pairs["id_b"]], ignore_index=True)
+        .value_counts()
+    )
+    cores = set(deg[deg >= DBSCAN_MIN_PTS].index)
+    cc_edges = pairs[pairs["id_a"].isin(cores) & pairs["id_b"].isin(cores)]
+    cm = canonical_map(cc_edges.rename(columns={"id_a": "a", "id_b": "b"}))
+    cluster_of = dict(zip(cm["node"], cm["component"]))
+    core_cluster = {c: int(cluster_of.get(c, c)) for c in cores}
+    border_cluster: dict = {}
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        for x, y in ((a, b), (b, a)):
+            if x not in cores and y in cores:
+                cand = core_cluster[y]
+                if x not in border_cluster or cand < border_cluster[x]:
+                    border_cluster[x] = cand
+    ref = ray.put((core_cluster, border_cluster))
+
+    def assign(t: pd.DataFrame) -> pd.DataFrame:
+        cc, bc = get_broadcast(ref)
+        ids_v = t["vec_id"].to_numpy(np.int64)
+        cluster = np.array(
+            [cc.get(i, bc.get(i, -1)) for i in ids_v], dtype=np.int64
+        )
+        is_core = np.array([i in cc for i in ids_v], dtype=bool)
+        return pd.DataFrame({"vec_id": ids_v, "cluster": cluster, "is_core": is_core})
+
+    return _read_emb(sf_dir, ["vec_id"]).map_batches(assign, batch_format="pandas")

@@ -360,3 +360,51 @@ def test_sliding_max_matches_direct_window(ray_session):
             lo = ts[i] - np.timedelta64(30, "m")
             ref[e[i]] = v[(ts >= lo) & (ts <= ts[i])].max()
     assert dict(zip(got["event_id"], got["max30"])) == ref
+
+
+def test_dbscan_matches_reference(ray_session):
+    from codepropertygraph_ray.functions.similarity import (
+        DBSCAN_COS,
+        DBSCAN_MIN_PTS,
+        _matrix,
+        dbscan_embeddings,
+    )
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    m = _matrix(emb)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    sims = m @ m.T
+    adj = defaultdict(set)
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= DBSCAN_COS:
+                adj[ids[i]].add(ids[j])
+                adj[ids[j]].add(ids[i])
+    cores = {x for x in adj if len(adj[x]) >= DBSCAN_MIN_PTS}
+    # clusters: CC over core-core edges, min-id label (isolated cores self)
+    cluster = {}
+    for c in sorted(cores):
+        if c in cluster:
+            continue
+        comp, q = [], deque([c])
+        seen = {c}
+        while q:
+            u = q.popleft()
+            comp.append(u)
+            for v in adj[u]:
+                if v in cores and v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        rep = min(comp)
+        for x in comp:
+            cluster[x] = rep
+    ref = {}
+    for x in ids:
+        if x in cores:
+            ref[x] = (cluster[x], True)
+        else:
+            adj_cores = [cluster[y] for y in adj.get(x, ()) if y in cores]
+            ref[x] = (min(adj_cores) if adj_cores else -1, False)
+    got = dbscan_embeddings(SF_DIR).to_pandas()
+    assert {v: (c, k) for v, c, k in zip(got["vec_id"], got["cluster"], got["is_core"])} == ref
