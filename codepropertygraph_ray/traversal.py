@@ -296,6 +296,45 @@ class Traversal:
         ``GraphView.from_runner`` to traverse `.tags()`."""
         tag_pass(runner, self, name)
 
+    def location(self, sf_dir: str, snippet_chars: int = 80) -> pd.DataFrame:
+        """Denormalized location records — the `.location` output helper
+        (`semanticcpg/.../language/LocationCreator.scala:1-173` synthesizes
+        NewLocation rows; the transcript transposition is (conv, turn) +
+        a text snippet). Nodes without a (conv_id, turn_idx) anchor yield
+        null locations, like the reference's empty-location fallback.
+
+        Scale shape: traversal results are answer-sized; the corpus scan
+        is a broadcast-key semi-filter over the pruned transcript read —
+        text never shuffles (SURVEY.md §7.4)."""
+        import ray
+
+        from .functions.joins import get_broadcast
+        from .sources.transcripts import read_transcripts
+
+        nodes = self.to_pandas()
+        out = nodes[["id", "label"]].copy()
+        have = nodes.dropna(subset=["conv_id", "turn_idx"]) if {
+            "conv_id", "turn_idx"
+        } <= set(nodes.columns) else nodes.iloc[0:0]
+        if not len(have):
+            out["conv_id"] = None
+            out["turn_idx"] = pd.array([None] * len(out), dtype="Int32")
+            out["snippet"] = None
+            return out
+        convs = ray.put(frozenset(have["conv_id"]))
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+        rows = ds.map_batches(
+            lambda t: t[t["conv_id"].isin(get_broadcast(convs))],
+            batch_format="pandas",
+        ).to_pandas()
+        rows["snippet"] = rows["text"].str.slice(0, snippet_chars)
+        merged = nodes.merge(
+            rows[["conv_id", "turn_idx", "snippet"]],
+            on=["conv_id", "turn_idx"], how="left",
+        )
+        merged["turn_idx"] = pd.array(merged["turn_idx"], dtype="Int32")
+        return merged[["id", "label", "conv_id", "turn_idx", "snippet"]]
+
     def to_list(self) -> list[dict]:
         return self.to_pandas().to_dict("records")
 

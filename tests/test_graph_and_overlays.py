@@ -492,3 +492,26 @@ def test_conv_dominators_closed_form_matches_chk():
     ref = ref.sort_values(["conv_id", "kind", "a", "b"], ignore_index=True)
 
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_traversal_location(kg_run):
+    """`.location` output helper: denormalized (conv, turn, snippet)
+    records for anchored nodes; nulls for unanchored (LocationCreator
+    empty-location fallback)."""
+    import pandas as pd
+
+    from codepropertygraph_ray.traversal import GraphView
+
+    g = GraphView.from_runner(kg_run)
+    sf = "/root/testdata/sf0.001"
+    loc = g.turns().has(conv_id="conv-0000000").location(sf)
+    assert set(loc.columns) == {"id", "label", "conv_id", "turn_idx", "snippet"}
+    assert len(loc) > 0 and loc["snippet"].notna().all()
+    # snippet is a prefix of the turn text
+    from codepropertygraph_ray.sources.transcripts import read_transcripts
+    t0 = read_transcripts(sf, columns=["conv_id", "turn_idx", "text"]).to_pandas()
+    m = loc.merge(t0, on=["conv_id", "turn_idx"])
+    assert (m.apply(lambda r: r["text"].startswith(r["snippet"]), axis=1)).all()
+    # unanchored nodes (entities) → null locations
+    eloc = g.entities().location(sf)
+    assert eloc["snippet"].isna().all() or "conv_id" not in eloc.columns
