@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_bfs": analytics.entity_bfs,
         "kg_pagerank": analytics.pagerank,
         "kg_entity_jaccard": analytics.entity_jaccard,
+        "kg_entity_span": analytics.entity_span,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -106,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_region_nations": relational.region_nation_list,
         "rel_rollup_revenue": relational.rollup_revenue,
         "rel_sample_stratified": relational.sample_stratified_events,
+        "rel_hourly_active_users": relational.hourly_active_users,
         # --- training-data ops: text analysis -----------------------------
         "text_token_stats": text.token_stats,
         "text_quality": text.quality_signals,
@@ -467,6 +469,19 @@ def _kg_sql() -> dict[str, str]:
           JOIN ej_deg da ON da.a = e.canon_a
           JOIN ej_deg db ON db.a = e.canon_b
         """,
+        # temporal footprint per canonical entity (min/max position key +
+        # distinct-conversation spread)
+        "kg_entity_span": f"""
+          WITH es_mc AS MATERIALIZED (
+            SELECT DISTINCT m.conv_id, m.turn_idx, c.canon
+            FROM ({mentions_keyed}) m JOIN ({canon}) c ON c.key = m.key
+          )
+          SELECT canon,
+                 min(conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 9, '0')) AS first_turn,
+                 max(conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 9, '0')) AS last_turn,
+                 CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+          FROM es_mc GROUP BY canon
+        """,
         "kg_node_label_counts": f"""
           SELECT 'TURN' AS label, CAST(count(*) AS BIGINT) AS n_nodes FROM {t}
           UNION ALL SELECT 'CONVERSATION', count(DISTINCT conv_id) FROM {t}
@@ -687,6 +702,12 @@ def _rel_sql() -> dict[str, str]:
                    ) AS rn
             FROM events
           ) WHERE rn <= 10
+        """,
+        # exact DISTINCT aggregate per window (two-level dedup)
+        "rel_hourly_active_users": """
+          SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events GROUP BY date_trunc('hour', ts)
         """,
         # genuine range join against the literal interval table (the Ray
         # path broadcasts the same bands and probes with searchsorted)

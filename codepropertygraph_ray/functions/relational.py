@@ -752,3 +752,30 @@ def sliding_max_events(sf_dir: str, window_min: int = 30):
         )
 
     return hash_groupby(ds, "user_id", per_bucket)
+
+
+def hourly_active_users(sf_dir: str):
+    """(hour_epoch, n_users) — DISTINCT aggregate per window: exact
+    distinct-user counts per hour. Two-level shape: dedup partials per
+    batch, one bucketed (hour, user) dedup shuffle, then the per-hour
+    count — the exact-distinct discipline (no sketch needed because the
+    dedup shuffle volume is already bounded by |hours|×|users|, a
+    dimension product; at true corpus scale swap level 2 for HLL partials
+    and accept approximation)."""
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        hour = t["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        return pd.DataFrame({"hour_epoch": hour, "user_id": t["user_id"]}).drop_duplicates()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        out = d.groupby("hour_epoch", as_index=False).agg(n_users=("user_id", "size"))
+        return out
+
+    # bucket by hour: all of an hour's rows co-locate → exact distinct count
+    return hash_groupby(
+        ds.map_batches(partial, batch_format="pandas"), "hour_epoch", per_bucket
+    )

@@ -368,3 +368,38 @@ def entity_jaccard(sf_dir: str):
         return pd.DataFrame({"canon_a": m["x"], "canon_b": m["y"], "jac": jac})
 
     return hash_groupby(w.union(e_tagged), ["x", "y"], score)
+
+
+def entity_span(sf_dir: str):
+    """(canon, first_turn, last_turn, n_convs) — the temporal footprint of
+    every canonical entity: earliest and latest mentioning (conv, turn)
+    position plus distinct-conversation spread. Pure partial-aggregation
+    shape: per-batch min/max/dedup partials, one bucketed merge — the
+    entity-dimension rollup a KG consumer uses for recency/coverage
+    filtering. first/last encode as conv_id||':'||turn for a total order
+    matching the SQL oracle."""
+    ds = _canon_mention_turns(sf_dir)
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        pos = t["conv_id"].astype(str) + ":" + (
+            t["turn_idx"].astype("int64").astype(str).str.zfill(9)
+        )
+        g = pd.DataFrame({"canon": t["canon"], "pos": pos, "conv_id": t["conv_id"]})
+        agg = g.groupby("canon", as_index=False).agg(
+            first_turn=("pos", "min"), last_turn=("pos", "max")
+        )
+        convs = g[["canon", "conv_id"]].drop_duplicates()
+        return agg.merge(convs, on="canon")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("canon", as_index=False).agg(
+            first_turn=("first_turn", "min"),
+            last_turn=("last_turn", "max"),
+            n_convs=("conv_id", "nunique"),
+        )
+        out["n_convs"] = out["n_convs"].astype("int64")
+        return out
+
+    return hash_groupby(
+        ds.map_batches(partial, batch_format="pandas"), "canon", finish
+    )

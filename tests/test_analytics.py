@@ -408,3 +408,33 @@ def test_dbscan_matches_reference(ray_session):
             ref[x] = (min(adj_cores) if adj_cores else -1, False)
     got = dbscan_embeddings(SF_DIR).to_pandas()
     assert {v: (c, k) for v, c, k in zip(got["vec_id"], got["cluster"], got["is_core"])} == ref
+
+
+def test_hourly_active_users_exact(ray_session):
+    from codepropertygraph_ray.functions.relational import hourly_active_users
+
+    got = hourly_active_users(SF_DIR).to_pandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    hour = ev["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+    ref = ev.assign(h=hour).groupby("h")["user_id"].nunique()
+    assert dict(zip(got["hour_epoch"], got["n_users"])) == ref.to_dict()
+
+
+def test_entity_span_reference(ray_session, kg_run):
+    from codepropertygraph_ray.pipelines.analytics import (
+        _canon_mention_turns,
+        entity_span,
+    )
+
+    mc = _canon_mention_turns(SF_DIR).to_pandas().drop_duplicates()
+    pos = mc["conv_id"] + ":" + mc["turn_idx"].astype("int64").astype(str).str.zfill(9)
+    ref = (
+        mc.assign(pos=pos)
+        .groupby("canon")
+        .agg(first_turn=("pos", "min"), last_turn=("pos", "max"),
+             n_convs=("conv_id", "nunique"))
+    )
+    got = entity_span(SF_DIR).to_pandas().set_index("canon")
+    assert got["first_turn"].to_dict() == ref["first_turn"].to_dict()
+    assert got["last_turn"].to_dict() == ref["last_turn"].to_dict()
+    assert got["n_convs"].to_dict() == {k: int(v) for k, v in ref["n_convs"].items()}
