@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         similarity,
+        sketch,
         text,
     )
     from codepropertygraph_ray.pipelines import analytics
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rollup_revenue": relational.rollup_revenue,
         "rel_sample_stratified": relational.sample_stratified_events,
         "rel_hourly_active_users": relational.hourly_active_users,
+        "agg_hll_users": sketch.hll_distinct_users,  # approximate — no SQL oracle
         # --- training-data ops: text analysis -----------------------------
         "text_token_stats": text.token_stats,
         "text_quality": text.quality_signals,

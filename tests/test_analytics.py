@@ -438,3 +438,29 @@ def test_entity_span_reference(ray_session, kg_run):
     assert got["first_turn"].to_dict() == ref["first_turn"].to_dict()
     assert got["last_turn"].to_dict() == ref["last_turn"].to_dict()
     assert got["n_convs"].to_dict() == {k: int(v) for k, v in ref["n_convs"].items()}
+
+
+def test_hll_sketch_error_merge_and_determinism(ray_session):
+    from codepropertygraph_ray.functions.sketch import (
+        hll_distinct_users,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    got = hll_distinct_users(SF_DIR).to_pandas()
+    for et, n in zip(got["event_type"], got["approx_users"]):
+        assert abs(n - exact[et]) <= max(0.1 * exact[et], 3), (et, n, exact[et])
+    # max-merge is exactly associative: split registers == whole-column
+    s = ev["user_id"]
+    whole = hll_registers(s)
+    parts = [hll_registers(s.iloc[i::3]) for i in range(3)]
+    assert (hll_merge(parts) == whole).all()
+    assert hll_estimate(whole) == hll_estimate(hll_merge(parts))
+    # determinism across executions
+    again = hll_distinct_users(SF_DIR).to_pandas()
+    assert dict(zip(got["event_type"], got["approx_users"])) == dict(
+        zip(again["event_type"], again["approx_users"])
+    )
