@@ -134,6 +134,15 @@ def run_scaling() -> dict:
     across repeats); each level runs SCALING_REPS times (default 2) and
     reports the minimum — the standard noisy-machine protocol.
     """
+    def steal_frac() -> float:
+        """CPU-steal fraction since boot (co-tenant noise indicator): this
+        box's 8→32 ratio collapses to ~0.55-0.65 whenever instantaneous
+        steal/core-speed spread is high (BASELINE.md 'Scaling'), so every
+        measurement records the conditions it ran under."""
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:9]))
+        return round(v[7] / max(sum(v), 1), 4)
+
     reps = int(os.environ.get("SCALING_REPS", "2"))
     # default the scaling corpus to sf0.4 (~2M turns, synthesized on
     # demand): at sf0.1 the whole job finishes in ~30 s and the
@@ -142,6 +151,7 @@ def run_scaling() -> dict:
     # (BASELINE.md 'Scaling' discussion). Override with GRAFT_SF_DIR.
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.4")
     results = {}
+    steal0 = steal_frac()
     for ncpu in (8, 32):
         best = None
         for _ in range(reps):
@@ -155,6 +165,7 @@ def run_scaling() -> dict:
             if best is None or r["value"] < best["value"]:
                 best = r
         results[ncpu] = best
+    steal1 = steal_frac()
     t8, t32 = results[8]["value"], results[32]["value"]
     eff = (t8 / t32) / (32 / 8)
     return {
@@ -167,6 +178,7 @@ def run_scaling() -> dict:
         "triples_per_sec_32": results[32]["triples_per_sec"],
         "per_pass_8": results[8]["queries"],
         "per_pass_32": results[32]["queries"],
+        "steal_frac_window": [steal0, steal1],
         "sf": sf_dir,
     }
 
