@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 
 from ..ids import hash_series
@@ -39,7 +40,19 @@ def empty_as_arrow(df: pd.DataFrame):
     obj_cols = {c: "string" for c in df.columns if df[c].dtype == object}
     if obj_cols:
         df = df.astype(obj_cols)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def round_half_away(x, decimals: int):
+    """Round half away from zero — SQL/DuckDB ``round()`` semantics.
+
+    numpy's ``.round`` is banker's (half-to-even), so exact binary-fraction
+    ties diverge from a SQL oracle: ``np.round(0.0078125, 6) = 0.007812``
+    while DuckDB gives ``0.007813``. Every float column that feeds a
+    hash-compared oracle must round through this helper instead."""
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
 def empty_safe(df):

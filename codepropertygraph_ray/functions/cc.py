@@ -31,6 +31,7 @@ order-free — the content-hash-id discipline of SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 DRIVER_CC_MAX_EDGES = 5_000_000
@@ -98,14 +99,27 @@ def _propagate_round(labels, edges, num_buckets: int):
     )
 
     def flow(g: pd.DataFrame) -> pd.DataFrame:
-        labs = g[g["far"].isna()][["key", "label"]]
-        lab_of = dict(zip(labs["key"], labs["label"]))
-        e = g[g["far"].notna()]
-        cand_nodes = list(e["far"]) + list(labs["key"])
-        cand_labels = [lab_of.get(k) for k in e["key"]] + list(labs["label"])
-        out = pd.DataFrame({"node": cand_nodes, "label": cand_labels})
+        # fully vectorized: label lookup = a pandas hash join, never a
+        # Python dict/list comprehension — this IS the >5M-edge scale path
+        labs = g.loc[g["far"].isna(), ["key", "label"]]
+        e = g.loc[g["far"].notna(), ["key", "far"]]
+        em = e.merge(labs, on="key", how="left")
+        out = pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [em["far"].to_numpy(object), labs["key"].to_numpy(object)]
+                ),
+                "label": np.concatenate(
+                    [em["label"].to_numpy(object), labs["label"].to_numpy(object)]
+                ),
+            }
+        )
         # rows whose near endpoint had no label yet (first round edge cases)
-        out["old"] = [lab_of.get(n) for n in out["node"]]
+        out = out.merge(
+            labs.rename(columns={"key": "node", "label": "old"}),
+            on="node",
+            how="left",
+        )
         return out.dropna(subset=["label"])
 
     candidates = hash_groupby(tagged, "key", flow, num_buckets=num_buckets)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .agg import round_half_away
 from .joins import broadcast_join, broadcast_semi_filter
 
 
@@ -71,10 +72,10 @@ def q1_pricing(sf_dir: str):
 
     def finish(t: pd.DataFrame) -> pd.DataFrame:
         t = t.copy()
-        t["avg_qty"] = (t["sum_qty"] / t["count_order"]).round(4)
-        t["avg_price"] = (t["sum_base_price"] / t["count_order"]).round(4)
+        t["avg_qty"] = round_half_away(t["sum_qty"] / t["count_order"], 4)
+        t["avg_price"] = round_half_away(t["sum_base_price"] / t["count_order"], 4)
         for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            t[c] = t[c].round(2)
+            t[c] = round_half_away(t[c], 2)
         return t
 
     return out.map_batches(finish, batch_format="pandas")
@@ -115,7 +116,7 @@ def nation_revenue(sf_dir: str):
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
     )
     return out.map_batches(
-        lambda t: t.assign(revenue=t["revenue"].round(2)), batch_format="pandas"
+        lambda t: t.assign(revenue=round_half_away(t["revenue"], 2)), batch_format="pandas"
     )
 
 
@@ -267,7 +268,7 @@ def events_hourly(sf_dir: str):
         sum_value=("sum_value", "sum"),
     )
     return out.map_batches(
-        lambda t: t.assign(sum_value=t["sum_value"].round(2)), batch_format="pandas"
+        lambda t: t.assign(sum_value=round_half_away(t["sum_value"], 2)), batch_format="pandas"
     )
 
 
@@ -343,7 +344,7 @@ def shipped_monthly(sf_dir: str):
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items"))
     )
     return out.map_batches(
-        lambda t: t.assign(revenue=t["revenue"].round(2)), batch_format="pandas"
+        lambda t: t.assign(revenue=round_half_away(t["revenue"], 2)), batch_format="pandas"
     )
 
 
@@ -383,7 +384,7 @@ def sessionize_events(sf_dir: str, gap_min: int = 30):
         # per-user session ordinal (sessions sort by start within a user)
         out = out.sort_values(["user_id", "_sess"], ignore_index=True)
         out["session_idx"] = out.groupby("user_id").cumcount() + 1
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = round_half_away(out["sum_value"], 2)
         return out[
             ["user_id", "session_idx", "session_start", "session_end",
              "n_events", "sum_value"]
@@ -455,7 +456,7 @@ def rolling_avg_events(sf_dir: str, window: int = 3):
         )
         return pd.DataFrame(
             {"user_id": g["user_id"], "event_id": g["event_id"],
-             "avg3": avg.round(4)}
+             "avg3": round_half_away(avg, 4)}
         )
 
     return hash_groupby(ds, "user_id", per_bucket)
@@ -600,7 +601,7 @@ def events_value_bands(sf_dir: str):
         sum_value=("sum_value", "sum"),
     )
     return out.map_batches(
-        lambda t: t.assign(sum_value=t["sum_value"].round(2)), batch_format="pandas"
+        lambda t: t.assign(sum_value=round_half_away(t["sum_value"], 2)), batch_format="pandas"
     )
 
 
@@ -688,7 +689,7 @@ def rollup_revenue(sf_dir: str):
         {"r_name": ["ALL"], "n_name": ["ALL"], "revenue": [base["revenue"].sum()]}
     )
     out = pd.concat([base, per_region, total], ignore_index=True)
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = round_half_away(out["revenue"], 2)
     return out[["r_name", "n_name", "revenue"]]
 
 

@@ -246,7 +246,18 @@ def knn_ivf(sf_dir: str):
     )
 
 
-DUP_N_BLOCKS = 8
+def _dup_n_blocks() -> int:
+    """Block count B for the block-pair join, scaled to cluster width:
+    B(B+1)/2 buckets ≈ 4 × CPUs keeps every core busy without inflating
+    replication (each vector ships B copies). Result is exact for ANY B,
+    so the env override (GRAFT_DUP_BLOCKS) is a pure tuning knob."""
+    import os
+
+    env = os.environ.get("GRAFT_DUP_BLOCKS")
+    if env:
+        return max(1, int(env))
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(4, int(np.sqrt(8 * ncpu)))
 
 
 def embedding_dups(sf_dir: str, threshold: float = DUP_COS_THRESHOLD):
@@ -266,7 +277,7 @@ def embedding_dups(sf_dir: str, threshold: float = DUP_COS_THRESHOLD):
     approximate path is the signature bucketing of ``knn_lsh``."""
     from ..ids import mix_ids
 
-    B = DUP_N_BLOCKS
+    B = _dup_n_blocks()
 
     def replicate(t: pd.DataFrame) -> pd.DataFrame:
         ids_ = t["vec_id"].to_numpy(np.int64)
@@ -353,6 +364,15 @@ DBSCAN_COS = 0.35  # eps as a cosine floor (looser than the dup threshold)
 DBSCAN_MIN_PTS = 2  # neighbors (excluding self) needed to be a core point
 
 
+def _sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership of ``vals`` in a SORTED int64 array — the searchsorted
+    probe (no Python sets in hot paths)."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_arr, vals), 0, len(sorted_arr) - 1)
+    return sorted_arr[pos] == vals
+
+
 def dbscan_embeddings(sf_dir: str):
     """(vec_id, cluster, is_core) — DBSCAN over embeddings: eps-neighbors
     = cosine ≥ ``DBSCAN_COS``, core = ≥ ``DBSCAN_MIN_PTS`` neighbors,
@@ -362,40 +382,101 @@ def dbscan_embeddings(sf_dir: str):
     is a min — so the SQL oracle reproduces it exactly (the batch
     transposition of the density-clustering family, cf. DISC, ICDE 2021).
 
-    Scale shape: the eps-neighbor pairs come from the block-pair join
-    (``embedding_dups`` — no corpus broadcast); pair volume is
-    neighborhood-scale, so degrees/cores/clusters are dimension-sized
-    driver state broadcast back over one streamed membership pass."""
-    import ray.data
-
+    Scale shape: the eps-neighbor pair graph comes from the block-pair
+    join (``embedding_dups`` — no corpus broadcast) and is NEVER
+    driver-materialized: degrees are a bucketed partial-sum over one
+    exploded scan, border attachment is a second scan emitting per-batch
+    (non-core, min core-cluster) partials merged by ``hash_agg`` min, and
+    only the two dimension-sized maps (sorted core ids + aligned cluster
+    labels; border ids + labels) are ``ray.put`` and probed by
+    searchsorted in the final streamed membership pass. At loose eps the
+    pair list is far larger than the point dimension — every per-pair step
+    must stay distributed, only per-point results may drive."""
+    from .agg import hash_agg
     from .cc import canonical_map
 
-    pairs = embedding_dups(sf_dir, threshold=DBSCAN_COS).to_pandas()
-    deg = (
-        pd.concat([pairs["id_a"], pairs["id_b"]], ignore_index=True)
-        .value_counts()
+    # one execution of the block-pair join; three consumers read its blocks
+    pairs = embedding_dups(sf_dir, threshold=DBSCAN_COS).materialize()
+
+    def explode_deg(t: pd.DataFrame) -> pd.DataFrame:
+        ids_ = np.concatenate(
+            [t["id_a"].to_numpy(np.int64), t["id_b"].to_numpy(np.int64)]
+        )
+        u, c = np.unique(ids_, return_counts=True)  # per-batch combiner
+        return pd.DataFrame({"node": u, "n": c.astype(np.int64)})
+
+    deg = hash_agg(
+        pairs.map_batches(explode_deg, batch_format="pandas"), "node",
+        deg=("n", "sum"),
     )
-    cores = set(deg[deg >= DBSCAN_MIN_PTS].index)
-    cc_edges = pairs[pairs["id_a"].isin(cores) & pairs["id_b"].isin(cores)]
-    cm = canonical_map(cc_edges.rename(columns={"id_a": "a", "id_b": "b"}))
-    cluster_of = dict(zip(cm["node"], cm["component"]))
-    core_cluster = {c: int(cluster_of.get(c, c)) for c in cores}
-    border_cluster: dict = {}
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        for x, y in ((a, b), (b, a)):
-            if x not in cores and y in cores:
-                cand = core_cluster[y]
-                if x not in border_cluster or cand < border_cluster[x]:
-                    border_cluster[x] = cand
-    ref = ray.put((core_cluster, border_cluster))
+    cores = np.sort(
+        deg.map_batches(
+            lambda t: t.loc[t["deg"] >= DBSCAN_MIN_PTS, ["node"]],
+            batch_format="pandas",
+        )
+        .to_pandas()["node"]
+        .to_numpy(np.int64)
+    )
+    cores_ref = ray.put(cores)
+
+    def core_edges(t: pd.DataFrame) -> pd.DataFrame:
+        cs = get_broadcast(cores_ref)
+        a = t["id_a"].to_numpy(np.int64)
+        b = t["id_b"].to_numpy(np.int64)
+        m = _sorted_member(cs, a) & _sorted_member(cs, b)
+        return pd.DataFrame({"a": a[m], "b": b[m]})
+
+    cm = canonical_map(pairs.map_batches(core_edges, batch_format="pandas"))
+    # cores absent from the core-core graph keep their own id as cluster
+    core_cluster = cores.copy()
+    if len(cm):
+        cm_nodes = cm["node"].to_numpy(np.int64)
+        cm_comp = cm["component"].to_numpy(np.int64)
+        o = np.argsort(cm_nodes)
+        cm_nodes, cm_comp = cm_nodes[o], cm_comp[o]
+        hit = _sorted_member(cm_nodes, cores)
+        core_cluster[hit] = cm_comp[np.searchsorted(cm_nodes, cores[hit])]
+    core_map_ref = ray.put((cores, core_cluster))
+
+    def border_msgs(t: pd.DataFrame) -> pd.DataFrame:
+        cs, cvals = get_broadcast(core_map_ref)
+        a = t["id_a"].to_numpy(np.int64)
+        b = t["id_b"].to_numpy(np.int64)
+        x = np.concatenate([a, b])
+        y = np.concatenate([b, a])
+        m = (~_sorted_member(cs, x)) & _sorted_member(cs, y)
+        if not m.any():
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="int64"),
+                 "cluster": pd.Series(dtype="int64")}
+            )
+        g = pd.DataFrame(
+            {"node": x[m], "cluster": cvals[np.searchsorted(cs, y[m])]}
+        )
+        # per-batch min combiner before the bucketed merge
+        return g.groupby("node", as_index=False).agg(cluster=("cluster", "min"))
+
+    border = hash_agg(
+        pairs.map_batches(border_msgs, batch_format="pandas"), "node",
+        cluster=("cluster", "min"),
+    ).to_pandas()
+    b_nodes = border["node"].to_numpy(np.int64)
+    b_cl = border["cluster"].to_numpy(np.int64)
+    o = np.argsort(b_nodes)
+    maps_ref = ray.put((cores, core_cluster, b_nodes[o], b_cl[o]))
 
     def assign(t: pd.DataFrame) -> pd.DataFrame:
-        cc, bc = get_broadcast(ref)
+        cs, cvals, bn, bv = get_broadcast(maps_ref)
         ids_v = t["vec_id"].to_numpy(np.int64)
-        cluster = np.array(
-            [cc.get(i, bc.get(i, -1)) for i in ids_v], dtype=np.int64
+        cluster = np.full(len(ids_v), -1, dtype=np.int64)
+        bm = _sorted_member(bn, ids_v)
+        if bm.any():
+            cluster[bm] = bv[np.searchsorted(bn, ids_v[bm])]
+        cmemb = _sorted_member(cs, ids_v)
+        if cmemb.any():
+            cluster[cmemb] = cvals[np.searchsorted(cs, ids_v[cmemb])]
+        return pd.DataFrame(
+            {"vec_id": ids_v, "cluster": cluster, "is_core": cmemb}
         )
-        is_core = np.array([i in cc for i in ids_v], dtype=bool)
-        return pd.DataFrame({"vec_id": ids_v, "cluster": cluster, "is_core": is_core})
 
     return _read_emb(sf_dir, ["vec_id"]).map_batches(assign, batch_format="pandas")

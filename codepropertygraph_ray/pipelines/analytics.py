@@ -38,7 +38,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..functions.agg import empty_safe, hash_agg, hash_groupby
+from ..functions.agg import empty_safe, hash_agg, hash_groupby, round_half_away
 from ..functions.joins import build_lookup, get_broadcast, lookup_keys
 from .queries import kg_runner
 
@@ -290,7 +290,9 @@ def pagerank(sf_dir: str):
         rank = pd.Series(np.full(n, base), index=nodes)
         rank.loc[cs["node"]] += PR_DAMPING * cs["c"].to_numpy()
 
-    out = pd.DataFrame({"canon": nodes, "pr": rank.to_numpy().round(PR_ROUND)})
+    out = pd.DataFrame(
+        {"canon": nodes, "pr": round_half_away(rank.to_numpy(), PR_ROUND)}
+    )
     return out.sort_values("canon", ignore_index=True)
 
 
@@ -364,7 +366,7 @@ def entity_jaccard(sf_dir: str):
         da = lookup_keys(tbl, m["x"]).astype(np.int64)
         db = lookup_keys(tbl, m["y"]).astype(np.int64)
         c = m["c"].to_numpy(np.int64)
-        jac = (c / (da + db - c)).round(JAC_ROUND)
+        jac = round_half_away(c / (da + db - c), JAC_ROUND)
         return pd.DataFrame({"canon_a": m["x"], "canon_b": m["y"], "jac": jac})
 
     return hash_groupby(w.union(e_tagged), ["x", "y"], score)

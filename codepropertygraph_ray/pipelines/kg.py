@@ -191,7 +191,7 @@ def run_entities(ctx: PassContext) -> dict:
             cmap.astype({"node": "object", "component": "object"}),
             schema=pa.schema([("node", pa.string()), ("component", pa.string())]),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     return {"entity_keys": combined, "canon_map": canon_from_delta}
 
@@ -343,7 +343,9 @@ def run_link(ctx: PassContext) -> dict:
             # conv bucket → reaching pairs (side-written)
             pairs = reaching_pairs_of_bucket(g[["conv_id", "turn_idx", "key"]])
             pqt.write_table(
-                pa.Table.from_pandas(pairs, schema=reaching_schema, preserve_index=False),
+                pa.Table.from_pandas(
+                    pairs, schema=reaching_schema, preserve_index=False
+                ).replace_schema_metadata(None),
                 os.path.join(reaching_dir, f"part-{b - NB:03d}.parquet"),
                 compression="zstd",
             )
@@ -622,7 +624,9 @@ def run_materialize(ctx: PassContext) -> dict:
         # dominators / post-dominators / CDG (closed form == CHK, tested)
         dom = conv_dominators_frame(g)
         pqt.write_table(
-            pa.Table.from_pandas(dom, schema=dom_schema, preserve_index=False),
+            pa.Table.from_pandas(
+                dom, schema=dom_schema, preserve_index=False
+            ).replace_schema_metadata(None),
             os.path.join(dom_dir, f"part-{b:03d}.parquet"),
             compression="zstd",
         )

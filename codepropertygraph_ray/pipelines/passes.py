@@ -317,7 +317,11 @@ def _write_delta(data, tdir: str) -> None:
     # CPU to halve the (non-scaling) IO
     if isinstance(data, pa.Table):
         os.makedirs(tdir, exist_ok=True)
-        pqt.write_table(data, os.path.join(tdir, "part-0.parquet"), compression="zstd")
+        pqt.write_table(
+            data.replace_schema_metadata(None),
+            os.path.join(tdir, "part-0.parquet"),
+            compression="zstd",
+        )
     else:  # ray.data.Dataset — streamed, multi-file (resumable layout)
         # in-task single-threaded sink, NOT Dataset.write_parquet: Ray's
         # Write operator runs pyarrow.dataset.write_dataset per task,

@@ -304,7 +304,7 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
     driver_df = pd.concat(driver_viols + [edge_results], ignore_index=True)
     return pa.Table.from_pandas(
         driver_df.reset_index(drop=True), schema=VIOLATIONS_SCHEMA, preserve_index=False
-    )
+    ).replace_schema_metadata(None)
 
 
 # ---------------------------------------------------------------------------
@@ -519,4 +519,4 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
     driver_df = pd.concat(driver_viols + [edge_results], ignore_index=True)
     return pa.Table.from_pandas(
         driver_df.reset_index(drop=True), schema=VIOLATIONS_SCHEMA, preserve_index=False
-    )
+    ).replace_schema_metadata(None)

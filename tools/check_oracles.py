@@ -56,10 +56,16 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str | None
         return f"row count differs: ray={len(a)} sql={len(b)}"
     for c in a.columns:
         if a[c].dtype.kind == "f":
-            close = np.isclose(a[c], b[c], rtol=1e-9, atol=1e-6, equal_nan=True)
-            if not close.all():
-                bad = int(np.argmax(~close))
-                return f"float col {c} differs at row {bad}: {a[c][bad]} vs {b[c][bad]}"
+            # The driver compares value HASHES — bit-exact. np.isclose here
+            # let the r2 kg_entity_jaccard rounding-mode mismatch through;
+            # match the driver's strictness (NaN==NaN allowed).
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            same = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            if not same.all():
+                bad = int(np.argmax(~same))
+                return (f"float col {c} differs at row {bad}: "
+                        f"{av[bad]!r} vs {bv[bad]!r} "
+                        f"(maxdiff={np.nanmax(np.abs(av - bv)):.3e})")
         else:
             if not a[c].equals(b[c]):
                 neq = a[c] != b[c]
