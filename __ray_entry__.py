@@ -143,7 +143,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 
+def _pagerank_chain(iters: int, damping: float) -> str:
+    """Unrolled c{{i}}/r{{i}} CTE pairs for ``iters`` PageRank steps — generated
+    from the SAME constants the Ray operator uses (PR_ITERS/PR_DAMPING), so
+    tuning one side can never silently desync the gate. ``(1 - damping)``
+    is spelled as the subtraction so both sides evaluate the identical IEEE
+    expression tree."""
+    parts = []
+    for i in range(1, iters + 1):
+        parts.append(f"""
+          , c{i} AS (SELECT e.b AS n, sum(r{i - 1}.pr / od.deg) AS c
+                 FROM e JOIN r{i - 1} ON r{i - 1}.n = e.a JOIN od ON od.a = e.a GROUP BY e.b),
+          r{i} AS (SELECT nodes.n,
+                        (1 - {damping!r}) / (SELECT cnt FROM nn) + {damping!r} * coalesce(c{i}.c, 0) AS pr
+                 FROM nodes LEFT JOIN c{i} ON c{i}.n = nodes.n)""")
+    return "".join(parts)
+
+
 def _kg_sql() -> dict[str, str]:
+    from codepropertygraph_ray.pipelines.analytics import (
+        BFS_MAX_DEPTH,
+        JAC_ROUND,
+        PR_DAMPING,
+        PR_ITERS,
+        PR_ROUND,
+    )
+
     P = _transcripts_path()  # a directory of part files
     t = f"read_parquet('{P}/*.parquet')"
     key = _NORM % "surface"
@@ -419,7 +444,7 @@ def _kg_sql() -> dict[str, str]:
             SELECT s, 0 FROM bfs_seed
             UNION
             SELECT bfs_e.b, bfs_reach.d + 1 FROM bfs_reach
-            JOIN bfs_e ON bfs_e.a = bfs_reach.n WHERE bfs_reach.d < 4
+            JOIN bfs_e ON bfs_e.a = bfs_reach.n WHERE bfs_reach.d < {BFS_MAX_DEPTH}
           )
           SELECT n AS canon, CAST(min(d) AS BIGINT) AS dist
           FROM bfs_reach GROUP BY n
@@ -432,23 +457,9 @@ def _kg_sql() -> dict[str, str]:
           nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
           nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
           od AS (SELECT a, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY a),
-          r0 AS (SELECT n, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes),
-          c1 AS (SELECT e.b AS n, sum(r0.pr / od.deg) AS c
-                 FROM e JOIN r0 ON r0.n = e.a JOIN od ON od.a = e.a GROUP BY e.b),
-          r1 AS (SELECT nodes.n,
-                        (1 - 0.85) / (SELECT cnt FROM nn) + 0.85 * coalesce(c1.c, 0) AS pr
-                 FROM nodes LEFT JOIN c1 ON c1.n = nodes.n),
-          c2 AS (SELECT e.b AS n, sum(r1.pr / od.deg) AS c
-                 FROM e JOIN r1 ON r1.n = e.a JOIN od ON od.a = e.a GROUP BY e.b),
-          r2 AS (SELECT nodes.n,
-                        (1 - 0.85) / (SELECT cnt FROM nn) + 0.85 * coalesce(c2.c, 0) AS pr
-                 FROM nodes LEFT JOIN c2 ON c2.n = nodes.n),
-          c3 AS (SELECT e.b AS n, sum(r2.pr / od.deg) AS c
-                 FROM e JOIN r2 ON r2.n = e.a JOIN od ON od.a = e.a GROUP BY e.b),
-          r3 AS (SELECT nodes.n,
-                        (1 - 0.85) / (SELECT cnt FROM nn) + 0.85 * coalesce(c3.c, 0) AS pr
-                 FROM nodes LEFT JOIN c3 ON c3.n = nodes.n)
-          SELECT n AS canon, round(pr, 7) AS pr FROM r3
+          r0 AS (SELECT n, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes)
+          {_pagerank_chain(PR_ITERS, PR_DAMPING)}
+          SELECT n AS canon, round(pr, {PR_ROUND}) AS pr FROM r{PR_ITERS}
         """,
         # neighborhood Jaccard for co-occurring pairs with ≥1 shared
         # neighbor (wedge counting; ej_ prefixes avoid CTE capture by the
@@ -465,7 +476,7 @@ def _kg_sql() -> dict[str, str]:
                           ON u1.a = u2.a AND u1.b < u2.b
                         GROUP BY u1.b, u2.b)
           SELECT e.canon_a, e.canon_b,
-                 round(c.c * 1.0 / (da.d + db.d - c.c), 6) AS jac
+                 round(c.c * 1.0 / (da.d + db.d - c.c), {JAC_ROUND}) AS jac
           FROM ej_ec e
           JOIN ej_common c ON c.x = e.canon_a AND c.y = e.canon_b
           JOIN ej_deg da ON da.a = e.canon_a
@@ -524,19 +535,22 @@ def _kg_sql() -> dict[str, str]:
 
 
 def _rel_sql() -> dict[str, str]:
+    from codepropertygraph_ray.functions.relational import STRAT_K
+
     return {
         "rel_q1_pricing": """
           SELECT l_returnflag, l_linestatus,
-                 round(sum(l_quantity), 2) AS sum_qty,
-                 round(sum(l_extendedprice), 2) AS sum_base_price,
-                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                 round(sum(l_quantity) / count(*), 4) AS avg_qty,
-                 round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+                 round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,
+                 round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+                 round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+                 round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_qty,
+                 round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_price,
                  CAST(count(*) AS BIGINT) AS count_order
           FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "rel_nation_revenue": """
-          SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+          SELECT r_name, n_name,
+                 round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue,
                  CAST(count(*) AS BIGINT) AS n_orders
           FROM orders
           JOIN customer ON c_custkey = o_custkey
@@ -569,7 +583,7 @@ def _rel_sql() -> dict[str, str]:
         "rel_events_hourly": """
           SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                  CAST(count(*) AS BIGINT) AS n_events,
-                 round(sum(value), 2) AS sum_value
+                 round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
           FROM events GROUP BY user_id, date_trunc('hour', ts)
         """,
         "rel_part_type_tokens": """
@@ -591,7 +605,7 @@ def _rel_sql() -> dict[str, str]:
         """,
         "rel_shipped_monthly": """
           SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS month_epoch,
-                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                 round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
                  CAST(count(*) AS BIGINT) AS n_items
           FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
           GROUP BY date_trunc('month', l_shipdate)
@@ -614,7 +628,7 @@ def _rel_sql() -> dict[str, str]:
           SELECT user_id, CAST(sess + 1 AS BIGINT) AS session_idx,
                  min(ts) AS session_start, max(ts) AS session_end,
                  CAST(count(*) AS BIGINT) AS n_events,
-                 round(sum(value), 2) AS sum_value
+                 round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
           FROM s GROUP BY user_id, sess
         """,
         "rel_topk_per_customer": """
@@ -630,9 +644,11 @@ def _rel_sql() -> dict[str, str]:
         # shuffle per partition key + a vectorized in-bucket window pass)
         "rel_rolling_avg": """
           SELECT user_id, event_id,
-                 round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+                 round(sum(CAST(round(value * 100) AS BIGINT))
+                         OVER w2 / 100.0 / (count(*) OVER w2), 4) AS avg3
           FROM events
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         # time-RANGE sliding window (SlickDeque-style trailing max); max is
         # order-exact so no rounding needed
@@ -686,7 +702,7 @@ def _rel_sql() -> dict[str, str]:
         "rel_rollup_revenue": """
           SELECT coalesce(r_name, 'ALL') AS r_name,
                  coalesce(n_name, 'ALL') AS n_name,
-                 round(sum(o_totalprice), 2) AS revenue
+                 round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
           FROM orders
           JOIN customer ON c_custkey = o_custkey
           JOIN nation ON n_nationkey = c_nationkey
@@ -695,7 +711,7 @@ def _rel_sql() -> dict[str, str]:
         """,
         # deterministic stratified sample: smallest multiplicative hash per
         # stratum, event_id tiebreak (same subset at any parallelism)
-        "rel_sample_stratified": """
+        "rel_sample_stratified": f"""
           SELECT event_type, event_id FROM (
             SELECT event_type, event_id,
                    row_number() OVER (
@@ -703,7 +719,7 @@ def _rel_sql() -> dict[str, str]:
                      ORDER BY (event_id * 2654435761) % 4294967296, event_id
                    ) AS rn
             FROM events
-          ) WHERE rn <= 10
+          ) WHERE rn <= {STRAT_K}
         """,
         # exact DISTINCT aggregate per window (two-level dedup)
         "rel_hourly_active_users": """
@@ -716,7 +732,7 @@ def _rel_sql() -> dict[str, str]:
         "rel_value_bands": """
           SELECT e.event_type, b.band,
                  CAST(count(*) AS BIGINT) AS n_events,
-                 round(sum(e.value), 2) AS sum_value
+                 round(sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
           FROM events e JOIN (VALUES
             (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'), (100.0, 1e18, 'high')
           ) AS b(lo, hi, band) ON e.value >= b.lo AND e.value < b.hi
@@ -737,7 +753,11 @@ def _ops_sql() -> dict[str, str]:
     from codepropertygraph_ray.functions.text import (
         CONTAMINATION_PROBES as CONTAM_PROBES,
     )
-    from codepropertygraph_ray.functions.text import LANG_MARKERS, STOPWORDS
+    from codepropertygraph_ray.functions.text import (
+        BIGRAM_MIN_N,
+        LANG_MARKERS,
+        STOPWORDS,
+    )
 
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
     mk = {
@@ -814,12 +834,12 @@ def _ops_sql() -> dict[str, str]:
         """,
         # corpus bigram counts (1-based list indexing in DuckDB; split(' ')
         # keeps empty tokens on both sides)
-        "text_bigrams": """
+        "text_bigrams": f"""
           SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
             SELECT toks[i] || ' ' || toks[i + 1] AS bigram
             FROM (SELECT string_split(text, ' ') AS toks FROM documents),
                  LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
-          ) GROUP BY bigram HAVING count(*) >= 5
+          ) GROUP BY bigram HAVING count(*) >= {BIGRAM_MIN_N}
         """,
         # benchmark-contamination screen: substring probes, same set
         "text_contamination": f"""

@@ -26,7 +26,9 @@ def asof_join_events(sf_dir: str, left_type: str = "click", right_type: str = "v
     (event_id, view_event_id, gap_us)."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    from ..sources.tables import read_table
+
+    ds = read_table(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
     )
 

@@ -40,9 +40,9 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _read_docs(sf_dir: str, columns=None):
-    import ray.data
+    from ..sources.tables import read_table
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_table(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _shingles(text: str) -> list[str]:
@@ -246,7 +246,7 @@ def minhash_lsh_pairs(sf_dir: str):
     vectorized map over pair counts. The documents table is never
     driver-materialized. Returns a Dataset.
     """
-    from .agg import hash_agg, hash_groupby
+    from .agg import empty_safe, hash_agg, hash_groupby
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     bands = ds.map_batches(minhash_batch, batch_format="pandas")
@@ -293,7 +293,7 @@ def minhash_lsh_pairs(sf_dir: str):
     size_ref = ray.put(
         _doc_sizes(
             _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-                lambda t: t[t["doc_id"].isin(get_broadcast(docs_ref))],
+                lambda t: empty_safe(t[t["doc_id"].isin(get_broadcast(docs_ref))]),
                 batch_format="pandas",
             )
         )

@@ -119,18 +119,23 @@ BROADCAST_BYTES_LIMIT = 256 * 1024 * 1024
 
 
 def join_auto(left, right, on, right_on=None, how: str = "left",
-              num_partitions: int = 32):
+              num_partitions: int | None = None):
     """Size-aware join: broadcast the right side when small, else shuffle.
 
     ``right`` may be a pandas DataFrame (always broadcast) or a Dataset
-    (size probed via ``size_bytes``).
+    (size probed via ``size_bytes``). ``num_partitions`` defaults to the
+    cluster CPU count: Ray's JoinOperator reserves one actor per
+    partition, so partitions > CPUs DEADLOCKS a small cluster waiting for
+    actors that can never schedule.
     """
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
     if isinstance(right, pd.DataFrame):
         if right.memory_usage(deep=True).sum() <= BROADCAST_BYTES_LIMIT:
             return broadcast_join(left, right, on=on, right_on=right_on, how=how)
-        import ray.data
+        from ray.data import from_pandas
 
-        right = ray.data.from_pandas(right)
+        right = from_pandas(right)
     sz = right.size_bytes()
     if sz is not None and sz <= BROADCAST_BYTES_LIMIT:
         return broadcast_join(left, right.to_pandas(), on=on, right_on=right_on, how=how)

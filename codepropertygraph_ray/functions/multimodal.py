@@ -105,9 +105,9 @@ def synthetic_media(sf_dir: str, kind: str = "image"):
     """Deterministic fake media table derived from the documents table
     (payload = utf-8 text bytes) — gives the plumbing a real input without
     external data."""
-    import ray.data
+    from ..sources.tables import read_table
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_media(batch: pa.Table) -> pa.Table:
         text = batch.column("text").to_pylist()
@@ -142,9 +142,9 @@ def synthetic_video(sf_dir: str):
     """Deterministic fake VIDEO table: payload = utf-8 text bytes,
     duration derived from payload length (1–6 s) — the frame-sampling
     plumbing gets a real variable-length input without external data."""
-    import ray.data
+    from ..sources.tables import read_table
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_media(batch: pa.Table) -> pa.Table:
         text = batch.column("text").to_pylist()

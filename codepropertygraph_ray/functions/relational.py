@@ -28,9 +28,23 @@ from .joins import broadcast_join, broadcast_semi_filter
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data
+    from ..sources.tables import read_table
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def to_units(x, scale: int) -> np.ndarray:
+    """Exact int64 representation of a fixed-decimal money/value column.
+
+    Every oracle-gated float SUM goes through integer units on BOTH sides
+    (Ray: this helper; SQL: ``sum(CAST(round(col * scale) AS BIGINT))``):
+    float summation is order-dependent, and a distributed partial-sum tree
+    can land on the other side of a 0.005 rounding boundary than DuckDB's
+    sequential sum (observed: rel_shipped_monthly, 34619311.70499999).
+    Integer sums are associative — the gate can never flip on task order.
+    np.rint is half-even vs SQL round's half-away, but the scaled values
+    sit within 1e-3 of an integer (2-/4-decimal data), never at a tie."""
+    return np.rint(np.asarray(x, dtype=np.float64) * scale).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -50,11 +64,16 @@ def q1_pricing(sf_dir: str):
     )
 
     def partial(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.assign(disc_price=t["l_extendedprice"] * (1 - t["l_discount"]), n=1)
+        t = t.assign(
+            qty_u=to_units(t["l_quantity"], 100),
+            price_u=to_units(t["l_extendedprice"], 100),
+            disc_u=to_units(t["l_extendedprice"] * (1 - t["l_discount"]), 10000),
+            n=1,
+        )
         g = t.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
+            sum_qty=("qty_u", "sum"),
+            sum_base_price=("price_u", "sum"),
+            sum_disc_price=("disc_u", "sum"),
             count_order=("n", "sum"),
         )
         return g
@@ -72,10 +91,13 @@ def q1_pricing(sf_dir: str):
 
     def finish(t: pd.DataFrame) -> pd.DataFrame:
         t = t.copy()
-        t["avg_qty"] = round_half_away(t["sum_qty"] / t["count_order"], 4)
-        t["avg_price"] = round_half_away(t["sum_base_price"] / t["count_order"], 4)
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            t[c] = round_half_away(t[c], 2)
+        t["avg_qty"] = round_half_away(t["sum_qty"] / 100.0 / t["count_order"], 4)
+        t["avg_price"] = round_half_away(
+            t["sum_base_price"] / 100.0 / t["count_order"], 4
+        )
+        t["sum_qty"] = round_half_away(t["sum_qty"] / 100.0, 2)
+        t["sum_base_price"] = round_half_away(t["sum_base_price"] / 100.0, 2)
+        t["sum_disc_price"] = round_half_away(t["sum_disc_price"] / 10000.0, 2)
         return t
 
     return out.map_batches(finish, batch_format="pandas")
@@ -86,28 +108,42 @@ def q1_pricing(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _orders_by_region(sf_dir: str):
+    """orders ⋈ customer ⋈ nation ⋈ region — the shared dimension chain.
+
+    nation/region are CONSTANT-size dims (25/5 rows) and merge driver-side;
+    customer is corpus-proportional, so the orders⋈customer hop goes
+    through ``join_auto``: broadcast probe while customer fits the 256 MB
+    budget, degrading to Ray's hash-partitioned shuffle join past it —
+    never an unconditional driver ``to_pandas()`` of a growing table."""
+    from .joins import join_auto
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nd = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ]
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    j = join_auto(orders, cust, on="o_custkey", right_on="c_custkey", how="inner")
+    return broadcast_join(j, nd, on="c_nationkey", right_on="n_nationkey")
+
+
 def nation_revenue(sf_dir: str):
     """orders ⋈ customer ⋈ nation ⋈ region → revenue per (region, nation).
 
-    The fact stream (orders) flows through broadcast joins against the
+    The fact stream (orders) flows through size-aware joins against the
     dimension chain — the reference's name→node map probes re-expressed as
-    map-side joins (`Linker.scala:122-130`)."""
+    map-side joins (`Linker.scala:122-130`), degrading to a shuffle join
+    when the customer dim outgrows the broadcast budget."""
     from ray.data.aggregate import Count, Sum
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nat = _read(sf_dir, "nation").to_pandas()
-    reg = _read(sf_dir, "region").to_pandas()
-    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
-        reg, left_on="n_regionkey", right_on="r_regionkey"
-    )[["c_custkey", "n_name", "r_name"]]
-
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, dim, on="o_custkey", right_on="c_custkey")
+    joined = _orders_by_region(sf_dir)
 
     def partial(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.assign(n=1)
+        t = t.assign(n=1, rev_u=to_units(t["o_totalprice"], 100))
         return t.groupby(["r_name", "n_name"], as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("n", "sum")
+            revenue=("rev_u", "sum"), n_orders=("n", "sum")
         )
 
     out = (
@@ -116,7 +152,8 @@ def nation_revenue(sf_dir: str):
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
     )
     return out.map_batches(
-        lambda t: t.assign(revenue=round_half_away(t["revenue"], 2)), batch_format="pandas"
+        lambda t: t.assign(revenue=round_half_away(t["revenue"] / 100.0, 2)),
+        batch_format="pandas",
     )
 
 
@@ -256,9 +293,12 @@ def events_hourly(sf_dir: str):
         # astype('datetime64[s]') first: arrow timestamp[us] surfaces as
         # datetime64[us] in pandas, so a bare int64 view would be µs
         hour = t["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
-        g = pd.DataFrame({"user_id": t["user_id"], "hour_epoch": hour, "value": t["value"], "n": 1})
+        g = pd.DataFrame(
+            {"user_id": t["user_id"], "hour_epoch": hour,
+             "value_u": to_units(t["value"], 100), "n": 1}
+        )
         return g.groupby(["user_id", "hour_epoch"], as_index=False).agg(
-            n_events=("n", "sum"), sum_value=("value", "sum")
+            n_events=("n", "sum"), sum_value=("value_u", "sum")
         )
 
     out = hash_agg(
@@ -268,7 +308,8 @@ def events_hourly(sf_dir: str):
         sum_value=("sum_value", "sum"),
     )
     return out.map_batches(
-        lambda t: t.assign(sum_value=round_half_away(t["sum_value"], 2)), batch_format="pandas"
+        lambda t: t.assign(sum_value=round_half_away(t["sum_value"] / 100.0, 2)),
+        batch_format="pandas",
     )
 
 
@@ -321,7 +362,9 @@ def shipped_monthly(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    from ..sources.tables import read_table
+
+    ds = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_shipdate", "l_extendedprice", "l_discount"],
         filter=(pc.field("l_shipdate") >= pc.scalar(pd.Timestamp("1995-01-01"))),
@@ -332,8 +375,8 @@ def shipped_monthly(sf_dir: str):
             t["l_shipdate"].dt.to_period("M").dt.to_timestamp()
             .astype("datetime64[s]").astype("int64")
         )
-        rev = t["l_extendedprice"] * (1 - t["l_discount"])
-        g = pd.DataFrame({"month_epoch": month, "revenue": rev, "n": 1})
+        rev_u = to_units(t["l_extendedprice"] * (1 - t["l_discount"]), 10000)
+        g = pd.DataFrame({"month_epoch": month, "revenue": rev_u, "n": 1})
         return g.groupby("month_epoch", as_index=False).agg(
             revenue=("revenue", "sum"), n_items=("n", "sum")
         )
@@ -344,7 +387,8 @@ def shipped_monthly(sf_dir: str):
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items"))
     )
     return out.map_batches(
-        lambda t: t.assign(revenue=round_half_away(t["revenue"], 2)), batch_format="pandas"
+        lambda t: t.assign(revenue=round_half_away(t["revenue"] / 10000.0, 2)),
+        batch_format="pandas",
     )
 
 
@@ -375,16 +419,17 @@ def sessionize_events(sf_dir: str, gap_min: int = 30):
         new_user = g["user_id"].ne(g["user_id"].shift())
         brk = new_user | (g["ts"] - g["ts"].shift() > gap)
         g["_sess"] = brk.cumsum()  # globally increasing → unique per session
+        g["_vu"] = to_units(g["value"], 100)
         out = g.groupby(["user_id", "_sess"], as_index=False).agg(
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("event_id", "size"),
-            sum_value=("value", "sum"),
+            sum_value=("_vu", "sum"),
         )
         # per-user session ordinal (sessions sort by start within a user)
         out = out.sort_values(["user_id", "_sess"], ignore_index=True)
         out["session_idx"] = out.groupby("user_id").cumcount() + 1
-        out["sum_value"] = round_half_away(out["sum_value"], 2)
+        out["sum_value"] = round_half_away(out["sum_value"] / 100.0, 2)
         return out[
             ["user_id", "session_idx", "session_start", "session_end",
              "n_events", "sum_value"]
@@ -448,15 +493,19 @@ def rolling_avg_events(sf_dir: str, window: int = 3):
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
-        avg = (
-            g.groupby("user_id", sort=False)["value"]
-            .rolling(window, min_periods=1)
-            .mean()
-            .droplevel(0)
-        )
+        # exact int-unit window sums via cumsum differences: pandas'
+        # sliding-sum rolling mean uses different float arithmetic than
+        # SQL's frame sum and can flip a .round(4) boundary — int windows
+        # are associative and land identically on both sides
+        vu = to_units(g["value"], 100)
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(vu)])
+        pos = g.groupby("user_id", sort=False).cumcount().to_numpy()
+        w = np.minimum(pos + 1, window)
+        i = np.arange(len(g))
+        wsum = cs[i + 1] - cs[i + 1 - w]
         return pd.DataFrame(
             {"user_id": g["user_id"], "event_id": g["event_id"],
-             "avg3": round_half_away(avg, 4)}
+             "avg3": round_half_away(wsum / 100.0 / w, 4)}
         )
 
     return hash_groupby(ds, "user_id", per_bucket)
@@ -474,12 +523,15 @@ def lag_gaps(sf_dir: str):
         g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
         same = g["user_id"].eq(g["user_id"].shift()).to_numpy()
         ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        prev_ev = g["event_id"].shift().to_numpy()
+        # int64 end to end — Series.shift would route through float64 and
+        # silently corrupt ids above 2^53; np.roll keeps the dtype (row 0
+        # wraps but is always masked out by `same`)
+        prev_ev = np.roll(g["event_id"].to_numpy(np.int64), 1)
         gap = ts_us - np.roll(ts_us, 1)
         out = pd.DataFrame(
             {"user_id": g["user_id"].to_numpy()[same],
              "event_id": g["event_id"].to_numpy()[same],
-             "prev_event_id": prev_ev[same].astype("int64"),
+             "prev_event_id": prev_ev[same],
              "gap_us": gap[same]}
         )
         return out
@@ -588,10 +640,10 @@ def events_value_bands(sf_dir: str):
         idx = np.searchsorted(los, t["value"].to_numpy(), side="right") - 1
         g = pd.DataFrame(
             {"event_type": t["event_type"], "band": names[idx],
-             "value": t["value"], "n": 1}
+             "value_u": to_units(t["value"], 100), "n": 1}
         )
         return g.groupby(["event_type", "band"], as_index=False).agg(
-            n_events=("n", "sum"), sum_value=("value", "sum")
+            n_events=("n", "sum"), sum_value=("value_u", "sum")
         )
 
     out = hash_agg(
@@ -601,7 +653,8 @@ def events_value_bands(sf_dir: str):
         sum_value=("sum_value", "sum"),
     )
     return out.map_batches(
-        lambda t: t.assign(sum_value=round_half_away(t["sum_value"], 2)), batch_format="pandas"
+        lambda t: t.assign(sum_value=round_half_away(t["sum_value"] / 100.0, 2)),
+        batch_format="pandas",
     )
 
 
@@ -663,18 +716,12 @@ def rollup_revenue(sf_dir: str):
     once at the end on every level — matching SQL ROLLUP exactly."""
     from ray.data.aggregate import Sum
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nat = _read(sf_dir, "nation").to_pandas()
-    reg = _read(sf_dir, "region").to_pandas()
-    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
-        reg, left_on="n_regionkey", right_on="r_regionkey"
-    )[["c_custkey", "n_name", "r_name"]]
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, dim, on="o_custkey", right_on="c_custkey")
+    joined = _orders_by_region(sf_dir)
 
     def partial(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.assign(rev_u=to_units(t["o_totalprice"], 100))
         return t.groupby(["r_name", "n_name"], as_index=False).agg(
-            revenue=("o_totalprice", "sum")
+            revenue=("rev_u", "sum")
         )
 
     base = (
@@ -689,7 +736,8 @@ def rollup_revenue(sf_dir: str):
         {"r_name": ["ALL"], "n_name": ["ALL"], "revenue": [base["revenue"].sum()]}
     )
     out = pd.concat([base, per_region, total], ignore_index=True)
-    out["revenue"] = round_half_away(out["revenue"], 2)
+    # rollup levels summed in exact int units; ONE division at the end
+    out["revenue"] = round_half_away(out["revenue"] / 100.0, 2)
     return out[["r_name", "n_name", "revenue"]]
 
 
@@ -739,18 +787,25 @@ def sliding_max_events(sf_dir: str, window_min: int = 30):
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # TRUE RANGE peer semantics: SQL's RANGE ... CURRENT ROW includes
+        # every ts-peer, even rows that sort positionally LATER — pandas'
+        # positional rolling excludes them. Collapse to per-(user, ts)
+        # maxima first, roll over DISTINCT timestamps, then map back to
+        # rows; tie order inside a timestamp can no longer matter.
         g = g.sort_values(["user_id", "ts"], ignore_index=True)
+        d = g.groupby(["user_id", "ts"], as_index=False, sort=False).agg(
+            max30=("value", "max")
+        )
         r = (
-            g.groupby("user_id", sort=False)
-            .rolling(f"{window_min}min", on="ts", closed="both")["value"]
+            d.groupby("user_id", sort=False)
+            .rolling(f"{window_min}min", on="ts", closed="both")["max30"]
             .max()
         )
         # rolling(on="ts") indexes the result by (group, ts) — align
-        # POSITIONALLY: group order of appearance == g's sorted order
-        return pd.DataFrame(
-            {"user_id": g["user_id"], "event_id": g["event_id"],
-             "max30": r.to_numpy()}
-        )
+        # POSITIONALLY: group order of appearance == d's sorted order
+        d = d.assign(max30=r.to_numpy())
+        out = g.merge(d, on=["user_id", "ts"], how="left")
+        return out[["user_id", "event_id", "max30"]]
 
     return hash_groupby(ds, "user_id", per_bucket)
 

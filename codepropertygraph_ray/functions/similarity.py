@@ -30,9 +30,9 @@ LSH_BITS = 8
 
 
 def _read_emb(sf_dir: str, columns=None):
-    import ray.data
+    from ..sources.tables import read_table
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+    return read_table(f"{sf_dir}/embeddings.parquet", columns=columns)
 
 
 def _matrix(t: pd.DataFrame) -> np.ndarray:

@@ -64,7 +64,9 @@ def hll_distinct_users(sf_dir: str):
 
     from .agg import hash_groupby
 
-    ds = ray.data.read_parquet(
+    from ..sources.tables import read_table
+
+    ds = read_table(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
 

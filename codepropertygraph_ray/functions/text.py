@@ -35,9 +35,9 @@ _CJK_RE = re.compile(r"[一-鿿]")
 
 
 def _read_docs(sf_dir: str, columns=None):
-    import ray.data
+    from ..sources.tables import read_table
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_table(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def token_stats(sf_dir: str):

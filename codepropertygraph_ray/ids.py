@@ -24,22 +24,57 @@ _SEP = "\x1f"
 _POS_MASK = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
 
 
+def _escape_ctl(s: pd.Series) -> pd.Series:
+    """Collision-free escaping of the two hash-hostile characters.
+
+    pandas' ``hash_pandas_object`` hashes strings as NUL-TERMINATED C
+    strings — ``""``, ``"\\x00"`` and ``"\\x00\\x00"`` all hash equal — and a
+    key containing ``_SEP`` would make multi-part joins ambiguous
+    (``("a\\x1f", "b")`` vs ``("a", "\\x1fb")``). Escape ``\\x1e`` (the escape
+    char) → ``\\x1e1``, NUL → ``\\x1e0``, ``_SEP`` → ``\\x1e2``: injective, so
+    distinct part tuples stay distinct. One vectorized contains-scan on the
+    hot path; the three replaces run only when a hostile char exists."""
+    mask = s.str.contains("[\x00\x1e\x1f]", regex=True)
+    if not mask.any():
+        return s
+    sub = (
+        s[mask]
+        .str.replace("\x1e", "\x1e1", regex=False)
+        .str.replace("\x00", "\x1e0", regex=False)
+        .str.replace("\x1f", "\x1e2", regex=False)
+    )
+    out = s.copy()
+    out[mask] = sub
+    return out
+
+
+def _hash_joined(joined: pd.Series) -> np.ndarray:
+    """Hash an ALREADY-ESCAPED joined string series → positive int64."""
+    h = pd.util.hash_pandas_object(joined, index=False, hash_key=_HASH_KEY)
+    return (h.to_numpy(dtype=np.uint64) & _POS_MASK).view(np.int64)
+
+
+def _clean(p) -> pd.Series:
+    s = p if isinstance(p, pd.Series) else pd.Series(p, dtype="object")
+    # positional semantics — drop any incoming index to avoid alignment
+    return s.reset_index(drop=True).astype("string").fillna("")
+
+
 def hash_series(parts: list[pd.Series | np.ndarray | list]) -> np.ndarray:
     """Hash the element-wise concatenation of string parts → positive int64.
 
     All parts must be string-like and the same length (scalars broadcast via
     pandas). Collisions: 2^-63 per pair — negligible at 10^12 rows relative
     to other failure modes, and identical keys *must* collide (that is the
-    dedup semantics, cf. NodeFilter.scala:12-27).
+    dedup semantics, cf. NodeFilter.scala:12-27). Each part is escaped
+    exactly once (``_escape_ctl``) so NUL truncation and separator
+    injection cannot alias distinct part tuples.
     """
     joined = None
     for p in parts:
-        s = p if isinstance(p, pd.Series) else pd.Series(p, dtype="object")
-        # positional semantics — drop any incoming index to avoid alignment
-        s = s.reset_index(drop=True).astype("string").fillna("")
+        s = _escape_ctl(_clean(p))
         joined = s if joined is None else joined + _SEP + s
-    h = pd.util.hash_pandas_object(joined, index=False, hash_key=_HASH_KEY)
-    return (h.to_numpy(dtype=np.uint64) & _POS_MASK).view(np.int64)
+    return _hash_joined(joined)
 
 
 def node_ids(label: str, keys: pd.Series | np.ndarray | list) -> np.ndarray:
@@ -50,14 +85,14 @@ def node_ids(label: str, keys: pd.Series | np.ndarray | list) -> np.ndarray:
     column is factorized first (C-level) and only the UNIQUE keys go
     through the string-hash path — a ~duplication-factor speedup on the
     materialize hot path with bit-identical output."""
-    s = keys if isinstance(keys, pd.Series) else pd.Series(keys, dtype="object")
-    s = s.reset_index(drop=True).astype("string").fillna("")
+    # escape BEFORE factorize: pandas' string hash table also truncates at
+    # NUL, so un-escaped '' and '\\x00' would factorize to ONE code
+    s = _escape_ctl(_clean(keys))
+    lab = str(_escape_ctl(pd.Series([label], dtype="string")).iloc[0]) + _SEP
     codes, uniques = pd.factorize(s, sort=False)
     if len(uniques) >= len(s):  # no duplication — skip the indirection
-        return hash_series([pd.Series([label] * len(s), dtype="object"), s])
-    uh = hash_series(
-        [pd.Series([label] * len(uniques), dtype="object"), pd.Series(uniques)]
-    )
+        return _hash_joined(lab + s)
+    uh = _hash_joined(lab + pd.Series(uniques, dtype="string"))
     return uh[codes]
 
 
@@ -82,12 +117,11 @@ def composite_ids(label: str, str_key, *int_parts) -> np.ndarray:
     salt = _SALT_CACHE.get(label)
     if salt is None:
         salt = _SALT_CACHE.setdefault(label, np.int64(node_id_scalar("\x00label", label)))
-    s = str_key if isinstance(str_key, pd.Series) else pd.Series(str_key, dtype="object")
-    s = s.reset_index(drop=True).astype("string").fillna("")
+    s = _escape_ctl(_clean(str_key))  # pre-escaped: factorize is NUL-safe
     # factorize: hash each DISTINCT string once (turn batches repeat each
     # conv_id ~n_turns times), then fan back out by code
     codes, uniques = pd.factorize(s, sort=False)
-    base = hash_series([pd.Series(uniques)])[codes]
+    base = _hash_joined(pd.Series(uniques, dtype="string"))[codes]
     ints = [np.asarray(p).astype(np.int64, copy=False) for p in int_parts]
     return mix_ids(base, *ints, salt)
 

@@ -94,13 +94,28 @@ OUT_DEGREE_FACTS: dict[tuple[str, str], tuple[int, int | None]] = {
     (TURN, CDG): (0, None),
 }
 
+# In-degree cardinality facts per (dst_label, edge_label): (min_in, max_in)
+# with None = unbounded — the InFactsValidator side of the schema
+# (`cpgvalidator/.../validators/InFactsValidator.scala:12-60`: every node's
+# incoming edges must satisfy the declared inEdges cardinalities).
+IN_DEGREE_FACTS: dict[tuple[str, str], tuple[int, int | None]] = {
+    (TURN, AST): (1, 1),  # every turn belongs to exactly one conversation
+    (MENTION, AST): (1, 1),  # every mention sits in exactly one turn
+    (TURN, NEXT_TURN): (0, 1),  # linear thread: at most one predecessor
+    (MENTION, CONTAINS): (1, 1),  # ContainsEdgePass emits exactly one
+    (ENTITY, REF): (0, None),  # external entities legitimately have zero;
+    #   the ≥1-unless-external rule is the dedicated entity_ref_missing
+    #   check (validator reads is_external per node)
+}
+
 # ---------------------------------------------------------------------------
 # User schema extension (samples/customcpg/schemas/myschema.json analog:
 # the reference merges user JSON schemas over the base at build time)
 # ---------------------------------------------------------------------------
 
 
-def register_extension(node_labels=(), edge_facts=(), out_degree=None) -> None:
+def register_extension(node_labels=(), edge_facts=(), out_degree=None,
+                       in_degree=None) -> None:
     """Merge user-supplied node labels, (src, edge, dst) facts and
     out-degree bounds into the active schema — the rebuild of the
     reference's layered user-schema merge (`samples/customcpg/README.md`).
@@ -119,6 +134,8 @@ def register_extension(node_labels=(), edge_facts=(), out_degree=None) -> None:
             EDGE_FACTS.append((s, e, d))
     if out_degree:
         OUT_DEGREE_FACTS.update(out_degree)
+    if in_degree:
+        IN_DEGREE_FACTS.update(in_degree)
 
 
 # ---------------------------------------------------------------------------

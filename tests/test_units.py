@@ -362,3 +362,57 @@ def test_dup_groups_transitive(ray_session):
             out.groupby("group_id")["vec_id"].apply(lambda s: s.min())).all()
     assert (out.groupby("group_id")["group_id"].first() ==
             out.groupby("group_id")["vec_id"].min()).all()
+
+
+def test_join_auto_shuffle_degrade_matches_broadcast(ray_session, monkeypatch):
+    """nation_revenue's customer hop must produce identical results on the
+    broadcast probe AND on the degraded shuffle-join path (budget forced
+    to 0) — the size-aware flip is a pure physical choice."""
+    from codepropertygraph_ray.functions import joins, relational
+
+    sf = "/root/testdata/sf0.001"
+    want = relational.nation_revenue(sf).to_pandas()
+    monkeypatch.setattr(joins, "BROADCAST_BYTES_LIMIT", 0)
+    got = relational.nation_revenue(sf).to_pandas()
+    key = ["r_name", "n_name"]
+    want = want.sort_values(key, ignore_index=True)
+    got = got.sort_values(key, ignore_index=True)[want.columns]
+    pd.testing.assert_frame_equal(want, got)
+
+
+def test_sliding_max_range_peer_ties(ray_session, tmp_path):
+    """SQL RANGE ... CURRENT ROW includes ALL ts-peers — rows sharing a
+    timestamp must see each other's values regardless of tie order."""
+    import os
+
+    import duckdb
+
+    from codepropertygraph_ray.functions.relational import sliding_max_events
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:10",  # tie
+         "2024-01-01 00:50"]
+    )
+    df = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4], "ts": ts, "user_id": [1, 1, 1, 1],
+         "event_type": ["a"] * 4, "value": [9.0, 1.0, 7.0, 2.0],
+         "props": [""] * 4}
+    )
+    df.to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    got = (
+        sliding_max_events(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(
+        """SELECT user_id, event_id,
+                  max(value) OVER (PARTITION BY user_id ORDER BY ts
+                                   RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                                             AND CURRENT ROW) AS max30
+           FROM events ORDER BY event_id"""
+    ).df()
+    # both ts-peers (event 2 and 3) must see max30 = 9 (window holds 9,1,7);
+    # event 4's window [00:20, 00:50] holds only itself
+    assert got["max30"].tolist() == want["max30"].tolist() == [9.0, 9.0, 9.0, 2.0]
