@@ -14,6 +14,15 @@ Checks (each emits violation rows; a valid graph yields ZERO rows):
    `ProtoToCpg.scala:81-89`, promoted to a check)
 4. out-degree cardinality bounds per OUT_DEGREE_FACTS (≤1 NEXT_TURN,
    exactly one REF per MENTION — the "0-1:n" facts of base.json)
+5. in-degree cardinality bounds per IN_DEGREE_FACTS (exactly one AST
+   parent per TURN/MENTION, ≤1 NEXT_TURN predecessor — the
+   `InFactsValidator.scala:12-60` side) plus the conditional
+   entity_ref_missing check (every non-external ENTITY has ≥1 incoming
+   REF — external stubs legitimately have zero)
+6. CFG sanity over NEXT_TURN (the `cfg/NoLongJumpValidator` /
+   `CallReceiverValidator` analog): an edge must stay INSIDE one
+   conversation (cfg_cross_conversation) and run strictly forward in
+   turn order (cfg_nonmonotonic)
 
 Two execution shapes, chosen by node count:
 
@@ -72,6 +81,20 @@ def _bound_matrix(code_of_label):
     return mat
 
 
+def _in_fact_codes(code_of_label):
+    """IN_DEGREE_FACTS keyed by (dst_code, edge_code) + a boolean collect
+    matrix for the vectorized per-batch membership test."""
+    edge_code = {name: i for i, name in enumerate(schema.EDGE_LABELS)}
+    facts = {
+        (code_of_label[dl], edge_code[el]): (mn, mx)
+        for (dl, el), (mn, mx) in schema.IN_DEGREE_FACTS.items()
+    }
+    collect = np.zeros((len(code_of_label), len(schema.EDGE_LABELS)), dtype=bool)
+    for dc, lc in facts:
+        collect[dc, lc] = True
+    return facts, collect
+
+
 def validate_graph(nodes, edges, num_partitions: int = 16,
                    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
                    n_nodes: int | None = None) -> pa.Table:
@@ -98,10 +121,22 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
     label_names, code_of_label = _label_codes()
     edge_labels = list(schema.EDGE_LABELS)  # captured: includes extensions
 
+    turn_code = code_of_label[schema.TURN]
+
     def node_dim_batch(t: pd.DataFrame) -> pd.DataFrame:
         # categorical codes (C-level) — unknown labels → -1 like the old map
+        from ..ids import hash_series
+
         code = pd.Categorical(t["label"], categories=label_names).codes.astype("int16")
-        return pd.DataFrame({"id": t["id"].astype("int64"), "code": code})
+        is_turn = code == turn_code
+        conv = np.zeros(len(t), np.int64)
+        if is_turn.any():  # conv equality hash for the CFG checks
+            conv[is_turn] = hash_series([t.loc[is_turn, "conv_id"].fillna("")])
+        return pd.DataFrame(
+            {"id": t["id"].astype("int64"), "code": code, "conv": conv,
+             "tidx": t["turn_idx"].fillna(-1).astype("int32"),
+             "ext": t["is_external"].fillna(False).astype(bool)}
+        )
 
     # The probe table is the (id, code) dim fetched UNSORTED and argsorted
     # on the driver. Measured alternatives at 7.3M/14.7M nodes, same box:
@@ -113,7 +148,7 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
     # definition (≤ BROADCAST_MAX_ROWS ⇒ argsort ≤ ~8 s at the cap, a
     # width-independent constant); beyond the cap the sharded path runs.
     dim = (
-        nodes.select_columns(["id", "label"])
+        nodes.select_columns(["id", "label", "conv_id", "turn_idx", "is_external"])
         .map_batches(node_dim_batch, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
@@ -122,6 +157,14 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
     order = np.argsort(ids_u)
     ids_sorted = ids_u[order]
     codes_sorted = codes_u[order]
+    ext_sorted = dim["ext"].to_numpy()[order]  # driver-only (entity-ref check)
+    # TURN-subset property lookup (sorted ids ∥ conv hash ∥ turn_idx) for
+    # the CFG checks — subset, not full-dim, to keep the broadcast lean
+    _tm = codes_sorted == code_of_label[schema.TURN]
+    turn_props_ref = ray.put(
+        (ids_sorted[_tm], dim["conv"].to_numpy()[order][_tm],
+         dim["tidx"].to_numpy()[order][_tm])
+    )
     n_dim_rows = len(ids_sorted)
     dup_ids = (
         np.unique(ids_sorted[1:][ids_sorted[1:] == ids_sorted[:-1]])
@@ -179,19 +222,26 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
     bound_mat = _bound_matrix(code_of_label)
     bounds_mat_ref = ray.put(bound_mat)
     has_multi = bool(np.isfinite(bound_mat[bound_mat > 1]).any())
+    in_facts, in_collect = _in_fact_codes(code_of_label)
+    in_collect_ref = ray.put(in_collect)
+    nt_code = edge_labels.index(schema.NEXT_TURN) if schema.NEXT_TURN in edge_labels else -1
 
     def edge_scan(t: pd.DataFrame) -> pd.DataFrame:
         table = get_broadcast(label_of)
         ids_s, codes_s = table
         names = label_names
         src_v = t["src"].to_numpy(np.int64)
+        dst_v = t["dst"].to_numpy(np.int64)
         if len(ids_s):
             pos_src = np.clip(np.searchsorted(ids_s, src_v), 0, len(ids_s) - 1)
             src_c = np.where(ids_s[pos_src] == src_v, codes_s[pos_src], -1)
+            pos_dst = np.clip(np.searchsorted(ids_s, dst_v), 0, len(ids_s) - 1)
+            dst_c = np.where(ids_s[pos_dst] == dst_v, codes_s[pos_dst], -1)
         else:
             pos_src = np.zeros(len(t), dtype=np.int64)
             src_c = np.full(len(t), -1, dtype=np.int16)
-        dst_c = _lookup(t["dst"].to_numpy(np.int64), table)
+            pos_dst = np.zeros(len(t), dtype=np.int64)
+            dst_c = np.full(len(t), -1, dtype=np.int16)
         viols = []
         dangling = (src_c < 0) | (dst_c < 0)
         if dangling.any():
@@ -256,6 +306,63 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
                      "n": deg["size"].astype(np.int64),
                      "pos": pd.Series([None] * len(deg), dtype="object")}
                 ))
+
+        # ---- in-degree evidence: dst POSITIONS per declared in-fact ------
+        icoll = get_broadcast(in_collect_ref)
+        iv = (dst_c >= 0) & (lcode >= 0)
+        im = iv & icoll[np.clip(dst_c, 0, None), np.clip(lcode, 0, None)]
+        if im.any():
+            ikey = dst_c[im].astype(np.int64) * 1024 + lcode[im]
+            iorder = np.argsort(ikey, kind="stable")
+            iuk, istarts = np.unique(ikey[iorder], return_index=True)
+            ipos_sorted = pos_dst[im][iorder].astype("<i4")
+            ibounds = np.r_[istarts, len(ikey)]
+            iblobs, idcs, ilcs, ins_ = [], [], [], []
+            for i, kk in enumerate(iuk):
+                seg = ipos_sorted[ibounds[i]:ibounds[i + 1]]
+                iblobs.append(seg.tobytes())
+                idcs.append(np.int16(kk // 1024))
+                ilcs.append(np.int16(kk % 1024))
+                ins_.append(np.int64(len(seg)))
+            frames.append(pd.DataFrame(
+                {"check": pd.Series(["_ideg"] * len(iuk), dtype="string"),
+                 "detail": pd.Series([None] * len(iuk), dtype="string"),
+                 "scode": idcs, "lcode": ilcs, "n": ins_,
+                 "pos": pd.Series(iblobs, dtype="object")}
+            ))
+
+        # ---- CFG sanity on NEXT_TURN (NoLongJumpValidator analog) --------
+        ntm = lcode == nt_code
+        if nt_code >= 0 and ntm.any():
+            tids, tconv, ttidx = get_broadcast(turn_props_ref)
+            if len(tids):
+                sv, dvv = src_v[ntm], dst_v[ntm]
+                ps = np.clip(np.searchsorted(tids, sv), 0, len(tids) - 1)
+                pdd = np.clip(np.searchsorted(tids, dvv), 0, len(tids) - 1)
+                okb = (tids[ps] == sv) & (tids[pdd] == dvv)
+                cross = okb & (tconv[ps] != tconv[pdd])
+                mono = (
+                    okb & (ttidx[ps] >= 0) & (ttidx[pdd] >= 0)
+                    & (ttidx[pdd] <= ttidx[ps])
+                )
+                cfg = []
+                if cross.any():
+                    cfg.append(_viol(
+                        "cfg_cross_conversation",
+                        [f"{int(cross.sum())} NEXT_TURN edges"],
+                    ))
+                if mono.any():
+                    cfg.append(_viol(
+                        "cfg_nonmonotonic",
+                        [f"{int(mono.sum())} NEXT_TURN edges"],
+                    ))
+                for v in cfg:
+                    v = v.copy()
+                    v["scode"] = np.int16(-1)
+                    v["lcode"] = np.int16(-1)
+                    v["n"] = np.int64(0)
+                    v["pos"] = pd.Series([None] * len(v), dtype="object")
+                    frames.append(v)
         return pd.concat(frames, ignore_index=True)
 
     edge_results = (
@@ -293,9 +400,46 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
                  for s, l, n in zip(over["scode"], over["lcode"], over["n"])],
             ))
 
+    # ---- in-degree facts: totals + distinct-dst bitmaps per fact --------
+    ideg = edge_results[edge_results["check"] == "_ideg"]
+    ent_code = code_of_label.get(schema.ENTITY, -1)
+    ref_lcode = edge_labels.index(schema.REF) if schema.REF in edge_labels else -1
+    grouped = {k: g for k, g in ideg.groupby(["scode", "lcode"])} if len(ideg) else {}
+    for (dc, lc), (mn, mx) in _in_fact_codes(code_of_label)[0].items():
+        grp = grouped.get((np.int16(dc), np.int16(lc)))
+        bitmap = np.zeros(max(n_dim_rows, 1), dtype=bool)
+        total = 0
+        if grp is not None:
+            total = int(grp["n"].sum())
+            for blob in grp["pos"]:
+                bitmap[np.frombuffer(blob, dtype="<i4")] = True
+        distinct = int(bitmap.sum())
+        if mx is not None and total > distinct * mx:
+            driver_viols.append(_viol(
+                "in_degree_exceeded",
+                [f"{label_names[dc]}<-{edge_labels[lc]}"
+                 f" n={total} distinct_dst={distinct}"],
+            ))
+        if mn >= 1:
+            n_label = int(counts[dc])
+            if distinct < n_label:
+                driver_viols.append(_viol(
+                    "in_degree_missing",
+                    [f"{label_names[dc]}<-{edge_labels[lc]}"
+                     f" missing={n_label - distinct}"],
+                ))
+        if dc == ent_code and lc == ref_lcode:
+            # conditional InFact: non-external ENTITY needs ≥1 incoming REF
+            nonext = (codes_sorted == ent_code) & ~ext_sorted
+            miss = int((nonext & ~bitmap[:n_dim_rows]).sum()) if n_dim_rows else 0
+            if miss:
+                driver_viols.append(_viol(
+                    "entity_ref_missing", [f"missing={miss}"]
+                ))
+
     edge_results = edge_results[
-        ~ref_rows & ~edge_results["check"].isin(["_deg1", "_degN"])
-    ][["check", "detail"]]
+        ~ref_rows & ~edge_results["check"].isin(["_deg1", "_degN", "_ideg"])
+    ][["check", "detail"]].drop_duplicates()
     if n_refs != n_mentions:  # every MENTION has exactly one REF out-edge
         driver_viols.append(
             _viol("mention_ref_count", [f"mentions={n_mentions} refs={n_refs}"])
@@ -333,15 +477,31 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
     bound_mat = _bound_matrix(code_of_label)
     bm_ref = ray.put(bound_mat)
     allowed_ref = ray.put(allowed_codes)
+    in_facts, _in_coll = _in_fact_codes(code_of_label)
+    in_facts_ref = ray.put(in_facts)
+    turn_code = code_of_label[schema.TURN]
+    nt_code = edge_labels.index(schema.NEXT_TURN) if schema.NEXT_TURN in edge_labels else -1
+    ent_code = code_of_label.get(schema.ENTITY, -1)
+    ref_lcode = edge_labels.index(schema.REF) if schema.REF in edge_labels else -1
 
     def node_dim_batch(t: pd.DataFrame) -> pd.DataFrame:
+        from ..ids import hash_series
+
         code = t["label"].map(code_of_label).fillna(-1).astype("int16")
-        out = pd.DataFrame({"id": t["id"].astype("int64"), "code": code})
+        is_turn = (code == turn_code).to_numpy()
+        conv = np.zeros(len(t), np.int64)
+        if is_turn.any():
+            conv[is_turn] = hash_series([t.loc[is_turn, "conv_id"].fillna("")])
+        out = pd.DataFrame(
+            {"id": t["id"].astype("int64"), "code": code, "conv": conv,
+             "tidx": t["turn_idx"].fillna(-1).astype("int32"),
+             "ext": t["is_external"].fillna(False).astype(bool)}
+        )
         return out
 
-    dim = nodes.select_columns(["id", "label"]).map_batches(
-        node_dim_batch, batch_format="pandas"
-    ).materialize()
+    dim = nodes.select_columns(
+        ["id", "label", "conv_id", "turn_idx", "is_external"]
+    ).map_batches(node_dim_batch, batch_format="pandas").materialize()
 
     # ---- node-side: duplicate ids (bucketed) + label counts (partials) --
     def dup_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -377,6 +537,8 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
              "other": t["dst"].astype("int64").to_numpy(),
              "lcode": lcode.astype("int16"),
              "code": np.full(len(t), -1, dtype=np.int16),
+             "conv": np.zeros(len(t), dtype=np.int64),
+             "tidx": np.full(len(t), -1, dtype=np.int32),
              "is_dim": np.zeros(len(t), dtype=bool)}
         )
 
@@ -386,6 +548,8 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
              "other": np.full(len(t), -1, dtype=np.int64),
              "lcode": np.full(len(t), -1, dtype=np.int16),
              "code": t["code"].to_numpy(np.int16),
+             "conv": t["conv"].to_numpy(np.int64),
+             "tidx": t["tidx"].to_numpy(np.int32),
              "is_dim": np.ones(len(t), dtype=bool)}
         )
 
@@ -393,11 +557,12 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
         edge_rows, batch_format="pandas"
     ).union(dim.map_batches(dim_rows, batch_format="pandas"))
 
-    B_COLS = ["check", "detail", "key", "src_code", "lcode", "code", "is_dim"]
+    B_COLS = ["check", "detail", "key", "src_code", "lcode", "code",
+              "sconv", "stidx", "ext", "is_dim"]
 
     def bucket_a(g: pd.DataFrame) -> pd.DataFrame:
         bm = get_broadcast(bm_ref)
-        dims = g[g["is_dim"]].drop_duplicates("key")[["key", "code"]]
+        dims = g[g["is_dim"]].drop_duplicates("key")[["key", "code", "conv", "tidx"]]
         e = g[~g["is_dim"]]
         out = []
         if len(e):
@@ -433,9 +598,13 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
                 v2["src_code"] = np.int16(-1)
                 v2["lcode"] = np.int16(-1)
                 v2["code"] = np.int16(-1)
+                v2["sconv"] = np.int64(0)
+                v2["stidx"] = np.int32(-1)
+                v2["ext"] = False
                 v2["is_dim"] = False
                 out.append(v2[B_COLS])
-            # forward edge rows keyed by DST for shuffle 2
+            # forward edge rows keyed by DST for shuffle 2, carrying the
+            # SRC node's properties (conv hash + turn_idx) for CFG checks
             fwd = pd.DataFrame(
                 {"check": pd.Series([None] * len(m), dtype="string"),
                  "detail": pd.Series([None] * len(m), dtype="string"),
@@ -443,6 +612,9 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
                  "src_code": src_code,
                  "lcode": m["lcode"].to_numpy(np.int16),
                  "code": np.full(len(m), -1, dtype=np.int16),
+                 "sconv": m["conv_n"].fillna(0).astype("int64").to_numpy(),
+                 "stidx": m["tidx_n"].fillna(-1).astype("int32").to_numpy(),
+                 "ext": np.zeros(len(m), dtype=bool),
                  "is_dim": np.zeros(len(m), dtype=bool)}
             )
             out.append(fwd)
@@ -454,6 +626,9 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
                  "src_code": pd.Series([], dtype="int16"),
                  "lcode": pd.Series([], dtype="int16"),
                  "code": pd.Series([], dtype="int16"),
+                 "sconv": pd.Series([], dtype="int64"),
+                 "stidx": pd.Series([], dtype="int32"),
+                 "ext": pd.Series([], dtype="bool"),
                  "is_dim": pd.Series([], dtype="bool")}
             )
         return pd.concat(out, ignore_index=True)
@@ -468,6 +643,9 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
              "src_code": np.full(len(t), -1, dtype=np.int16),
              "lcode": np.full(len(t), -1, dtype=np.int16),
              "code": t["code"].to_numpy(np.int16),
+             "sconv": t["conv"].to_numpy(np.int64),
+             "stidx": t["tidx"].to_numpy(np.int32),
+             "ext": t["ext"].to_numpy(),
              "is_dim": np.ones(len(t), dtype=bool)}
         )
 
@@ -477,13 +655,18 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
 
     def bucket_b(g: pd.DataFrame) -> pd.DataFrame:
         allowed = get_broadcast(allowed_ref)
+        ifacts = get_broadcast(in_facts_ref)
         passthrough = g[g["check"].notna()][["check", "detail"]]
-        dims = g[g["is_dim"] & g["check"].isna()].drop_duplicates("key")[["key", "code"]]
+        # dim rows carry their OWN props in the sconv/stidx/ext slots
+        dims = g[g["is_dim"] & g["check"].isna()].drop_duplicates("key")[
+            ["key", "code", "sconv", "stidx", "ext"]
+        ].rename(columns={"sconv": "dconv", "stidx": "dtidx"})
         e = g[~g["is_dim"] & g["check"].isna()]
         out = [passthrough]
+        m = None
         if len(e):
-            m = e.merge(dims, on="key", how="left", suffixes=("", "_n"))
-            dst_code = m["code_n"].fillna(-1).astype(np.int16).to_numpy()
+            m = e.drop(columns=["code", "ext"]).merge(dims, on="key", how="left")
+            dst_code = m["code"].fillna(-1).astype(np.int16).to_numpy()
             dang = dst_code < 0
             if dang.any():
                 labs = pd.Series([edge_labels[c] for c in m.loc[dang, "lcode"]])
@@ -502,6 +685,74 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
                 out.append(_viol("edge_fact", bad))
             n_ref = int((m["lcode"].to_numpy() == ref_code).sum())
             out.append(_viol("_ref_partial", [str(n_ref)]))
+
+            # CFG sanity: NEXT_TURN must stay inside one conversation and
+            # move strictly forward — src props rode along from shuffle 1
+            if nt_code >= 0:
+                lc_v = m["lcode"].to_numpy()
+                ntm = (
+                    (lc_v == nt_code)
+                    & (m["src_code"].to_numpy() == turn_code)
+                    & (dst_code == turn_code)
+                )
+                if ntm.any():
+                    sc_v = m["sconv"].to_numpy(np.int64)[ntm]
+                    dc_v = m["dconv"].fillna(0).astype("int64").to_numpy()[ntm]
+                    st_v = m["stidx"].to_numpy()[ntm]
+                    dt_v = m["dtidx"].fillna(-1).astype("int32").to_numpy()[ntm]
+                    cross = sc_v != dc_v
+                    mono = (st_v >= 0) & (dt_v >= 0) & (dt_v <= st_v)
+                    if cross.any():
+                        out.append(_viol(
+                            "cfg_cross_conversation",
+                            [f"{int(cross.sum())} NEXT_TURN edges"],
+                        ))
+                    if mono.any():
+                        out.append(_viol(
+                            "cfg_nonmonotonic",
+                            [f"{int(mono.sum())} NEXT_TURN edges"],
+                        ))
+
+        # in-degree facts: every in-edge of a node co-locates with its dim
+        # row here, so bounds AND zero-in-edge minima are decidable in-bucket
+        if len(dims):
+            if m is not None and len(m):
+                ideg = (
+                    pd.DataFrame({"key": m["key"].to_numpy(np.int64),
+                                  "lcode": m["lcode"].to_numpy(np.int16),
+                                  "code": dst_code})
+                    .groupby(["key", "lcode", "code"], as_index=False).size()
+                )
+            else:
+                ideg = pd.DataFrame({"key": pd.Series(dtype="int64"),
+                                     "lcode": pd.Series(dtype="int16"),
+                                     "code": pd.Series(dtype="int16"),
+                                     "size": pd.Series(dtype="int64")})
+            for (dc, lc), (mn, mx) in ifacts.items():
+                sub = ideg[(ideg["code"] == dc) & (ideg["lcode"] == lc)]
+                if mx is not None and (sub["size"].to_numpy() > mx).any():
+                    n_over = int((sub["size"].to_numpy() > mx).sum())
+                    out.append(_viol(
+                        "in_degree_exceeded",
+                        [f"{label_names[dc]}<-{edge_labels[lc]} nodes={n_over}"],
+                    ))
+                if mn >= 1:
+                    have = sub["key"]
+                    missing = int(
+                        (~dims.loc[dims["code"] == dc, "key"].isin(have)).sum()
+                    )
+                    if missing:
+                        out.append(_viol(
+                            "_in_missing", [f"{dc}:{lc}:{missing}"]
+                        ))
+            # conditional: non-external ENTITY needs ≥1 incoming REF
+            if ent_code >= 0 and ref_lcode >= 0:
+                ents = dims[(dims["code"] == ent_code) & (~dims["ext"].astype(bool))]
+                if len(ents):
+                    have = ideg.loc[ideg["lcode"] == ref_lcode, "key"]
+                    miss = int((~ents["key"].isin(have)).sum())
+                    if miss:
+                        out.append(_viol("_entity_ref", [str(miss)]))
         return pd.concat(out, ignore_index=True)
 
     edge_results = hash_groupby(
@@ -511,7 +762,24 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
         edge_results = _EMPTY
     ref_rows = edge_results["check"] == "_ref_partial"
     n_refs = edge_results.loc[ref_rows, "detail"].astype(int).sum()
-    edge_results = edge_results[~ref_rows]
+    # in-degree minimum partials: per-bucket missing counts → one violation
+    inm_rows = edge_results["check"] == "_in_missing"
+    if inm_rows.any():
+        parts = edge_results.loc[inm_rows, "detail"].str.split(":", expand=True)
+        parts.columns = ["dc", "lc", "miss"]
+        agg = parts.astype({"dc": int, "lc": int, "miss": int}).groupby(
+            ["dc", "lc"], as_index=False
+        )["miss"].sum()
+        for dc, lc, miss in agg.itertuples(index=False):
+            driver_viols.append(_viol(
+                "in_degree_missing",
+                [f"{label_names[dc]}<-{edge_labels[lc]} missing={miss}"],
+            ))
+    er_rows = edge_results["check"] == "_entity_ref"
+    if er_rows.any():
+        miss = edge_results.loc[er_rows, "detail"].astype(int).sum()
+        driver_viols.append(_viol("entity_ref_missing", [f"missing={miss}"]))
+    edge_results = edge_results[~ref_rows & ~inm_rows & ~er_rows].drop_duplicates()
     if n_refs != n_mentions:
         driver_viols.append(
             _viol("mention_ref_count", [f"mentions={n_mentions} refs={n_refs}"])

@@ -407,8 +407,12 @@ def test_schema_extension_registration(ray_session):
         (1, "META_DATA", None, None, None, None, None, None, None, "t"),
         (2, "TURN", None, None, None, None, None, None, None, "t"),
         (3, "ANNOTATION", "a", None, None, None, None, None, None, "t"),
+        (4, "CONVERSATION", None, None, None, None, None, None, None, "t"),
     ])
-    edges = edges_tbl([(2, 3, "ANNOTATED_BY", None, None, "t")])
+    edges = edges_tbl([
+        (2, 3, "ANNOTATED_BY", None, None, "t"),
+        (4, 2, "AST", None, None, "t"),  # satisfies the TURN<-AST in-fact
+    ])
 
     before = validate_graph(nodes, edges, num_partitions=4).to_pandas()
     # unknown-label node → code -1, so its incident edge reads as dangling
@@ -515,3 +519,65 @@ def test_traversal_location(kg_run):
     # unanchored nodes (entities) → null locations
     eloc = g.entities().location(sf)
     assert eloc["snippet"].isna().all() or "conv_id" not in eloc.columns
+
+
+def test_validator_in_degree_and_cfg_checks(ray_session):
+    """Corrupt-graph probes for the InFactsValidator + CFG-sanity analogs:
+    in_degree_exceeded / in_degree_missing / entity_ref_missing /
+    cfg_cross_conversation / cfg_nonmonotonic fire on BOTH validator paths."""
+    import pyarrow as pa
+    import ray.data
+
+    from codepropertygraph_ray import schema
+    from codepropertygraph_ray.stages.validate import validate_graph
+
+    def nodes_tbl(rows):
+        df = pd.DataFrame(
+            rows, columns=["id", "label", "name", "full_name", "code", "order",
+                           "conv_id", "turn_idx", "is_external", "overlay"]
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, schema=schema.NODES_SCHEMA, preserve_index=False)
+        )
+
+    def edges_tbl(rows):
+        df = pd.DataFrame(
+            rows, columns=["src", "dst", "label", "variable", "order", "overlay"]
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, schema=schema.EDGES_SCHEMA, preserve_index=False)
+        )
+
+    def T(i, conv, idx):
+        return (i, "TURN", None, None, None, idx, conv, idx, False, "t")
+
+    nodes = nodes_tbl([
+        (1, "META_DATA", None, None, None, None, None, None, None, "t"),
+        (10, "CONVERSATION", None, None, None, None, "c1", None, None, "t"),
+        (11, "CONVERSATION", None, None, None, None, "c2", None, None, "t"),
+        T(20, "c1", 0), T(21, "c1", 1),
+        T(30, "c2", 0),
+        # TURN 40 has NO incoming AST → in_degree_missing (TURN<-AST)
+        T(40, "c1", 2),
+        # non-external entity with no incoming REF → entity_ref_missing
+        (50, "ENTITY", "e", "e", None, None, None, None, False, "t"),
+    ])
+    edges = edges_tbl([
+        (10, 20, "AST", None, 0, "t"),
+        (10, 21, "AST", None, 1, "t"),
+        (11, 30, "AST", None, 0, "t"),
+        # turn 21 gets TWO incoming AST parents → in_degree_exceeded
+        (11, 21, "AST", None, 1, "t"),
+        (20, 21, "NEXT_TURN", None, None, "t"),        # fine
+        (21, 30, "NEXT_TURN", None, None, "t"),        # c1 → c2: cross-conv
+        # NOTE: 21 -> 30 also makes turn 30's idx (0) <= 21's (1), but the
+        # cross-conv probe below is the unambiguous one:
+        (30, 30, "NEXT_TURN", None, None, "t"),        # self: nonmonotonic
+    ])
+    for budget in (0, 10**9):  # sharded and broadcast agree on the check set
+        out = validate_graph(nodes, edges, num_partitions=4,
+                             broadcast_max_rows=budget).to_pandas()
+        checks = set(out["check"])
+        assert {"in_degree_missing", "in_degree_exceeded", "entity_ref_missing",
+                "cfg_cross_conversation", "cfg_nonmonotonic"} <= checks, (
+            budget, out.to_dict())
