@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dominators": kgq.dominators,
         "kg_cdg": kgq.cdg_pairs,
         "kg_reaches_closure": kgq.reaches_closure,
+        "kg_reaches_paths": kgq.reaches_paths,
+        "kg_bindings": kgq.bindings_inherited,
+        "kg_overrides": kgq.binding_overrides,
         "kg_member_resolve": kgq.member_resolve,
         "kg_dump_context": kgq.dump_turn_context,
         "kg_dot_export": kgq.dot_export,
@@ -161,6 +164,10 @@ def _pagerank_chain(iters: int, damping: float) -> str:
 
 
 def _kg_sql() -> dict[str, str]:
+    from codepropertygraph_ray.pipelines.queries import (
+        BIND_MAX_DEPTH,
+        REACHES_PATH_DEPTH,
+    )
     from codepropertygraph_ray.pipelines.analytics import (
         BFS_MAX_DEPTH,
         JAC_ROUND,
@@ -389,6 +396,95 @@ def _kg_sql() -> dict[str, str]:
             JOIN mine ON mine.s = rc.turn WHERE rc.depth < 3
           )
           SELECT DISTINCT CAST(turn AS INTEGER) AS turn_idx FROM rc
+        """,
+        # PATH ENUMERATION over REACHES — the `.reachableByFlows` analog
+        # (Engine.scala:16-127 returns node paths; ResultTable.scala:1-76):
+        # every flow of length <= depth from each conversation's earliest
+        # source turn, path accumulated as 'a->b->c'. rpp_ prefixes guard
+        # against WITH-RECURSIVE name capture by nested snippet CTEs.
+        "kg_reaches_paths": f"""
+          WITH RECURSIVE
+          rpp_raw AS (
+            SELECT conv_id, src_turn_idx, dst_turn_idx FROM (
+              SELECT conv_id, turn_idx AS src_turn_idx,
+                     CAST(lead(turn_idx) OVER (
+                       PARTITION BY conv_id, key ORDER BY turn_idx
+                     ) AS INTEGER) AS dst_turn_idx
+              FROM (SELECT DISTINCT conv_id, turn_idx, key FROM ({mentions_keyed}))
+            ) WHERE dst_turn_idx IS NOT NULL
+          ),
+          rpp_e AS (SELECT DISTINCT conv_id, CAST(src_turn_idx AS INTEGER) AS es,
+                           CAST(dst_turn_idx AS INTEGER) AS ed FROM rpp_raw),
+          rpp_seeds AS (SELECT conv_id, min(es) AS s0 FROM rpp_e GROUP BY conv_id),
+          rpp_paths(conv_id, start_turn, end_turn, depth, path) AS (
+            SELECT e.conv_id, s.s0, e.ed, 1,
+                   CAST(s.s0 AS VARCHAR) || '->' || CAST(e.ed AS VARCHAR)
+            FROM rpp_seeds s JOIN rpp_e e
+              ON e.conv_id = s.conv_id AND e.es = s.s0
+            UNION ALL
+            SELECT p.conv_id, p.start_turn, e.ed, p.depth + 1,
+                   p.path || '->' || CAST(e.ed AS VARCHAR)
+            FROM rpp_paths p JOIN rpp_e e
+              ON e.conv_id = p.conv_id AND e.es = p.end_turn
+            WHERE p.depth < {REACHES_PATH_DEPTH}
+          )
+          SELECT conv_id, CAST(start_turn AS INTEGER) AS start_turn,
+                 CAST(end_turn AS INTEGER) AS end_turn,
+                 CAST(depth AS INTEGER) AS depth, path
+          FROM rpp_paths
+        """,
+        # effective binding table: own predicates + located_in-inherited,
+        # shallower depth shadows deeper (BindingTableCompat.scala:16-80 —
+        # inherit base bindings minus the shadowing anti-join)
+        "kg_bindings": f"""
+          WITH RECURSIVE
+          bnd_tri AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM ({triples_all})),
+          bnd_par AS (SELECT subj, min(obj) AS nxt FROM bnd_tri
+                      WHERE pred = 'located_in' AND obj < subj GROUP BY subj),
+          bnd_chain(entity, anc, depth) AS (
+            SELECT subj, subj, 0 FROM (SELECT DISTINCT subj FROM bnd_tri)
+            UNION ALL
+            SELECT c.entity, p.nxt, c.depth + 1
+            FROM bnd_chain c JOIN bnd_par p ON p.subj = c.anc
+            WHERE c.depth < {BIND_MAX_DEPTH}
+          ),
+          bnd_cand AS (
+            SELECT c.entity, t.pred, t.obj, c.anc AS provider, c.depth
+            FROM bnd_chain c JOIN bnd_tri t ON t.subj = c.anc
+            WHERE t.pred <> 'located_in'
+          ),
+          bnd_best AS (SELECT entity, pred, min(depth) AS d0
+                       FROM bnd_cand GROUP BY entity, pred)
+          SELECT c.entity, c.pred, c.obj, c.provider,
+                 CAST(c.depth AS INTEGER) AS depth
+          FROM bnd_cand c JOIN bnd_best b
+            ON b.entity = c.entity AND b.pred = c.pred AND b.d0 = c.depth
+        """,
+        # boolean override propagation up the located_in DAG
+        # (BindingMethodOverridesPass.scala:9-52)
+        "kg_overrides": f"""
+          WITH RECURSIVE
+          ovr_tri AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM ({triples_all})),
+          ovr_par AS (SELECT subj, min(obj) AS nxt FROM ovr_tri
+                      WHERE pred = 'located_in' AND obj < subj GROUP BY subj),
+          ovr_own AS (SELECT DISTINCT subj, pred FROM ovr_tri
+                      WHERE pred <> 'located_in'),
+          ovr_chain(entity, anc, depth) AS (
+            SELECT subj, subj, 0 FROM (SELECT DISTINCT subj FROM ovr_tri)
+            UNION ALL
+            SELECT c.entity, p.nxt, c.depth + 1
+            FROM ovr_chain c JOIN ovr_par p ON p.subj = c.anc
+            WHERE c.depth < {BIND_MAX_DEPTH}
+          ),
+          ovr_marked AS (
+            SELECT DISTINCT c.anc, o.pred
+            FROM ovr_chain c JOIN ovr_own o ON o.subj = c.entity
+            WHERE c.depth >= 1
+          )
+          SELECT o.subj AS entity, o.pred,
+                 (m.anc IS NOT NULL) AS is_overridden
+          FROM ovr_own o LEFT JOIN ovr_marked m
+            ON m.anc = o.subj AND m.pred = o.pred
         """,
         # memoized member-chain resolution (MemberAccessLinker analog, O11):
         # functional min-edge map over strictly-decreasing located_in edges,

@@ -341,6 +341,64 @@ def reaches_closure(sf_dir: str):
     return out.sort_values("turn_idx", ignore_index=True)
 
 
+REACHES_PATH_DEPTH = 3
+
+
+def reaches_paths(sf_dir: str, max_depth: int = REACHES_PATH_DEPTH):
+    """(conv_id, start_turn, end_turn, depth, path) — PATH ENUMERATION over
+    the REACHES overlay: every dataflow FLOW of length ≤ ``max_depth``
+    starting at each conversation's earliest reaching source turn, with the
+    hop sequence materialized as ``a->b->c``. The `.reachableByFlows`
+    analog (`dataflowengineoss/.../queryengine/Engine.scala:16-127` returns
+    node PATHS, not reachable sets; `ResultTable.scala:1-76` memoizes
+    per-node partial paths — here the per-conversation frontier frame IS
+    that table, carried through ``max_depth`` vectorized self-joins).
+
+    Scale shape: REACHES edges never cross conversations, so ONE bucketed
+    shuffle keyed by conv_id co-locates each conversation's edge set, and
+    path expansion is a per-bucket pandas merge per depth level — no
+    driver materialization, no global join. Path fan-out is bounded by
+    (per-turn branching)^depth inside one conversation, the same budget
+    the reference's engine pays per task."""
+    from ..functions.agg import empty_safe, hash_groupby
+
+    r = kg_runner(sf_dir)
+    ds = r.ctx.read(
+        "link", "reaching", columns=["conv_id", "src_turn_idx", "dst_turn_idx"]
+    )
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame(
+            {"conv_id": g["conv_id"],
+             "es": g["src_turn_idx"].astype("int32"),
+             "ed": g["dst_turn_idx"].astype("int32")}
+        ).drop_duplicates()
+        seeds = e.groupby("conv_id", as_index=False).agg(s0=("es", "min"))
+        cur = seeds.merge(e, left_on=["conv_id", "s0"], right_on=["conv_id", "es"])
+        cur = pd.DataFrame(
+            {"conv_id": cur["conv_id"], "start_turn": cur["s0"],
+             "end_turn": cur["ed"],
+             "depth": np.full(len(cur), 1, dtype=np.int32),
+             "path": cur["s0"].astype(str) + "->" + cur["ed"].astype(str)}
+        )
+        levels = [cur]
+        for _ in range(max_depth - 1):
+            nxt = levels[-1].merge(
+                e, left_on=["conv_id", "end_turn"], right_on=["conv_id", "es"]
+            )
+            if not len(nxt):
+                break
+            levels.append(pd.DataFrame(
+                {"conv_id": nxt["conv_id"], "start_turn": nxt["start_turn"],
+                 "end_turn": nxt["ed"],
+                 "depth": (nxt["depth"] + 1).astype("int32"),
+                 "path": nxt["path"] + "->" + nxt["ed"].astype(str)}
+            ))
+        return empty_safe(pd.concat(levels, ignore_index=True))
+
+    return hash_groupby(ds, "conv_id", per_conv)
+
+
 def fact_closure(sf_dir: str):
     """(full_name) — entities reachable within 3 FACT hops of the
     lexicographically-first fact subject, via the traversal DSL's
@@ -400,6 +458,102 @@ def member_resolve(sf_dir: str):
 
     starts = ray.data.from_pandas(f_df[["subj"]].rename(columns={"subj": "entity"}))
     return starts.map_batches(resolve_batch, batch_format="pandas")
+
+
+BIND_MAX_DEPTH = 100
+
+
+def _binding_inputs(sf_dir: str):
+    """(distinct facts, functional min-parent map) — both vocab-scale dims.
+
+    The distinct-triple set is reduced DISTRIBUTED (bucketed dedup) before
+    the driver collects it; the parent map is the same strictly-decreasing
+    ``located_in`` functional edge map member_resolve broadcasts."""
+    from ..functions.agg import hash_agg, hash_groupby
+
+    r = kg_runner(sf_dir)
+    tri = r.ctx.read("link", "triples", columns=["subj", "pred", "obj"])
+    facts = hash_groupby(
+        tri, ["subj", "pred", "obj"], lambda g: g.drop_duplicates()
+    ).to_pandas()
+    pairs = facts.loc[
+        (facts["pred"] == "located_in") & (facts["obj"] < facts["subj"]),
+        ["subj", "obj"],
+    ]
+    par = pairs.groupby("subj", as_index=False).agg(nxt=("obj", "min"))
+    return facts, par
+
+
+def _ancestor_chains(facts: pd.DataFrame, par: pd.DataFrame) -> pd.DataFrame:
+    """(entity, anc, depth) rows along the functional min-parent chain,
+    depth 0 = self; strictly-decreasing parents guarantee termination."""
+    ents = pd.unique(facts["subj"])
+    cur = pd.DataFrame(
+        {"entity": ents, "anc": ents, "depth": np.zeros(len(ents), np.int32)}
+    )
+    chains = [cur]
+    for d in range(1, BIND_MAX_DEPTH + 1):
+        nxt = cur.merge(par, left_on="anc", right_on="subj")
+        if nxt.empty:
+            break
+        cur = pd.DataFrame(
+            {"entity": nxt["entity"], "anc": nxt["nxt"],
+             "depth": np.full(len(nxt), d, dtype=np.int32)}
+        )
+        chains.append(cur)
+    return pd.concat(chains, ignore_index=True)
+
+
+def bindings_inherited(sf_dir: str):
+    """(entity, pred, obj, provider, depth) — the effective binding table:
+    each entity's own predicates plus the ones inherited along its
+    ``located_in`` ancestor chain, where a binding at a SHALLOWER depth
+    (own = depth 0) SHADOWS the same predicate deeper up — the
+    BindingTableCompat analog (`semanticcpg/.../compat/bindingtablecompat/
+    BindingTableCompat.scala:16-80`: derived types inherit base bindings
+    minus a name/signature shadowing anti-join).
+
+    Scale shape: every frame here is vocab-scale (the triples aggregate) —
+    the distinct-fact reduction runs distributed, then the chain expansion
+    is K vectorized merges over the dimension on the driver, the same
+    budget as the canonical map."""
+    facts, par = _binding_inputs(sf_dir)
+    chain = _ancestor_chains(facts, par)
+    own = facts[facts["pred"] != "located_in"]
+    cand = chain.merge(own, left_on="anc", right_on="subj")
+    best = cand.groupby(["entity", "pred"], as_index=False).agg(
+        depth=("depth", "min")
+    )
+    out = cand.merge(best, on=["entity", "pred", "depth"])
+    return pd.DataFrame(
+        {"entity": out["entity"], "pred": out["pred"], "obj": out["obj"],
+         "provider": out["anc"], "depth": out["depth"].astype("int32")}
+    ).sort_values(["entity", "pred", "obj"], ignore_index=True)
+
+
+def binding_overrides(sf_dir: str):
+    """(entity, pred, is_overridden) — for every entity's own predicate,
+    whether some strict ``located_in`` DESCENDANT re-binds the same
+    predicate: the boolean-property propagation up the DAG of
+    BindingMethodOverridesPass (`semanticcpg/.../passes/
+    BindingMethodOverridesPass.scala:9-52` marks methods overridden by a
+    deriving type's binding)."""
+    facts, par = _binding_inputs(sf_dir)
+    chain = _ancestor_chains(facts, par)
+    own = facts.loc[facts["pred"] != "located_in", ["subj", "pred"]].drop_duplicates()
+    marked = (
+        chain[chain["depth"] >= 1]
+        .merge(own, left_on="entity", right_on="subj")[["anc", "pred"]]
+        .drop_duplicates()
+        .assign(_ov=True)
+    )
+    out = own.merge(
+        marked, left_on=["subj", "pred"], right_on=["anc", "pred"], how="left"
+    )
+    return pd.DataFrame(
+        {"entity": out["subj"], "pred": out["pred"],
+         "is_overridden": out["_ov"].fillna(False).astype(bool)}
+    ).sort_values(["entity", "pred"], ignore_index=True)
 
 
 def dump_turn_context(sf_dir: str):
