@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cdg": kgq.cdg_pairs,
         "kg_reaches_closure": kgq.reaches_closure,
         "kg_reaches_paths": kgq.reaches_paths,
+        "kg_reaches_paths_sem": kgq.reaches_paths_semantic,
         "kg_bindings": kgq.bindings_inherited,
         "kg_overrides": kgq.binding_overrides,
         "kg_member_resolve": kgq.member_resolve,
@@ -167,6 +168,7 @@ def _kg_sql() -> dict[str, str]:
     from codepropertygraph_ray.pipelines.queries import (
         BIND_MAX_DEPTH,
         REACHES_PATH_DEPTH,
+        SEM_TOP_K,
     )
     from codepropertygraph_ray.pipelines.analytics import (
         BFS_MAX_DEPTH,
@@ -432,6 +434,47 @@ def _kg_sql() -> dict[str, str]:
                  CAST(end_turn AS INTEGER) AS end_turn,
                  CAST(depth AS INTEGER) AS depth, path
           FROM rpp_paths
+        """,
+        # semantics-filtered flow enumeration (Parser.scala:34-76 DSL +
+        # Engine's per-call-site semantics): edges whose variable is the
+        # corpus's most frequent reaching key (tie -> lexicographic min,
+        # the generated kill rule) are removed before expansion
+        "kg_reaches_paths_sem": f"""
+          WITH RECURSIVE
+          rps_raw AS MATERIALIZED (
+            SELECT conv_id, key, src_turn_idx, dst_turn_idx FROM (
+              SELECT conv_id, key, turn_idx AS src_turn_idx,
+                     CAST(lead(turn_idx) OVER (
+                       PARTITION BY conv_id, key ORDER BY turn_idx
+                     ) AS INTEGER) AS dst_turn_idx
+              FROM (SELECT DISTINCT conv_id, turn_idx, key FROM ({mentions_keyed}))
+            ) WHERE dst_turn_idx IS NOT NULL
+          ),
+          rps_blocked AS (
+            SELECT key FROM (SELECT key, count(*) AS n FROM rps_raw GROUP BY key)
+            ORDER BY n DESC, key LIMIT {SEM_TOP_K}
+          ),
+          rps_e AS (SELECT DISTINCT conv_id, CAST(src_turn_idx AS INTEGER) AS es,
+                           CAST(dst_turn_idx AS INTEGER) AS ed
+                    FROM rps_raw
+                    WHERE key NOT IN (SELECT key FROM rps_blocked)),
+          rps_seeds AS (SELECT conv_id, min(es) AS s0 FROM rps_e GROUP BY conv_id),
+          rps_paths(conv_id, start_turn, end_turn, depth, path) AS (
+            SELECT e.conv_id, s.s0, e.ed, 1,
+                   CAST(s.s0 AS VARCHAR) || '->' || CAST(e.ed AS VARCHAR)
+            FROM rps_seeds s JOIN rps_e e
+              ON e.conv_id = s.conv_id AND e.es = s.s0
+            UNION ALL
+            SELECT p.conv_id, p.start_turn, e.ed, p.depth + 1,
+                   p.path || '->' || CAST(e.ed AS VARCHAR)
+            FROM rps_paths p JOIN rps_e e
+              ON e.conv_id = p.conv_id AND e.es = p.end_turn
+            WHERE p.depth < {REACHES_PATH_DEPTH}
+          )
+          SELECT conv_id, CAST(start_turn AS INTEGER) AS start_turn,
+                 CAST(end_turn AS INTEGER) AS end_turn,
+                 CAST(depth AS INTEGER) AS depth, path
+          FROM rps_paths
         """,
         # effective binding table: own predicates + located_in-inherited,
         # shallower depth shadows deeper (BindingTableCompat.scala:16-80 —

@@ -342,6 +342,7 @@ def reaches_closure(sf_dir: str):
 
 
 REACHES_PATH_DEPTH = 3
+SEM_TOP_K = 5  # default semantics: kill the K most frequent reaching keys
 
 
 def reaches_paths(sf_dir: str, max_depth: int = REACHES_PATH_DEPTH):
@@ -360,12 +361,17 @@ def reaches_paths(sf_dir: str, max_depth: int = REACHES_PATH_DEPTH):
     driver materialization, no global join. Path fan-out is bounded by
     (per-turn branching)^depth inside one conversation, the same budget
     the reference's engine pays per task."""
-    from ..functions.agg import empty_safe, hash_groupby
-
     r = kg_runner(sf_dir)
     ds = r.ctx.read(
         "link", "reaching", columns=["conv_id", "src_turn_idx", "dst_turn_idx"]
     )
+    return _enumerate_paths(ds, max_depth)
+
+
+def _enumerate_paths(ds, max_depth: int):
+    """Shared path-expansion: Dataset(conv_id, src_turn_idx, dst_turn_idx)
+    → Dataset(conv_id, start_turn, end_turn, depth, path)."""
+    from ..functions.agg import empty_safe, hash_groupby
 
     def per_conv(g: pd.DataFrame) -> pd.DataFrame:
         e = pd.DataFrame(
@@ -397,6 +403,56 @@ def reaches_paths(sf_dir: str, max_depth: int = REACHES_PATH_DEPTH):
         return empty_safe(pd.concat(levels, ignore_index=True))
 
     return hash_groupby(ds, "conv_id", per_conv)
+
+
+def reaches_paths_semantic(sf_dir: str, max_depth: int = REACHES_PATH_DEPTH,
+                           semantics_text: str | None = None):
+    """(conv_id, start_turn, end_turn, depth, path) — flow enumeration with
+    EDGE SEMANTICS: REACHES edges whose ``variable`` is declared with no
+    mappings in the semantics DSL are KILLED before expansion — the
+    per-call-site semantics filtering of the reference engine
+    (`Engine.scala` consults `Semantics.forMethod`;
+    `semanticsloader/Parser.scala:34-76` parses the DSL; see
+    `codepropertygraph_ray/semantics.py`).
+
+    With no explicit ``semantics_text``, the default document kills the
+    corpus's ``SEM_TOP_K`` most frequent reaching variables (ties →
+    lexicographic min) — a deterministic, data-derived sanitizer rule BOTH
+    sides can compute, so the oracle is exact."""
+    import ray
+
+    from ..functions.agg import hash_agg
+    from ..functions.joins import get_broadcast
+    from ..semantics import blocked_keys, parse
+
+    r = kg_runner(sf_dir)
+    if semantics_text is None:
+        counts = hash_agg(
+            r.ctx.read("link", "reaching", columns=["variable"]).map_batches(
+                lambda t: t.groupby("variable", as_index=False).size()
+                .rename(columns={"size": "n"}),
+                batch_format="pandas",
+            ),
+            "variable",
+            n=("n", "sum"),
+        ).to_pandas().sort_values(["n", "variable"], ascending=[False, True])
+        if counts.empty:
+            return reaches_paths(sf_dir, max_depth)
+        semantics_text = "\n".join(
+            f'"{k}"' for k in counts["variable"].head(SEM_TOP_K)
+        )
+    blocked = blocked_keys(parse(semantics_text))
+    bref = ray.put(blocked)
+
+    ds = r.ctx.read(
+        "link", "reaching",
+        columns=["conv_id", "src_turn_idx", "dst_turn_idx", "variable"],
+    ).map_batches(
+        lambda t: t.loc[~t["variable"].isin(get_broadcast(bref)),
+                        ["conv_id", "src_turn_idx", "dst_turn_idx"]],
+        batch_format="pandas",
+    )
+    return _enumerate_paths(ds, max_depth)
 
 
 def fact_closure(sf_dir: str):

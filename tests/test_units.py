@@ -416,3 +416,25 @@ def test_sliding_max_range_peer_ties(ray_session, tmp_path):
     # both ts-peers (event 2 and 3) must see max30 = 9 (window holds 9,1,7);
     # event 4's window [00:20, 00:50] holds only itself
     assert got["max30"].tolist() == want["max30"].tolist() == [9.0, 9.0, 9.0, 2.0]
+
+
+def test_semantics_dsl_parser():
+    """Parser.scala:34-76 analog: quoted names + N->M mappings, comments,
+    no-mapping lines kill propagation."""
+    from codepropertygraph_ray.semantics import blocked_keys, parse
+
+    text = '''
+# comment line
+"<operator>.assignment" 2->1
+"<operators>.assignmentAnd" 2->1 1->1
+"sanitizer key"          # declared, no mappings: kills flow
+"neg" -1->2
+'''
+    sem = parse(text)
+    assert sem["<operator>.assignment"].mappings == ((2, 1),)
+    assert sem["<operators>.assignmentAnd"].mappings == ((2, 1), (1, 1))
+    assert sem["neg"].mappings == ((-1, 2),)
+    assert not sem["sanitizer key"].propagates
+    assert blocked_keys(sem) == frozenset({"sanitizer key"})
+    with pytest.raises(ValueError):
+        parse("unquoted 1->2")
