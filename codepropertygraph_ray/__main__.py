@@ -65,6 +65,25 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("queries", help="list available queries")
 
+    ws_p = sub.add_parser("workspace", help="manage a workspace of projects "
+                          "(WorkspaceManager.scala analog)")
+    ws_p.add_argument("--path", required=True, help="workspace directory")
+    ws_sub = ws_p.add_subparsers(dest="ws_cmd", required=True)
+    ws_new = ws_sub.add_parser("create", help="create (build) a project")
+    ws_new.add_argument("--sf-dir", required=True)
+    ws_new.add_argument("--name", default=None)
+    ws_sub.add_parser("list", help="list projects")
+    ws_rm = ws_sub.add_parser("remove", help="remove a project")
+    ws_rm.add_argument("--name", required=True)
+
+    sc_p = sub.add_parser("script", help="run a Python script against an open "
+                          "project (ScriptManager.scala analog)")
+    sc_p.add_argument("--path", required=True, help="workspace directory")
+    sc_p.add_argument("--project", required=True)
+    sc_p.add_argument("--script", required=True, help="script file to run")
+    sc_p.add_argument("--param", action="append", default=[],
+                      help="key=value (repeatable)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "queries":
@@ -76,9 +95,40 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}{'' if name in oracled else '  (no SQL oracle)'}")
         return 0
 
+    if args.cmd == "workspace" and args.ws_cmd == "list":
+        from .workspace import WorkspaceManager
+
+        for proj in WorkspaceManager(args.path).projects():
+            print(json.dumps({"name": proj.name, "inputPath": proj.sf_dir,
+                              "path": proj.path}))
+        return 0
+    if args.cmd == "workspace" and args.ws_cmd == "remove":
+        from .workspace import WorkspaceManager
+
+        WorkspaceManager(args.path).remove_project(args.name)
+        print(json.dumps({"removed": args.name}))
+        return 0
+
     ray = _init_ray(args.num_cpus)
     try:
-        if args.cmd == "run":
+        if args.cmd == "workspace" and args.ws_cmd == "create":
+            from .workspace import WorkspaceManager
+
+            proj = WorkspaceManager(args.path).create_project(
+                args.sf_dir, args.name
+            )
+            print(json.dumps({"created": proj.name, "path": proj.path}))
+        elif args.cmd == "script":
+            from .workspace import WorkspaceManager, run_script
+
+            ws = WorkspaceManager(args.path)
+            runner = ws.open(args.project)
+            params = dict(kv.split("=", 1) for kv in args.param)
+            result = run_script(args.script, runner, params)
+            if result is not None:
+                df = result.to_pandas() if hasattr(result, "to_pandas") else result
+                print(df if not hasattr(df, "head") else df.head(20).to_string())
+        elif args.cmd == "run":
             from .pipelines.kg import build_kg
 
             runner = build_kg(args.sf_dir, args.out)

@@ -438,3 +438,45 @@ def test_semantics_dsl_parser():
     assert blocked_keys(sem) == frozenset({"sanitizer key"})
     with pytest.raises(ValueError):
         parse("unquoted 1->2")
+
+
+def test_workspace_and_scripts(ray_session, tmp_path):
+    """WorkspaceManager/ScriptManager analogs: create (build) a project,
+    list it, open resumes the stored ledger, scripts run against the open
+    graph with params, overwrite + remove semantics."""
+    from codepropertygraph_ray.workspace import (
+        WorkspaceManager, list_scripts, run_script,
+    )
+
+    ws = WorkspaceManager(str(tmp_path / "ws"))
+    proj = ws.create_project("/root/testdata/sf0.001", "demo")
+    assert [p.name for p in ws.projects()] == ["demo"]
+    assert ws.active == "demo"
+
+    runner = ws.open("demo")  # resume: ledger already applied
+    assert runner.ledger()["applied"][-1] == "validate"
+
+    sdir = tmp_path / "scripts"
+    sdir.mkdir()
+    (sdir / "count_entities.py").write_text(
+        '"""Count entities, optionally only external ones."""\n'
+        "q = graph.entities()\n"
+        "if params.get('external') == 'true':\n"
+        "    q = q.external(True)\n"
+        "result = q.count()\n"
+    )
+    assert list_scripts(str(sdir)) == [
+        ("count_entities.py", "Count entities, optionally only external ones.")
+    ]
+    total = run_script(str(sdir / "count_entities.py"), runner)
+    ext = run_script(str(sdir / "count_entities.py"), runner,
+                     {"external": "true"})
+    assert total > ext > 0
+
+    # createProject overwrites an existing name (reference semantics)
+    ws.create_project("/root/testdata/sf0.001", "demo")
+    assert [p.name for p in ws.projects()] == ["demo"]
+    ws.remove_project("demo")
+    assert ws.projects() == []
+    with pytest.raises(KeyError):
+        ws.open("demo")
