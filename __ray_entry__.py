@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_asof_click_view": asof.asof_join_events,
         "rel_sessionize": relational.sessionize_events,
         "rel_topk_per_customer": relational.topk_orders_per_customer,
+        "rel_percent_rank": relational.percent_rank_orders,
         "rel_value_bands": relational.events_value_bands,
         "rel_rolling_avg": relational.rolling_avg_events,
         "rel_sliding_max": relational.sliding_max_events,
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_hll_users": sketch.hll_distinct_users,  # approximate — no SQL oracle
         # --- training-data ops: text analysis -----------------------------
         "text_token_stats": text.token_stats,
+        "text_bpe_tokens": text.bpe_token_count,
         "text_quality": text.quality_signals,
         "text_lang_id": text.lang_id,
         "text_bigrams": text.bigram_counts,
@@ -770,6 +772,13 @@ def _rel_sql() -> dict[str, str]:
                  round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
           FROM s GROUP BY user_id, sess
         """,
+        # rank window: percent_rank — ties share min rank, (r-1)/(n-1)
+        "rel_percent_rank": """
+          SELECT o_orderkey,
+                 percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice) AS pct
+          FROM orders
+        """,
         "rel_topk_per_customer": """
           SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
           FROM (
@@ -894,6 +903,7 @@ def _ops_sql() -> dict[str, str]:
     )
     from codepropertygraph_ray.functions.text import (
         BIGRAM_MIN_N,
+        BPE_SQL_RE,
         LANG_MARKERS,
         STOPWORDS,
     )
@@ -973,6 +983,14 @@ def _ops_sql() -> dict[str, str]:
         """,
         # corpus bigram counts (1-based list indexing in DuckDB; split(' ')
         # keeps empty tokens on both sides)
+        # BPE-ish pre-tokenizer count: identical alternation regex runs
+        # under Python re and DuckDB RE2 (no lookarounds)
+        "text_bpe_tokens": f"""
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{BPE_SQL_RE}')) AS BIGINT)
+                   AS n_bpe_tokens
+          FROM documents
+        """,
         "text_bigrams": f"""
           SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
             SELECT toks[i] || ' ' || toks[i + 1] AS bigram

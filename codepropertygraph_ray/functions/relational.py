@@ -473,6 +473,27 @@ def topk_orders_per_customer(sf_dir: str, k: int = 3):
     )
 
 
+def percent_rank_orders(sf_dir: str):
+    """(o_orderkey, pct) — percent_rank of order price within its priority
+    class: the rank-based window archetype (ties share the min rank;
+    pct = (rank-1)/(n-1), n>1 guaranteed per class here). One bucketed
+    shuffle keyed by the partition key, vectorized rank per bucket —
+    same scale shape as the other window operators."""
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rank = g.groupby("o_orderpriority")["o_totalprice"].rank(method="min")
+        n = g.groupby("o_orderpriority")["o_totalprice"].transform("size")
+        pct = (rank.to_numpy() - 1) / (n.to_numpy() - 1)
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(np.int64), "pct": pct}
+        )
+
+    return hash_groupby(ds, "o_orderpriority", per_bucket)
+
+
 # ---------------------------------------------------------------------------
 # ordered per-key window functions (rolling / lag)
 # ---------------------------------------------------------------------------

@@ -31,6 +31,12 @@ LANG_MARKERS = {
 _WORD_RE = re.compile(r"[a-z]+")
 _TOKEN_RE = re.compile(r"\S+")
 _PUNCT_RE = re.compile(r"[.,;:!?]")
+# BPE-ish pre-tokenizer (GPT-2-style splits without the byte merges):
+# runs of letters / digits / non-space-non-alnum, each optionally preceded
+# by one space — approximates subword token counts for budget estimation.
+# Portable across Python re and DuckDB RE2 (no lookarounds).
+_BPE_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+")
+BPE_SQL_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 _CJK_RE = re.compile(r"[一-鿿]")
 
 
@@ -56,6 +62,23 @@ def token_stats(sf_dir: str):
         )
 
     return ds.map_batches(stats, batch_format="pandas")
+
+
+def bpe_token_count(sf_dir: str):
+    """(doc_id, n_bpe_tokens) — BPE-ish token counting: the GPT-2-style
+    pre-tokenizer split (letter / digit / punctuation runs with optional
+    leading space) without the learned byte merges — the standard cheap
+    token-budget estimator for a training-data pipeline. One compiled
+    regex per process, vectorized findall per batch."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def count(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": t["doc_id"],
+             "n_bpe_tokens": t["text"].str.findall(_BPE_RE).str.len().astype("int64")}
+        )
+
+    return ds.map_batches(count, batch_format="pandas")
 
 
 def quality_signals(sf_dir: str):
