@@ -323,13 +323,21 @@ def reaches_closure(sf_dir: str):
     (`dataflowengineoss/.../queryengine/Engine.scala:16-127`; the survey's
     stated closure-over-REACHING_DEF mapping). Oracle: recursive CTE over
     the same reaching pairs."""
+    from ..functions.agg import empty_safe
     from ..traversal import GraphView
 
     r = kg_runner(sf_dir)
-    pairs = r.ctx.read_table("link", "reaching", columns=["conv_id", "src_turn_idx"])
     conv = "conv-0000000"
-    mask = pairs.to_pandas()
-    mine = mask[mask["conv_id"] == conv]
+    # distributed filter to ONE conversation before anything drives —
+    # the reaching table is corpus-scale, the survivor set is one conv
+    mine = (
+        r.ctx.read("link", "reaching", columns=["conv_id", "src_turn_idx"])
+        .map_batches(
+            lambda t: empty_safe(t[t["conv_id"] == conv]),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     if mine.empty:
         return pd.DataFrame({"turn_idx": pd.Series(dtype="int32")})
     seed = int(mine["src_turn_idx"].min())

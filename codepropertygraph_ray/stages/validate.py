@@ -125,17 +125,24 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
 
     def node_dim_batch(t: pd.DataFrame) -> pd.DataFrame:
         # categorical codes (C-level) — unknown labels → -1 like the old map
+        code = pd.Categorical(t["label"], categories=label_names).codes.astype("int16")
+        return pd.DataFrame(
+            {"id": t["id"].astype("int64"), "code": code,
+             "ext": t["is_external"].notna() & t["is_external"].astype(object).eq(True)}
+        )
+
+    def turn_prop_batch(t: pd.DataFrame) -> pd.DataFrame:
+        # TURN-only props for the CFG checks: filter in-task so only
+        # turn-scale (id, conv hash, tidx) rows reach the driver — the
+        # full-dim fetch stays 11 B/row
         from ..ids import hash_series
 
-        code = pd.Categorical(t["label"], categories=label_names).codes.astype("int16")
-        is_turn = code == turn_code
-        conv = np.zeros(len(t), np.int64)
-        if is_turn.any():  # conv equality hash for the CFG checks
-            conv[is_turn] = hash_series([t.loc[is_turn, "conv_id"].fillna("")])
+        t = t[t["label"] == schema.TURN]
         return pd.DataFrame(
-            {"id": t["id"].astype("int64"), "code": code, "conv": conv,
-             "tidx": t["turn_idx"].fillna(-1).astype("int32"),
-             "ext": t["is_external"].notna() & t["is_external"].astype(object).eq(True)}
+            {"id": t["id"].astype("int64"),
+             "conv": hash_series([t["conv_id"].fillna("")])
+             if len(t) else np.empty(0, np.int64),
+             "tidx": t["turn_idx"].fillna(-1).astype("int32")}
         )
 
     # The probe table is the (id, code) dim fetched UNSORTED and argsorted
@@ -148,7 +155,7 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
     # definition (≤ BROADCAST_MAX_ROWS ⇒ argsort ≤ ~8 s at the cap, a
     # width-independent constant); beyond the cap the sharded path runs.
     dim = (
-        nodes.select_columns(["id", "label", "conv_id", "turn_idx", "is_external"])
+        nodes.select_columns(["id", "label", "is_external"])
         .map_batches(node_dim_batch, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
@@ -159,11 +166,17 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
     codes_sorted = codes_u[order]
     ext_sorted = dim["ext"].to_numpy()[order]  # driver-only (entity-ref check)
     # TURN-subset property lookup (sorted ids ∥ conv hash ∥ turn_idx) for
-    # the CFG checks — subset, not full-dim, to keep the broadcast lean
-    _tm = codes_sorted == code_of_label[schema.TURN]
+    # the CFG checks — filtered in-task, sorted once on the driver
+    tprops = (
+        nodes.select_columns(["id", "label", "conv_id", "turn_idx"])
+        .map_batches(turn_prop_batch, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    _to = np.argsort(tprops["id"].to_numpy(np.int64))
     turn_props_ref = ray.put(
-        (ids_sorted[_tm], dim["conv"].to_numpy()[order][_tm],
-         dim["tidx"].to_numpy()[order][_tm])
+        (tprops["id"].to_numpy(np.int64)[_to],
+         tprops["conv"].to_numpy(np.int64)[_to],
+         tprops["tidx"].to_numpy(np.int32)[_to])
     )
     n_dim_rows = len(ids_sorted)
     dup_ids = (
@@ -284,7 +297,11 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
         for sc, lc in deg1_facts:
             m1 = valid & (src_c == sc) & (lcode == lc)
             if m1.any():
-                blobs.append(pos_src[m1].astype("<i4").tobytes())
+                # blob = per-batch UNIQUE positions (n keeps the raw count
+                # for the total-vs-distinct bound): a hot node repeating in
+                # one batch ships once — the REF->ENTITY dst blob shrinks
+                # ~(mentions per entity)x
+                blobs.append(np.unique(pos_src[m1]).astype("<i4").tobytes())
                 scs.append(np.int16(sc))
                 lcs.append(np.int16(lc))
                 ns.append(np.int64(int(m1.sum())))
@@ -318,7 +335,7 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
         for dc, lc in ideg_facts:
             m2 = (dst_c == dc) & (lcode == lc)
             if m2.any():
-                iblobs.append(pos_dst[m2].astype("<i4").tobytes())
+                iblobs.append(np.unique(pos_dst[m2]).astype("<i4").tobytes())
                 idcs.append(np.int16(dc))
                 ilcs.append(np.int16(lc))
                 ins_.append(np.int64(int(m2.sum())))
