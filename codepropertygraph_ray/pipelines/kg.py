@@ -480,8 +480,15 @@ def run_materialize(ctx: PassContext) -> dict:
     overlay = "materialize"
     ndir = os.path.join(ctx._side_root, "nodes")
     edir = os.path.join(ctx._side_root, "edges")
+    dimdir = os.path.join(ctx._side_root, "ndim")
+    tpdir = os.path.join(ctx._side_root, "tprops")
     os.makedirs(ndir, exist_ok=True)
     os.makedirs(edir, exist_ok=True)
+    os.makedirs(dimdir, exist_ok=True)
+    os.makedirs(tpdir, exist_ok=True)
+    # label-code vocabulary FROZEN at write time; the validator checks it
+    # against its own schema before trusting the side-written dim
+    dim_labels = list(schema.NODE_LABELS)
 
     _SUM_SCHEMA = pa.schema([("table", pa.string()), ("rows", pa.int64())])
 
@@ -509,6 +516,38 @@ def run_materialize(ctx: PassContext) -> dict:
                 os.path.join(ndir if kind == "nodes" else edir, fname),
                 compression="zstd",
             )
+            if kind == "nodes":
+                # side-write the VALIDATOR DIM from the frame in hand —
+                # the label coding / conv hashing the validate pass would
+                # otherwise pay two extra node scans for (its dim fetch
+                # was the largest serial term of the pipeline's measured
+                # scaling gap). Numeric-only: 11 B/node + 20 B/turn.
+                from ..ids import hash_series as _hs
+
+                lab = t.column("label").to_pandas()
+                code = pd.Categorical(lab, categories=dim_labels).codes.astype("int16")
+                extc = t.column("is_external").to_pandas()
+                pqt.write_table(
+                    pa.table({
+                        "id": t.column("id"),
+                        "code": pa.array(code, pa.int16()),
+                        "ext": pa.array((extc.notna() & extc.astype(object).eq(True)).to_numpy()),
+                    }),
+                    os.path.join(dimdir, fname), compression="zstd",
+                )
+                tm = (lab == schema.TURN).to_numpy()
+                if tm.any():
+                    tt = t.select(["id", "conv_id", "turn_idx"]).to_pandas()[tm]
+                    pqt.write_table(
+                        pa.table({
+                            "id": pa.array(tt["id"].to_numpy(np.int64)),
+                            "conv": pa.array(_hs([tt["conv_id"].fillna("")])),
+                            "tidx": pa.array(
+                                tt["turn_idx"].fillna(-1).astype("int32").to_numpy()
+                            ),
+                        }),
+                        os.path.join(tpdir, fname), compression="zstd",
+                    )
             names.append(kind)
             rows.append(t.num_rows)
         return pa.table({"table": names, "rows": rows}, schema=_SUM_SCHEMA)
@@ -810,6 +849,16 @@ def run_materialize(ctx: PassContext) -> dict:
         os.path.join(ndir, "part-meta.parquet"),
         compression="zstd",
     )
+    pqt.write_table(
+        pa.table({"id": pa.array(meta["id"].to_numpy(np.int64)),
+                  "code": pa.array([dim_labels.index(schema.META_DATA)], pa.int16()),
+                  "ext": pa.array([False])}),
+        os.path.join(dimdir, "part-meta.parquet"), compression="zstd",
+    )
+    import json as _json
+
+    with open(os.path.join(ctx._side_root, "dim_labels.json"), "w") as fh:
+        _json.dump(dim_labels, fh)
 
     # every branch writes its own files; the union carries only the tiny
     # per-task summaries, and ONE count() drives the whole execution
@@ -841,12 +890,24 @@ def run_validate(ctx: PassContext) -> dict:
     # Dataset.count() — counting the union-schema delta decoded every file
     # (~30 s at 7M nodes)
     n_nodes = pads.dataset(ctx.delta_dir("materialize", "nodes")).count_rows()
+    import json as _json
+
+    mat_dir = os.path.dirname(ctx.delta_dir("materialize", "nodes"))
+    labels_file = os.path.join(mat_dir, "dim_labels.json")
+    dim_dir = tp_dir = None
+    if os.path.isfile(labels_file):
+        with open(labels_file) as fh:
+            if _json.load(fh) == list(schema.NODE_LABELS):
+                dim_dir = os.path.join(mat_dir, "ndim")
+                tp_dir = os.path.join(mat_dir, "tprops")
     return {
         "violations": v.validate_graph(
             nodes, edges,
             num_partitions=_p(ctx, "num_partitions"),
             broadcast_max_rows=budget,
             n_nodes=n_nodes,
+            dim_dir=dim_dir,
+            turn_props_dir=tp_dir,
         )
     }
 

@@ -97,7 +97,9 @@ def _in_fact_codes(code_of_label):
 
 def validate_graph(nodes, edges, num_partitions: int = 16,
                    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
-                   n_nodes: int | None = None) -> pa.Table:
+                   n_nodes: int | None = None,
+                   dim_dir: str | None = None,
+                   turn_props_dir: str | None = None) -> pa.Table:
     """nodes, edges: ray Datasets → pyarrow Table of (check, detail) rows.
 
     ``n_nodes`` selects the execution path; pass it from parquet metadata
@@ -108,7 +110,7 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
     if n_nodes is None:
         n_nodes = nodes.count()
     if n_nodes <= broadcast_max_rows:
-        return _validate_broadcast(nodes, edges)
+        return _validate_broadcast(nodes, edges, dim_dir, turn_props_dir)
     return _validate_sharded(nodes, edges, num_partitions)
 
 
@@ -117,7 +119,8 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
 # ---------------------------------------------------------------------------
 
 
-def _validate_broadcast(nodes, edges) -> pa.Table:
+def _validate_broadcast(nodes, edges, dim_dir: str | None = None,
+                        turn_props_dir: str | None = None) -> pa.Table:
     label_names, code_of_label = _label_codes()
     edge_labels = list(schema.EDGE_LABELS)  # captured: includes extensions
 
@@ -154,11 +157,20 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
     # (introsort on values). The driver holds the dim on this path by
     # definition (≤ BROADCAST_MAX_ROWS ⇒ argsort ≤ ~8 s at the cap, a
     # width-independent constant); beyond the cap the sharded path runs.
-    dim = (
-        nodes.select_columns(["id", "label", "is_external"])
-        .map_batches(node_dim_batch, batch_format="pandas", batch_size=None)
-        .to_pandas()
-    )
+    if dim_dir is not None:
+        # the materialize pass side-wrote the numeric dim from the frames
+        # it had in hand (pipelines/kg.write_graph) — one small driver
+        # read replaces the full node scan (the caller verified the
+        # label-code vocabulary matches the live schema)
+        import pyarrow.dataset as pads
+
+        dim = pads.dataset(dim_dir).to_table().to_pandas()
+    else:
+        dim = (
+            nodes.select_columns(["id", "label", "is_external"])
+            .map_batches(node_dim_batch, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
     ids_u = dim["id"].to_numpy(np.int64)
     codes_u = dim["code"].to_numpy(np.int16)
     order = np.argsort(ids_u)
@@ -167,11 +179,16 @@ def _validate_broadcast(nodes, edges) -> pa.Table:
     ext_sorted = dim["ext"].to_numpy()[order]  # driver-only (entity-ref check)
     # TURN-subset property lookup (sorted ids ∥ conv hash ∥ turn_idx) for
     # the CFG checks — filtered in-task, sorted once on the driver
-    tprops = (
-        nodes.select_columns(["id", "label", "conv_id", "turn_idx"])
-        .map_batches(turn_prop_batch, batch_format="pandas", batch_size=None)
-        .to_pandas()
-    )
+    if turn_props_dir is not None:
+        import pyarrow.dataset as pads
+
+        tprops = pads.dataset(turn_props_dir).to_table().to_pandas()
+    else:
+        tprops = (
+            nodes.select_columns(["id", "label", "conv_id", "turn_idx"])
+            .map_batches(turn_prop_batch, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
     _to = np.argsort(tprops["id"].to_numpy(np.int64))
     turn_props_ref = ray.put(
         (tprops["id"].to_numpy(np.int64)[_to],
