@@ -482,13 +482,16 @@ def run_materialize(ctx: PassContext) -> dict:
     edir = os.path.join(ctx._side_root, "edges")
     dimdir = os.path.join(ctx._side_root, "ndim")
     tpdir = os.path.join(ctx._side_root, "tprops")
+    nedir = os.path.join(ctx._side_root, "nedges")
     os.makedirs(ndir, exist_ok=True)
     os.makedirs(edir, exist_ok=True)
     os.makedirs(dimdir, exist_ok=True)
     os.makedirs(tpdir, exist_ok=True)
-    # label-code vocabulary FROZEN at write time; the validator checks it
-    # against its own schema before trusting the side-written dim
+    os.makedirs(nedir, exist_ok=True)
+    # label-code vocabularies FROZEN at write time; the validator checks
+    # them against its own schema before trusting the side-written tables
     dim_labels = list(schema.NODE_LABELS)
+    dim_edge_labels = list(schema.EDGE_LABELS)
 
     _SUM_SCHEMA = pa.schema([("table", pa.string()), ("rows", pa.int64())])
 
@@ -548,6 +551,19 @@ def run_materialize(ctx: PassContext) -> dict:
                         }),
                         os.path.join(tpdir, fname), compression="zstd",
                     )
+            if kind == "edges":
+                # numeric edge mirror (src, dst, lcode): the validator's
+                # edge scan reads this instead of decoding 27M label
+                # strings + a per-batch categorical
+                lab_e = t.column("label").to_pandas()
+                lcode = pd.Categorical(
+                    lab_e, categories=dim_edge_labels
+                ).codes.astype("int16")
+                pqt.write_table(
+                    pa.table({"src": t.column("src"), "dst": t.column("dst"),
+                              "lcode": pa.array(lcode, pa.int16())}),
+                    os.path.join(nedir, fname), compression="zstd",
+                )
             names.append(kind)
             rows.append(t.num_rows)
         return pa.table({"table": names, "rows": rows}, schema=_SUM_SCHEMA)
@@ -858,7 +874,7 @@ def run_materialize(ctx: PassContext) -> dict:
     import json as _json
 
     with open(os.path.join(ctx._side_root, "dim_labels.json"), "w") as fh:
-        _json.dump(dim_labels, fh)
+        _json.dump({"nodes": dim_labels, "edges": dim_edge_labels}, fh)
 
     # every branch writes its own files; the union carries only the tiny
     # per-task summaries, and ONE count() drives the whole execution
@@ -894,12 +910,15 @@ def run_validate(ctx: PassContext) -> dict:
 
     mat_dir = os.path.dirname(ctx.delta_dir("materialize", "nodes"))
     labels_file = os.path.join(mat_dir, "dim_labels.json")
-    dim_dir = tp_dir = None
+    dim_dir = tp_dir = ne_dir = None
     if os.path.isfile(labels_file):
         with open(labels_file) as fh:
-            if _json.load(fh) == list(schema.NODE_LABELS):
-                dim_dir = os.path.join(mat_dir, "ndim")
-                tp_dir = os.path.join(mat_dir, "tprops")
+            vocab = _json.load(fh)
+        if isinstance(vocab, dict) and vocab.get("nodes") == list(schema.NODE_LABELS):
+            dim_dir = os.path.join(mat_dir, "ndim")
+            tp_dir = os.path.join(mat_dir, "tprops")
+            if vocab.get("edges") == list(schema.EDGE_LABELS):
+                ne_dir = os.path.join(mat_dir, "nedges")
     return {
         "violations": v.validate_graph(
             nodes, edges,
@@ -908,6 +927,7 @@ def run_validate(ctx: PassContext) -> dict:
             n_nodes=n_nodes,
             dim_dir=dim_dir,
             turn_props_dir=tp_dir,
+            numeric_edges_dir=ne_dir,
         )
     }
 

@@ -99,7 +99,8 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
                    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
                    n_nodes: int | None = None,
                    dim_dir: str | None = None,
-                   turn_props_dir: str | None = None) -> pa.Table:
+                   turn_props_dir: str | None = None,
+                   numeric_edges_dir: str | None = None) -> pa.Table:
     """nodes, edges: ray Datasets → pyarrow Table of (check, detail) rows.
 
     ``n_nodes`` selects the execution path; pass it from parquet metadata
@@ -110,7 +111,8 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
     if n_nodes is None:
         n_nodes = nodes.count()
     if n_nodes <= broadcast_max_rows:
-        return _validate_broadcast(nodes, edges, dim_dir, turn_props_dir)
+        return _validate_broadcast(nodes, edges, dim_dir, turn_props_dir,
+                                   numeric_edges_dir)
     return _validate_sharded(nodes, edges, num_partitions)
 
 
@@ -120,7 +122,8 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
 
 
 def _validate_broadcast(nodes, edges, dim_dir: str | None = None,
-                        turn_props_dir: str | None = None) -> pa.Table:
+                        turn_props_dir: str | None = None,
+                        numeric_edges_dir: str | None = None) -> pa.Table:
     label_names, code_of_label = _label_codes()
     edge_labels = list(schema.EDGE_LABELS)  # captured: includes extensions
 
@@ -262,6 +265,7 @@ def _validate_broadcast(nodes, edges, dim_dir: str | None = None,
     )
     ideg_facts = tuple(in_facts)
     nt_code = edge_labels.index(schema.NEXT_TURN) if schema.NEXT_TURN in edge_labels else -1
+    ref_code = edge_labels.index(schema.REF) if schema.REF in edge_labels else -1
 
     def edge_scan(t: pd.DataFrame) -> pd.DataFrame:
         table = get_broadcast(label_of)
@@ -279,30 +283,33 @@ def _validate_broadcast(nodes, edges, dim_dir: str | None = None,
             src_c = np.full(len(t), -1, dtype=np.int16)
             pos_dst = np.zeros(len(t), dtype=np.int64)
             dst_c = np.full(len(t), -1, dtype=np.int16)
+        lcode = t["lcode"].to_numpy(np.int16)
         viols = []
         dangling = (src_c < 0) | (dst_c < 0)
         if dangling.any():
-            viols.append(_viol("dangling_edge", t.loc[dangling, "label"].drop_duplicates()))
+            labs = pd.Series(
+                [edge_labels[c] if c >= 0 else "?"
+                 for c in np.unique(lcode[dangling])]
+            )
+            viols.append(_viol("dangling_edge", labs))
         ok = ~dangling
         combos = pd.DataFrame(
-            {"s": src_c[ok], "l": t.loc[ok, "label"].to_numpy(), "d": dst_c[ok]}
+            {"s": src_c[ok], "l": lcode[ok], "d": dst_c[ok]}
         ).drop_duplicates()
         bad = [
-            f"{names[s]}-{l}->{names[d]}"
+            f"{names[s]}-{edge_labels[l] if l >= 0 else '?'}->{names[d]}"
             for s, l, d in combos.itertuples(index=False)
-            if (names[s], l, names[d]) not in allowed
+            if l < 0 or (names[s], edge_labels[l], names[d]) not in allowed
         ]
         if bad:
             viols.append(_viol("edge_fact", bad))
-        viols.append(_viol("_ref_partial", [str(int((t["label"] == schema.REF).sum()))]))
+        viols.append(_viol("_ref_partial", [str(int((lcode == ref_code).sum()))]))
         out = pd.concat(viols, ignore_index=True)
         out["scode"] = np.int16(-1)
         out["lcode"] = np.int16(-1)
         out["n"] = np.int64(0)
         out["pos"] = pd.Series([None] * len(out), dtype="object")
         frames = [out]
-
-        lcode = np.asarray(pd.Categorical(t["label"], categories=edge_labels).codes)
         bm = get_broadcast(bounds_mat_ref)
         valid = (src_c >= 0) & (lcode >= 0)
         lim = np.where(valid, bm[np.clip(src_c, 0, None), np.clip(lcode, 0, None)], np.inf)
@@ -398,10 +405,27 @@ def _validate_broadcast(nodes, edges, dim_dir: str | None = None,
                     frames.append(v)
         return pd.concat(frames, ignore_index=True)
 
+    if numeric_edges_dir is not None:
+        # materialize's numeric edge mirror: no label-string decode, no
+        # per-batch categorical — just three numeric columns
+        from ray.data import read_parquet
+
+        edge_input = read_parquet(numeric_edges_dir)
+    else:
+        def to_numeric(t: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"src": t["src"].astype("int64"),
+                 "dst": t["dst"].astype("int64"),
+                 "lcode": pd.Categorical(
+                     t["label"], categories=edge_labels
+                 ).codes.astype("int16")}
+            )
+
+        edge_input = edges.select_columns(["src", "dst", "label"]).map_batches(
+            to_numeric, batch_format="pandas"
+        )
     edge_results = (
-        edges.select_columns(["src", "dst", "label"])
-        .map_batches(edge_scan, batch_format="pandas")
-        .to_pandas()
+        edge_input.map_batches(edge_scan, batch_format="pandas").to_pandas()
     )
 
     ref_rows = edge_results["check"] == "_ref_partial"
