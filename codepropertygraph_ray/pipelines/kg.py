@@ -482,12 +482,10 @@ def run_materialize(ctx: PassContext) -> dict:
     edir = os.path.join(ctx._side_root, "edges")
     dimdir = os.path.join(ctx._side_root, "ndim")
     tpdir = os.path.join(ctx._side_root, "tprops")
-    nedir = os.path.join(ctx._side_root, "nedges")
     os.makedirs(ndir, exist_ok=True)
     os.makedirs(edir, exist_ok=True)
     os.makedirs(dimdir, exist_ok=True)
     os.makedirs(tpdir, exist_ok=True)
-    os.makedirs(nedir, exist_ok=True)
     # label-code vocabularies FROZEN at write time; the validator checks
     # them against its own schema before trusting the side-written tables
     dim_labels = list(schema.NODE_LABELS)
@@ -551,19 +549,10 @@ def run_materialize(ctx: PassContext) -> dict:
                         }),
                         os.path.join(tpdir, fname), compression="zstd",
                     )
-            if kind == "edges":
-                # numeric edge mirror (src, dst, lcode): the validator's
-                # edge scan reads this instead of decoding 27M label
-                # strings + a per-batch categorical
-                lab_e = t.column("label").to_pandas()
-                lcode = pd.Categorical(
-                    lab_e, categories=dim_edge_labels
-                ).codes.astype("int16")
-                pqt.write_table(
-                    pa.table({"src": t.column("src"), "dst": t.column("dst"),
-                              "lcode": pa.array(lcode, pa.int16())}),
-                    os.path.join(nedir, fname), compression="zstd",
-                )
+            # (an (src,dst,lcode) edge mirror was measured a WASH on the
+            # read side vs the in-scan label->code map — 1.7 s vs 2.0 s at
+            # 32 cpus — while costing ~430 MB of throttled writeback, so
+            # edges are NOT mirrored; the validator maps labels in-scan)
             names.append(kind)
             rows.append(t.num_rows)
         return pa.table({"table": names, "rows": rows}, schema=_SUM_SCHEMA)
@@ -910,15 +899,13 @@ def run_validate(ctx: PassContext) -> dict:
 
     mat_dir = os.path.dirname(ctx.delta_dir("materialize", "nodes"))
     labels_file = os.path.join(mat_dir, "dim_labels.json")
-    dim_dir = tp_dir = ne_dir = None
+    dim_dir = tp_dir = None
     if os.path.isfile(labels_file):
         with open(labels_file) as fh:
             vocab = _json.load(fh)
         if isinstance(vocab, dict) and vocab.get("nodes") == list(schema.NODE_LABELS):
             dim_dir = os.path.join(mat_dir, "ndim")
             tp_dir = os.path.join(mat_dir, "tprops")
-            if vocab.get("edges") == list(schema.EDGE_LABELS):
-                ne_dir = os.path.join(mat_dir, "nedges")
     return {
         "violations": v.validate_graph(
             nodes, edges,
@@ -927,7 +914,6 @@ def run_validate(ctx: PassContext) -> dict:
             n_nodes=n_nodes,
             dim_dir=dim_dir,
             turn_props_dir=tp_dir,
-            numeric_edges_dir=ne_dir,
         )
     }
 
