@@ -289,14 +289,16 @@ def minhash_lsh_pairs(sf_dir: str):
         batch_format="pandas",
     ).materialize()
 
-    # shuffle-free per-doc sizes (docs are row-contained; candidate docs only)
+    # per-doc sizes FROM the materialized shingle rows (one row per
+    # distinct shingle per candidate doc, exactly the |shingles(d)| the
+    # Jaccard denominator needs) — no third corpus read; the aggregation
+    # runs over cached blocks and its result is candidate-dimension-sized
+    sizes_df = shingled.map_batches(
+        lambda t: empty_safe(t.groupby("doc_id", as_index=False).size()),
+        batch_format="pandas",
+    ).to_pandas()
     size_ref = ray.put(
-        _doc_sizes(
-            _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-                lambda t: empty_safe(t[t["doc_id"].isin(get_broadcast(docs_ref))]),
-                batch_format="pandas",
-            )
-        )
+        sizes_df.groupby("doc_id")["size"].sum().to_dict() if len(sizes_df) else {}
     )
 
     def cand_pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -311,23 +313,27 @@ def minhash_lsh_pairs(sf_dir: str):
         pc = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
         return pc.rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b", "size": "ninter"})
 
-    pair_counts = hash_agg(
-        hash_groupby(shingled, "shingle", cand_pairs_in_bucket),
-        ["id_a", "id_b"],
-        ninter=("ninter", "sum"),
-    )
+    # the per-bucket intersection partials are CANDIDATE-PAIR-scale (each
+    # pair contributes at most one row per shingle bucket it shares) — the
+    # final merge + Jaccard verify runs on the driver instead of paying a
+    # whole second shuffle execution for a dimension-sized reduction
+    partials = hash_groupby(shingled, "shingle", cand_pairs_in_bucket).to_pandas()
+    from ray.data import from_pandas
 
-    def verify(t: pd.DataFrame) -> pd.DataFrame:
-        szs = get_broadcast(size_ref)
-        na = t["id_a"].map(szs).fillna(0).to_numpy(np.int64)
-        nb = t["id_b"].map(szs).fillna(0).to_numpy(np.int64)
-        inter = t["ninter"].to_numpy(np.int64)
-        union = na + nb - inter
-        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        keep = t[j >= JACCARD_THRESHOLD]
-        return keep[["id_a", "id_b"]].astype("int64")
-
-    return pair_counts.map_batches(verify, batch_format="pandas")
+    if partials.empty:
+        return from_pandas(
+            pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64")})
+        )
+    t = partials.groupby(["id_a", "id_b"], as_index=False)["ninter"].sum()
+    szs = ray.get(size_ref)
+    na = t["id_a"].map(szs).fillna(0).to_numpy(np.int64)
+    nb = t["id_b"].map(szs).fillna(0).to_numpy(np.int64)
+    inter = t["ninter"].to_numpy(np.int64)
+    union = na + nb - inter
+    j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    keep = t[j >= JACCARD_THRESHOLD][["id_a", "id_b"]].astype("int64")
+    return from_pandas(keep.reset_index(drop=True))
 
 
 def dedup_keep_list(sf_dir: str):
