@@ -125,10 +125,18 @@ def ngram_jaccard_pairs(sf_dir: str, max_df: int = MAX_DF):
             batch_format="pandas",
         )
 
-    # |A| per doc over KEPT shingles (broadcast — dimension-sized).
-    # NO shuffle: _doc_sizes recomputes per-doc distinct-shingle counts
-    # straight from the docs stream (each document is row-contained)
-    size_ref = ray.put(_doc_sizes(_read_docs(sf_dir, ["doc_id", "text"]), hot))
+    # |A| per doc over KEPT shingles (broadcast — dimension-sized),
+    # aggregated from the (hot-filtered) shingle rows already in the
+    # object store — no second corpus read / re-shingle pass
+    from .agg import empty_safe
+
+    sizes_df = shingled.map_batches(
+        lambda t: empty_safe(t.groupby("doc_id", as_index=False).size()),
+        batch_format="pandas",
+    ).to_pandas()
+    size_ref = ray.put(
+        sizes_df.groupby("doc_id")["size"].sum().to_dict() if len(sizes_df) else {}
+    )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # all occurrences of a shingle co-locate → vectorized self-merge;
