@@ -124,8 +124,42 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
 def _validate_broadcast(nodes, edges, dim_dir: str | None = None,
                         turn_props_dir: str | None = None,
                         numeric_edges_dir: str | None = None) -> pa.Table:
+    import threading
+
     label_names, code_of_label = _label_codes()
     edge_labels = list(schema.EDGE_LABELS)  # captured: includes extensions
+
+    # ---- numeric edge stream, materialized CONCURRENTLY with the driver's
+    # dim build below: the edge read/decode needs nothing from the dim, and
+    # the dim argsort/put chain is the validator's largest serial term —
+    # overlapping the two hides one behind the other on both cluster widths
+    if numeric_edges_dir is not None:
+        from ray.data import read_parquet
+
+        edge_input = read_parquet(numeric_edges_dir)
+    else:
+        def to_numeric(t: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"src": t["src"].astype("int64"),
+                 "dst": t["dst"].astype("int64"),
+                 "lcode": pd.Categorical(
+                     t["label"], categories=edge_labels
+                 ).codes.astype("int16")}
+            )
+
+        edge_input = edges.select_columns(["src", "dst", "label"]).map_batches(
+            to_numeric, batch_format="pandas"
+        )
+    _edge_holder: dict = {}
+
+    def _warm_edges():
+        try:
+            _edge_holder["ds"] = edge_input.materialize()
+        except Exception as e:  # surfaced after join
+            _edge_holder["err"] = e
+
+    _warm = threading.Thread(target=_warm_edges, daemon=True)
+    _warm.start()
 
     turn_code = code_of_label[schema.TURN]
 
@@ -405,27 +439,11 @@ def _validate_broadcast(nodes, edges, dim_dir: str | None = None,
                     frames.append(v)
         return pd.concat(frames, ignore_index=True)
 
-    if numeric_edges_dir is not None:
-        # materialize's numeric edge mirror: no label-string decode, no
-        # per-batch categorical — just three numeric columns
-        from ray.data import read_parquet
-
-        edge_input = read_parquet(numeric_edges_dir)
-    else:
-        def to_numeric(t: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"src": t["src"].astype("int64"),
-                 "dst": t["dst"].astype("int64"),
-                 "lcode": pd.Categorical(
-                     t["label"], categories=edge_labels
-                 ).codes.astype("int16")}
-            )
-
-        edge_input = edges.select_columns(["src", "dst", "label"]).map_batches(
-            to_numeric, batch_format="pandas"
-        )
+    _warm.join()
+    if "err" in _edge_holder:
+        raise _edge_holder["err"]
     edge_results = (
-        edge_input.map_batches(edge_scan, batch_format="pandas").to_pandas()
+        _edge_holder["ds"].map_batches(edge_scan, batch_format="pandas").to_pandas()
     )
 
     ref_rows = edge_results["check"] == "_ref_partial"
