@@ -137,10 +137,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_embedding_dups": similarity.embedding_dups,
         "sim_dup_groups": similarity.dup_groups,
         "sim_dbscan": similarity.dbscan_embeddings,
+        "sim_quantize_int8": similarity.quantize_int8,
         # --- multimodal plumbing (decode stub) -----------------------------
         "mm_media_features": multimodal.media_features,  # no SQL oracle
         "mm_frame_features": multimodal.frame_features,  # no SQL oracle
         "mm_media_stats": multimodal.media_stats,
+        "mm_payload_dups": multimodal.payload_dup_groups,
     }
 
 
@@ -1015,6 +1017,11 @@ def _ops_sql() -> dict[str, str]:
         """,
         # media metadata rollup: payload bytes = utf-8 text bytes, so the
         # media plumbing's sizes are exactly octet_length(text)
+        "mm_payload_dups": """
+          SELECT doc_id AS media_id,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS dup_group
+          FROM documents
+        """,
         "mm_media_stats": """
           SELECT 'image' AS kind, CAST(count(*) AS BIGINT) AS n_items,
                  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
@@ -1074,6 +1081,20 @@ def _ops_sql() -> dict[str, str]:
         # clusters = CC of core-core edges (min-id label), borders attach
         # to the MIN adjacent-core cluster, noise = -1 — all tie-breaks
         # are mins, so SQL reproduces the distributed result exactly
+        "sim_quantize_int8": """
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> abs(CAST(floor(x * 127.0 /
+                               greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                                 y -> abs(y))), 1e-30)
+                               + 0.5) AS BIGINT)))) AS BIGINT) AS sum_qabs,
+                 CAST(len(list_filter(CAST(embedding AS DOUBLE[]),
+                        x -> abs(CAST(floor(x * 127.0 /
+                               greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                                 y -> abs(y))), 1e-30)
+                               + 0.5) AS BIGINT)) >= 127)) AS BIGINT) AS n_sat
+          FROM embeddings
+        """,
         "sim_dbscan": f"""
           WITH RECURSIVE db_pairs AS MATERIALIZED (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

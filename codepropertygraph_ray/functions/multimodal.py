@@ -242,6 +242,45 @@ def frame_features(sf_dir: str):
     )
 
 
+def payload_dup_groups(sf_dir: str):
+    """(media_id, dup_group) — EXACT media dedup by content digest: every
+    payload md5-hashes in-task (content hashing is inherently per-blob
+    CPU — the one legitimate per-row loop in this module), identical
+    digests group, and the group labels with its MIN media id. The binary
+    analog of exact text dedup; at 100 TB the digest map is the cheap
+    first stage before any perceptual/embedding dedup."""
+    import hashlib
+
+    from .agg import hash_groupby
+
+    ds = synthetic_media(sf_dir)
+
+    def digest(batch: pa.Table) -> "pd.DataFrame":
+        import pandas as pd
+
+        ids_ = batch.column("media_id").to_numpy(zero_copy_only=False)
+        pays = batch.column("payload").to_pylist()
+        return pd.DataFrame(
+            {"media_id": ids_,
+             "digest": [hashlib.md5(p or b"").hexdigest() for p in pays]}
+        )
+
+    def per_bucket(g):
+        grp = g.groupby("digest")["media_id"].transform("min")
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"media_id": g["media_id"].astype("int64"),
+             "dup_group": grp.astype("int64")}
+        )
+
+    return hash_groupby(
+        ds.map_batches(digest, batch_format="pyarrow", batch_size=256),
+        "digest",
+        per_bucket,
+    )
+
+
 def media_stats(sf_dir: str):
     """(kind, n_items, total_bytes) — metadata rollup over the media table.
     The payload is the documents' utf-8 text, so total_bytes is

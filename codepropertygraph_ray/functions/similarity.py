@@ -356,6 +356,33 @@ def dup_groups(sf_dir: str):
     return out.rename(columns={"node": "vec_id", "component": "group_id"})
 
 
+QUANT_BITS_MAX = 127  # int8 symmetric quantization range
+
+
+def quantize_int8(sf_dir: str):
+    """(vec_id, sum_qabs, n_sat) — symmetric int8 quantization of every
+    embedding (q = floor(x * 127 / max|x| + 0.5), explicit half-up so the
+    SQL oracle reproduces it bit-for-bit): the storage-scale path that
+    quarters vector bytes before ANN indexing. Output is integer-only
+    (sum of |q| + saturation count) so the gate hashes stably.
+
+    Per batch: one matrix op, no Python per row; at 100 TB this is a pure
+    map stage (no shuffle), quantized vectors would be written in-task."""
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+
+    def quant(t: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        mx = np.maximum(np.abs(m).max(axis=1, keepdims=True), 1e-30)
+        q = np.floor(m * 127.0 / mx + 0.5)
+        return pd.DataFrame(
+            {"vec_id": t["vec_id"].to_numpy(np.int64),
+             "sum_qabs": np.abs(q).sum(axis=1).astype(np.int64),
+             "n_sat": (np.abs(q) >= QUANT_BITS_MAX).sum(axis=1).astype(np.int64)}
+        )
+
+    return ds.map_batches(quant, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # density-based clustering (DBSCAN over the cosine-threshold graph)
 # ---------------------------------------------------------------------------
