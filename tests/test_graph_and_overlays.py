@@ -581,3 +581,22 @@ def test_validator_in_degree_and_cfg_checks(ray_session):
         assert {"in_degree_missing", "in_degree_exceeded", "entity_ref_missing",
                 "cfg_cross_conversation", "cfg_nonmonotonic"} <= checks, (
             budget, out.to_dict())
+
+
+def test_validator_side_dim_matches_scan(kg_run):
+    """The materialize-side-written numeric dim/turn-props must produce
+    the SAME validation verdict as the label-scanning fallback."""
+    import os
+
+    from codepropertygraph_ray.stages.validate import validate_graph
+
+    nodes = kg_run.ctx.read("materialize", "nodes")
+    edges = kg_run.ctx.read("materialize", "edges")
+    mat = os.path.dirname(kg_run.ctx.delta_dir("materialize", "nodes"))
+    with_dirs = validate_graph(
+        nodes, edges, n_nodes=nodes.count(),
+        dim_dir=os.path.join(mat, "ndim"),
+        turn_props_dir=os.path.join(mat, "tprops"),
+    ).to_pandas()
+    without = validate_graph(nodes, edges, n_nodes=nodes.count()).to_pandas()
+    assert len(with_dirs) == len(without) == 0
