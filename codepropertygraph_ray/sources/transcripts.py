@@ -181,7 +181,17 @@ def ensure_transcripts(sf_dir: str, force: bool = False) -> str:
     requested (measured: 5.2 s serial read of sf0.4 — a fixed cost in
     every pass that scans transcripts), while a multi-file corpus reads
     task-per-file. This is also the honest 100-TB layout — nobody ships a
-    100 TB table as one file. Atomic via tmp dir + rename."""
+    100 TB table as one file. Atomic via tmp dir + rename.
+
+    USER CORPORA: if ``sf_dir`` itself contains a ``transcripts/``
+    directory of parquet files, that corpus is used verbatim — the path
+    real pipelines take (the synthetic generator only backs the sf
+    testdata dirs)."""
+    user_corpus = os.path.join(sf_dir, "transcripts")
+    if os.path.isdir(user_corpus) and any(
+        f.endswith(".parquet") for f in os.listdir(user_corpus)
+    ):
+        return user_corpus
     path = transcripts_path(sf_dir)
     if os.path.isdir(path) and not force:
         return path
