@@ -76,6 +76,14 @@ def main(argv: list[str] | None = None) -> int:
     ws_rm = ws_sub.add_parser("remove", help="remove a project")
     ws_rm.add_argument("--name", required=True)
 
+    inc_p = sub.add_parser("ingest", help="append NEW conversations to a "
+                           "built KG as one additive overlay pass")
+    inc_p.add_argument("--out", required=True, help="existing KG output dir")
+    inc_p.add_argument("--sf-dir", required=True, help="the base corpus dir")
+    inc_p.add_argument("--inc", required=True,
+                       help="transcripts-schema parquet dir/file to append")
+    inc_p.add_argument("--name", required=True, help="increment name (ledger key)")
+
     sc_p = sub.add_parser("script", help="run a Python script against an open "
                           "project (ScriptManager.scala analog)")
     sc_p.add_argument("--path", required=True, help="workspace directory")
@@ -128,6 +136,14 @@ def main(argv: list[str] | None = None) -> int:
             if result is not None:
                 df = result.to_pandas() if hasattr(result, "to_pandas") else result
                 print(df if not hasattr(df, "head") else df.head(20).to_string())
+        elif args.cmd == "ingest":
+            from .pipelines.incremental import ingest_increment
+            from .pipelines.kg import build_kg
+
+            runner = build_kg(args.sf_dir, args.out)  # attach/resume
+            ingest_increment(runner, args.inc, args.name)
+            led = runner.ledger()
+            print(json.dumps({"applied": led["applied"]}))
         elif args.cmd == "run":
             from .pipelines.kg import build_kg
 
