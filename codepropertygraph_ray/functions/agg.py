@@ -28,6 +28,40 @@ from ..ids import hash_series
 
 DEFAULT_BUCKETS = 64
 
+# one bucket is realized as ONE pandas frame in ONE task — cap its share of
+# the shuffled stream so a bucket fits a worker heap at any corpus size
+TARGET_BUCKET_BYTES = 64 << 20
+# ~bytes/row fallback when only a row count is known (wide string rows)
+EST_ROW_BYTES = 200
+# upper bound: groupby shuffles are sort-based so many groups are fine, but
+# metadata per bucket is not free — 2^17 buckets × 64 MiB ≈ 8 TiB per
+# exchange, beyond which callers should also shard the exchange itself
+MAX_BUCKETS = 1 << 17
+
+
+def auto_buckets(
+    nbytes: int | None = None,
+    rows: int | None = None,
+    floor: int | None = None,
+) -> int:
+    """Data-scaled shuffle width: ``max(4×CPUs, input_size / 64 MiB)``.
+
+    A FIXED bucket count is the classic 100-TB failure mode: every bucket
+    is 1/B of the corpus-scale stream, so at 1000× the data each bucket
+    task OOMs. The base read already scales its block count by bytes
+    (pipelines/kg.py run_base); shuffle widths must scale the same way.
+    The floor (4× cluster CPUs, min DEFAULT_BUCKETS) keeps small inputs
+    wide enough to occupy the cluster; the byte/row term takes over as
+    data grows."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    f = max(DEFAULT_BUCKETS, 4 * ncpu) if floor is None else floor
+    if nbytes is None and rows is not None:
+        nbytes = rows * EST_ROW_BYTES
+    n = f if nbytes is None else max(f, -(-int(nbytes) // TARGET_BUCKET_BYTES))
+    return min(n, MAX_BUCKETS)
+
 
 def empty_as_arrow(df: pd.DataFrame):
     """0-row pandas blocks with string/object columns trip Ray's block-size
@@ -67,14 +101,19 @@ def hash_groupby(
     ds,
     keys: list[str] | str,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ):
     """Apply ``fn`` once per hash bucket; all rows of any key co-locate.
 
     ``fn`` receives the bucket's rows (without the bucket column) and
     returns any DataFrame — typically a vectorized ``groupby(keys)``.
-    """
+
+    ``num_buckets=None`` → :func:`auto_buckets` (CPU-scaled floor). Callers
+    that know their input size should pass ``auto_buckets(nbytes=...)`` so
+    the width grows with the data."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if num_buckets is None:
+        num_buckets = auto_buckets()
 
     def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
         t = t.copy()
@@ -102,7 +141,7 @@ def hash_groupby(
     )
 
 
-def hash_agg(ds, keys: list[str] | str, num_buckets: int = DEFAULT_BUCKETS, **named_aggs):
+def hash_agg(ds, keys: list[str] | str, num_buckets: int | None = None, **named_aggs):
     """``hash_groupby`` with pandas named aggregations:
 
         hash_agg(ds, "key", n_mentions=("n", "sum"))
@@ -118,7 +157,7 @@ def hash_agg(ds, keys: list[str] | str, num_buckets: int = DEFAULT_BUCKETS, **na
 def salted_agg(
     ds,
     keys: list[str] | str,
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
     salt: int = 8,
     **named_aggs,
 ):

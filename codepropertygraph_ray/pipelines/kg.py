@@ -41,11 +41,29 @@ DEFAULT_PARAMS = {
     "num_partitions": 16,  # hash-join/shuffle width
     "cc_distributed": None,  # None = auto by edge count
     "validate_broadcast_max_rows": None,  # None = stages/validate default
+    "num_buckets": None,  # corpus-keyed exchange width; None = byte-scaled
 }
 
 
 def _p(ctx: PassContext, key: str):
     return ctx.params.get(key, DEFAULT_PARAMS[key])
+
+
+def _corpus_buckets(ctx: PassContext) -> int:
+    """Width of the corpus-scale exchanges (triple dedup, conv buckets).
+
+    Byte-scaled like run_base's block count: a FIXED width (the old
+    ``NB = NBC = 64``) makes every bucket 1/64 of the corpus-scale stream
+    — one pandas frame in one task — which OOMs at 100× the data. See
+    functions/agg.auto_buckets. ``params["num_buckets"]`` forces a width
+    (tests exercise two forced widths against the oracles)."""
+    nb = _p(ctx, "num_buckets")
+    if nb:
+        return int(nb)
+    from ..functions.agg import auto_buckets
+    from ..sources.transcripts import corpus_bytes
+
+    return auto_buckets(nbytes=corpus_bytes(ensure_transcripts(ctx.sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -262,7 +280,7 @@ def run_link(ctx: PassContext) -> dict:
         t["obj_canon"] = lookup_keys(table, t["obj_key"], default="self")
         return t
 
-    NB = 64  # spo buckets; conv buckets live at NB..2*NB-1
+    NB = _corpus_buckets(ctx)  # spo buckets; conv buckets live at NB..2*NB-1
 
     def derived_from_delta(c: PassContext):
         import pyarrow as pa
@@ -564,10 +582,9 @@ def run_materialize(ctx: PassContext) -> dict:
 
     turns = read_transcripts(ctx.sf_dir, columns=["conv_id", "turn_idx", "role", "tool"])
 
-    from ..functions.agg import DEFAULT_BUCKETS
     from ..functions.graph import conv_dominators_frame
 
-    NBC = DEFAULT_BUCKETS  # conv buckets 0..NBC-1
+    NBC = _corpus_buckets(ctx)  # conv buckets 0..NBC-1
     NBD = 8  # dim buckets NBC..NBC+NBD-1
     _EXCH_COLS = ["_bucket", "conv_id", "turn_idx", "role", "dim_label", "dim_key"]
 

@@ -470,11 +470,25 @@ def fact_closure(sf_dir: str):
     depth-bounded recursive CTE."""
     from ..traversal import GraphView
 
+    from ..functions.agg import empty_safe
+
     r = kg_runner(sf_dir)
-    tri = r.ctx.read_table("link", "triples", columns=["subj"]).to_pandas()
-    if tri.empty:
+
+    # seed = distributed min(subj): per-batch min + tiny driver reduce —
+    # never materialize the triple column (corpus-scale at 100 TB)
+    def local_min(t: pd.DataFrame) -> pd.DataFrame:
+        if not len(t):
+            return empty_safe(pd.DataFrame({"m": pd.Series(dtype="object")}))
+        return pd.DataFrame({"m": [t["subj"].min()]})
+
+    mins = (
+        r.ctx.read("link", "triples", columns=["subj"])
+        .map_batches(local_min, batch_format="pandas")
+        .to_pandas()
+    )
+    if mins.empty or "m" not in mins.columns:
         return pd.DataFrame({"full_name": pd.Series(dtype="object")})
-    seed = tri["subj"].min()
+    seed = mins["m"].min()
     g = GraphView.from_runner(r)
     closure = g.entities().name_exact(seed).repeat_out("FACT", max_depth=3, emit=True)
     out = closure.to_pandas()[["full_name"]].drop_duplicates().sort_values(
