@@ -54,9 +54,9 @@ def _canon_mention_turns(sf_dir: str):
     consumer's (conv, turn)-keyed bucket). The canon map is vocab-scale →
     broadcast sorted-hash probe (never a shuffle of the mention stream)."""
     r = kg_runner(sf_dir)
-    cm = r.ctx.read_table("entities", "canon_map").to_pandas()
+    cm = r.ctx.read_logical_table("canon_map").to_pandas()
     ref = ray.put(build_lookup(cm["node"], cm["component"]))
-    ds = r.ctx.read("base", "records", columns=["kind", "conv_id", "turn_idx", "key"])
+    ds = r.ctx.read_logical("records", columns=["kind", "conv_id", "turn_idx", "key"])
 
     def to_canon(t: pd.DataFrame) -> pd.DataFrame:
         t = t[t["kind"] == "mention"]
@@ -244,7 +244,7 @@ def pagerank(sf_dir: str):
     vocab-scale) edge list. Values round to ``PR_ROUND`` decimals on both
     sides to absorb summation-order float noise."""
     r = kg_runner(sf_dir)
-    tri = r.ctx.read("link", "triples", columns=["subj", "obj"])
+    tri = r.ctx.read_logical("triples", columns=["subj", "obj"])
     edges = hash_groupby(
         tri.map_batches(lambda t: t.drop_duplicates(), batch_format="pandas"),
         ["subj", "obj"],

@@ -6,9 +6,18 @@ append nodes/edges as numbered DiffGraphs over a frozen base
 loaders apply them in order without rewriting earlier layers. This module
 transposes that to DATA increments: a new batch of conversations lands as
 ONE appended overlay pass (``inc_<name>``) holding its own records /
-entity-key / canon-map / triples / reaching deltas plus its node+edge
-graph tables — `GraphView` already unions overlay dirs in numeric order,
-so the merged graph needs no rewrite of any earlier pass.
+entity-key / canon-map / triples / reaching / dom deltas plus its
+node+edge graph tables (and ndim/tprops validator dims) — every table
+uses the SAME name as the base pass's, so ``PassContext.read_logical``
+and ``GraphView`` union base + every increment without rewriting anything.
+
+**Multi-increment correctness**: the "old" state an increment checks
+against is the LOGICAL union of the base build and every previously
+applied ``inc_*`` overlay (keys, alias pairs, canon map, triples, node
+dims) — increment N sees everything increments 1..N-1 added, so a chain
+``inc1: E alias_of A`` then ``inc2: F alias_of E`` roots F at A without
+touching E, duplicate facts across increments are anti-joined away, and
+re-ingesting a conversation added by ANY earlier increment is rejected.
 
 The additive contract has one invariant worth its name: **the canonical
 id of every EXISTING key is frozen.** A new alias pair may attach new
@@ -20,10 +29,23 @@ triple and REF edge. Such increments raise :class:`IncrementalMergeError`
 listing the offending keys — the caller reruns a full build, exactly like
 the reference regenerates a CPG when the base changes.
 
+**Frozen node properties**: already-written ENTITY node rows are never
+rewritten, so a base entity that gains fact participation via an
+increment keeps its stored ``is_external`` (and the base ``entity_keys``
+rows keep their build-time ``n_mentions``). The increment side-writes an
+``entity_flips`` table naming every existing external entity the new
+facts link; the query surface (``queries.entity_stats``) applies those
+flips and re-aggregates mention counts over the logical union, so query
+results match a full rebuild even though the raw node rows are frozen —
+the DiffGraph "property update packed as data" discipline
+(`DiffGraph.scala:114-146`).
+
 At 100 TB this is the shape that matters: daily increments re-extract and
 re-link ONLY the new conversations (corpus-scale work proportional to the
-increment), while the vocab-scale dimension work (canon check, new-entity
-detection) stays driver-cheap.
+increment) plus ONE pruned 3-column scan of the existing triples for the
+distributed anti-join; the vocab-scale dimension work (canon check,
+new-entity detection) stays driver-cheap, and nothing corpus-scale is
+ever driver-materialized.
 """
 
 from __future__ import annotations
@@ -35,6 +57,8 @@ import pandas as pd
 
 from .. import ids, schema
 from ..functions.agg import empty_safe
+
+_TRIPLE_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx"]
 
 
 class IncrementalMergeError(RuntimeError):
@@ -64,13 +88,20 @@ def ingest_increment(runner, inc_path: str, name: str):
     return runner
 
 
+def _empty_triples_frame() -> pd.DataFrame:
+    return pd.DataFrame({
+        "subj": pd.Series(dtype="object"), "pred": pd.Series(dtype="object"),
+        "obj": pd.Series(dtype="object"), "conv_id": pd.Series(dtype="object"),
+        "turn_idx": pd.Series(dtype="int32"),
+    })
+
+
 def _run_increment(ctx, inc_path: str, name: str) -> dict:
     import pyarrow as pa
-    import pyarrow.dataset as pads
     import pyarrow.parquet as pqt
     import ray
 
-    from ..functions.agg import hash_groupby
+    from ..functions.agg import auto_buckets, hash_groupby
     from ..functions.cc import canonical_map
     from ..functions.joins import build_lookup, get_broadcast, lookup_keys
     from ..stages.extract import extract_batch
@@ -80,31 +111,35 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
     overlay = f"inc_{name}"
 
     # ---- guard 1: increment conversations must be NEW ---------------------
+    # Broadcast the SMALL side (the increment's conv node ids) and probe the
+    # BIG side (the logical ndim union: base + every prior increment's node
+    # dims) distributed — never driver-materialize the graph's id column.
     inc_convs = (
         _read_inc(inc_path, ["conv_id"]).map_batches(
             lambda t: t.drop_duplicates(), batch_format="pandas"
         ).to_pandas()["conv_id"].drop_duplicates()
     )
-    mat_dir = os.path.dirname(ctx.delta_dir("materialize", "nodes"))
-    known_parts = [
-        pads.dataset(os.path.join(mat_dir, "ndim")).to_table(["id"]).column("id").to_numpy()
-    ]
-    # prior increments registered their own node tables — include them so a
-    # re-ingest under a DIFFERENT pass name is still rejected
-    for key, d in ctx._dirs.items():
-        if key.startswith("inc_") and key.endswith("/nodes"):
-            known_parts.append(
-                pads.dataset(d).to_table(["id"]).column("id").to_numpy()
-            )
-    known_sorted = np.sort(np.concatenate(known_parts))
-    conv_node_ids = ids.node_ids(schema.CONVERSATION, inc_convs)
-    pos = np.clip(np.searchsorted(known_sorted, conv_node_ids), 0,
-                  max(len(known_sorted) - 1, 0))
-    dup = known_sorted[pos] == conv_node_ids if len(known_sorted) else np.zeros(0, bool)
-    if dup.any():
+    conv_node_ids = np.sort(ids.node_ids(schema.CONVERSATION, inc_convs))
+    conv_ids_ref = ray.put(conv_node_ids)
+
+    def probe_known(t: pd.DataFrame) -> pd.DataFrame:
+        cn = get_broadcast(conv_ids_ref)
+        arr = t["id"].to_numpy()
+        if not len(cn) or not len(arr):
+            return empty_safe(pd.DataFrame({"id": pd.Series(dtype="int64")}))
+        pos = np.clip(np.searchsorted(cn, arr), 0, len(cn) - 1)
+        return empty_safe(pd.DataFrame({"id": arr[cn[pos] == arr]}))
+
+    dup_ids = (
+        ctx.read_logical("ndim", columns=["id"])
+        .map_batches(probe_known, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(dup_ids):
+        id2conv = dict(zip(ids.node_ids(schema.CONVERSATION, inc_convs), inc_convs))
+        dups = sorted({id2conv[i] for i in dup_ids["id"] if i in id2conv})
         raise IncrementalMergeError(
-            f"increment re-ingests existing conversations: "
-            f"{sorted(inc_convs[dup].head(5))}"
+            f"increment re-ingests existing conversations: {dups[:5]}"
         )
 
     # ---- extraction over the increment only -------------------------------
@@ -119,12 +154,23 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
     ).materialize()
 
     # ---- canon check + extension (vocab-scale driver work) ----------------
-    old_keys_tbl = ctx.read_table("entities", "entity_keys",
-                                  columns=["key", "obj_key", "is_alias"]).to_pandas()
+    # "old" = LOGICAL union: base entities pass + every applied increment's
+    # entity_keys/canon_map (each increment emits its alias pairs + new
+    # canon rows under the same table names).
+    old_keys_tbl = ctx.read_logical_table(
+        "entity_keys", columns=["key", "obj_key", "is_alias"]
+    ).to_pandas()
     old_pairs = old_keys_tbl.loc[old_keys_tbl["is_alias"], ["key", "obj_key"]]
-    old_map = ctx.read_table("entities", "canon_map").to_pandas()
-    old_canon = dict(zip(old_map["node"], old_map["component"]))
-    old_keys = pd.unique(old_keys_tbl["key"])
+    old_map = ctx.read_logical_table("canon_map").to_pandas()
+    old_lookup = build_lookup(old_map["node"], old_map["component"])
+    # frozen-canon universe: every key seen, every alias endpoint, every
+    # canon-map node (an alias TARGET never mentioned still roots a chain)
+    old_keys = pd.Series(pd.unique(pd.concat([
+        old_keys_tbl["key"],
+        old_keys_tbl.loc[old_keys_tbl["is_alias"], "obj_key"],
+        old_map["node"],
+    ], ignore_index=True).dropna()))
+    old_keys = old_keys[old_keys != ""].reset_index(drop=True)
 
     inc_partials = records.map_batches(
         lambda t: empty_safe(
@@ -139,26 +185,19 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
         ignore_index=True,
     ).drop_duplicates()
     new_map = canonical_map(all_pairs)
-    new_canon = dict(zip(new_map["node"], new_map["component"]))
-    changed = [
-        k for k in old_keys
-        if new_canon.get(k, k) != old_canon.get(k, k)
-    ]
-    if changed:
+    new_lookup = build_lookup(new_map["node"], new_map["component"])
+    # vectorized frozen-canon check (no per-key Python loop)
+    old_c = lookup_keys(old_lookup, old_keys, default="self")
+    new_c = lookup_keys(new_lookup, old_keys, default="self")
+    changed_mask = old_c != new_c
+    if changed_mask.any():
+        changed = sorted(old_keys[changed_mask])
         raise IncrementalMergeError(
             "increment would re-canonicalize existing keys (additive "
-            f"contract): {sorted(changed)[:5]}{'...' if len(changed) > 5 else ''}"
+            f"contract): {changed[:5]}{'...' if len(changed) > 5 else ''}"
         )
 
-    canon_lookup_ref = ray.put(build_lookup(new_map["node"], new_map["component"]))
-
-    # ---- link the increment: triples (deduped vs old) + reaching ----------
-    old_triples = ctx.read_table("link", "triples",
-                                 columns=["subj", "pred", "obj"]).to_pandas()
-    old_tkeys = np.sort(ids.hash_series(
-        [old_triples["subj"], old_triples["pred"], old_triples["obj"]]
-    ))
-    old_tkeys_ref = ray.put(old_tkeys)
+    canon_lookup_ref = ray.put(new_lookup)
 
     def link_batch(t: pd.DataFrame) -> pd.DataFrame:
         table = get_broadcast(canon_lookup_ref)
@@ -169,25 +208,67 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
 
     linked = records.map_batches(link_batch, batch_format="pandas").materialize()
 
-    def triples_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        f = g[(g["kind"] == "fact") & (g["pred"] != schema.ALIAS_PRED)]
+    # ---- triples: DISTRIBUTED anti-join vs every existing triple ----------
+    # Tag increment candidates (origin=1) and the pruned 3-column scan of
+    # ALL existing triples (base + prior increments, origin=0), co-locate
+    # by (subj, pred, obj) in one byte-scaled bucket exchange, and keep the
+    # new rows with no old match in-bucket. The old side streams through
+    # the shuffle; nothing corpus-scale reaches the driver.
+    canons_dir = ctx.side_dir("linked_canons")
+
+    def inc_fact_rows(t: pd.DataFrame) -> pd.DataFrame:
+        f = t[(t["kind"] == "fact") & (t["pred"] != schema.ALIAS_PRED)]
         tri = pd.DataFrame(
             {"subj": f["canon"].to_numpy(), "pred": f["pred"].to_numpy(),
              "obj": f["obj_canon"].to_numpy(), "conv_id": f["conv_id"].to_numpy(),
              "turn_idx": f["turn_idx"].astype("int32").to_numpy()}
-        ).sort_values(["subj", "pred", "obj", "conv_id", "turn_idx"])
-        tri = tri.drop_duplicates(["subj", "pred", "obj"], keep="first")
-        if not len(tri):
-            return empty_safe(tri)
-        keys = ids.hash_series([tri["subj"], tri["pred"], tri["obj"]])
-        old = get_broadcast(old_tkeys_ref)
-        if len(old):
-            p = np.clip(np.searchsorted(old, keys), 0, len(old) - 1)
-            tri = tri[old[p] != keys]  # anti-join against already-known triples
+        ).sort_values(_TRIPLE_COLS).drop_duplicates(
+            ["subj", "pred", "obj"], keep="first"  # per-batch combiner
+        )
+        tri["origin"] = np.int8(1)
         return empty_safe(tri.reset_index(drop=True))
 
-    triples_inc = hash_groupby(linked, ["canon", "pred", "obj_canon"],
-                               triples_of_bucket).materialize()
+    def old_triple_rows(t: pd.DataFrame) -> pd.DataFrame:
+        out = t[["subj", "pred", "obj"]].copy()
+        out["conv_id"] = ""
+        out["turn_idx"] = np.int32(-1)
+        out["origin"] = np.int8(0)
+        return empty_safe(out)
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.loc[g["origin"] == 1, _TRIPLE_COLS]
+        if not len(new):
+            return empty_safe(_empty_triples_frame())
+        old = g.loc[g["origin"] == 0, ["subj", "pred", "obj"]].drop_duplicates()
+        new = new.sort_values(_TRIPLE_COLS).drop_duplicates(
+            ["subj", "pred", "obj"], keep="first"
+        )
+        if len(old):
+            m = new.merge(old, on=["subj", "pred", "obj"], how="left", indicator=True)
+            new = m.loc[m["_merge"] == "left_only", _TRIPLE_COLS]
+        new = new.reset_index(drop=True)
+        if len(new):
+            import uuid as _uuid
+
+            canons = pd.unique(pd.concat([new["subj"], new["obj"]],
+                                         ignore_index=True))
+            pqt.write_table(
+                pa.table({"canon": pa.array(canons, type=pa.string())}),
+                os.path.join(canons_dir, f"part-{_uuid.uuid4().hex}.parquet"),
+                compression="zstd",
+            )
+        return empty_safe(new)
+
+    old_triples_ds = ctx.read_logical(
+        "triples", columns=["subj", "pred", "obj"]
+    ).map_batches(old_triple_rows, batch_format="pandas")
+    tagged = linked.map_batches(inc_fact_rows, batch_format="pandas").union(
+        old_triples_ds
+    )
+    nb = auto_buckets(nbytes=ctx.logical_bytes("triples"))
+    triples_inc = hash_groupby(
+        tagged, ["subj", "pred", "obj"], anti_bucket, num_buckets=nb
+    ).materialize()
 
     def reaching_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
         m = g.loc[g["kind"] == "mention", ["conv_id", "turn_idx", "key"]]
@@ -195,8 +276,10 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
 
     reaching_inc = hash_groupby(linked, "conv_id", reaching_of_bucket)
 
-    # ---- graph emission for the increment (additive overlay tables) -------
+    # ---- graph emission (additive overlay tables + validator dims) --------
     ndir, edir = ctx.side_dir("nodes"), ctx.side_dir("edges")
+    dimdir, tpdir = ctx.side_dir("ndim"), ctx.side_dir("tprops")
+    dim_labels = list(schema.NODE_LABELS)
 
     def write_graph(*parts) -> pa.Table:
         import uuid as _uuid
@@ -218,17 +301,56 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
                 t, os.path.join(ndir if kind == "nodes" else edir, fname),
                 compression="zstd",
             )
+            if kind == "nodes":
+                # validator dims for the increment's nodes, same layout as
+                # the materialize pass — post-ingest validation unions them
+                lab = t.column("label").to_pandas()
+                code = pd.Categorical(lab, categories=dim_labels).codes.astype("int16")
+                extc = t.column("is_external").to_pandas()
+                pqt.write_table(
+                    pa.table({
+                        "id": t.column("id"),
+                        "code": pa.array(code, pa.int16()),
+                        "ext": pa.array(
+                            (extc.notna() & extc.astype(object).eq(True)).to_numpy()
+                        ),
+                    }),
+                    os.path.join(dimdir, fname), compression="zstd",
+                )
+                tm = (lab == schema.TURN).to_numpy()
+                if tm.any():
+                    tt = t.select(["id", "conv_id", "turn_idx"]).to_pandas()[tm]
+                    pqt.write_table(
+                        pa.table({
+                            "id": pa.array(tt["id"].to_numpy(np.int64)),
+                            "conv": pa.array(ids.hash_series([tt["conv_id"].fillna("")])),
+                            "tidx": pa.array(
+                                tt["turn_idx"].fillna(-1).astype("int32").to_numpy()
+                            ),
+                        }),
+                        os.path.join(tpdir, fname), compression="zstd",
+                    )
             names.append(kind)
             rows.append(t.num_rows)
         return pa.table({"table": names, "rows": rows},
                         schema=pa.schema([("table", pa.string()),
                                           ("rows", pa.int64())]))
 
+    from ..functions.graph import conv_dominators_frame
     from .kg import _turn_key
 
     inc_full = _read_inc(inc_path, ["conv_id", "turn_idx", "role", "tool"])
+    dom_dir = ctx.side_dir("dom")
+    dom_schema = pa.schema(
+        [("conv_id", pa.string()), ("kind", pa.string()),
+         ("a", pa.int32()), ("b", pa.int32())]
+    )
+    _dom_label = {"dom": schema.DOMINATE, "pdom": schema.POST_DOMINATE,
+                  "cdg": schema.CDG}
 
     def conv_graph_of_bucket(g: pd.DataFrame) -> pa.Table:
+        import uuid as _uuid
+
         g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
         n = len(g)
         turn_ids = ids.composite_ids("TURN", g["conv_id"], g["turn_idx"])
@@ -242,7 +364,8 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
         nodes.append(_nodes_frame(
             len(convs), id=ids.node_ids(schema.CONVERSATION, convs),
             label=schema.CONVERSATION, name=convs.to_numpy(),
-            full_name=convs.to_numpy(), overlay=overlay,
+            full_name=convs.to_numpy(), conv_id=convs.to_numpy(),
+            overlay=overlay,
         ))
         conv_node = ids.node_ids(schema.CONVERSATION, g["conv_id"])
         edges = [
@@ -252,6 +375,25 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
                          dst=ids.node_ids(schema.SPEAKER, g["role"]),
                          label=schema.SPOKEN_BY, overlay=overlay),
         ]
+        # dominator / post-dominator / CDG overlay for the NEW conversations
+        # (CfgDominatorPass/CdgPass analog — the merged graph must carry the
+        # same per-conversation overlays a full rebuild would)
+        dom = conv_dominators_frame(g[["conv_id", "turn_idx", "role"]])
+        pqt.write_table(
+            pa.Table.from_pandas(
+                dom, schema=dom_schema, preserve_index=False
+            ).replace_schema_metadata(None),
+            os.path.join(dom_dir, f"part-{_uuid.uuid4().hex}.parquet"),
+            compression="zstd",
+        )
+        if len(dom):
+            edges.append(_edges_frame(
+                len(dom),
+                src=ids.composite_ids("TURN", dom["conv_id"], dom["a"]),
+                dst=ids.composite_ids("TURN", dom["conv_id"], dom["b"]),
+                label=dom["kind"].map(_dom_label).to_numpy(),
+                overlay="dominators",
+            ))
         nxt = g["conv_id"].eq(g["conv_id"].shift(-1)).to_numpy()
         if nxt.any():
             edges.append(_edges_frame(
@@ -296,9 +438,9 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
     mention_graph_ds = linked.map_batches(mention_graph, batch_format="pandas")
 
     # ---- NEW entity nodes + dim nodes (vocab-scale, driver) ---------------
-    # old canon universe = canon of every old key; old dim vocab via a
-    # pruned scan of the existing nodes (dimension-sized results)
-    old_canons = {old_canon.get(k, k) for k in old_keys}
+    # old canon universe = canon of every old key (union incl. prior incs)
+    old_canons = set(lookup_keys(old_lookup, old_keys, default="self"))
+    old_canons |= set(old_keys)
     inc_mentions = linked.map_batches(
         lambda t: empty_safe(
             t.loc[t["kind"] == "mention", ["canon"]].drop_duplicates()
@@ -314,13 +456,14 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
     ).to_pandas()
     inc_canons = pd.unique(pd.concat(
         [inc_mentions["canon"], inc_fact_canons["canon"],
-         pd.Series(list(new_canon.values()), dtype="object")],
+         pd.Series(new_map["component"].unique(), dtype="object")],
         ignore_index=True,
     ))
     new_entity_canons = sorted(set(inc_canons) - old_canons)
-    linked_new = (
-        set(inc_fact_canons["canon"]) | set(new_canon) | set(new_canon.values())
-    )
+    # base-build is_external semantics: linked ⟺ triple endpoint ∪ canon-map
+    # component root (new canons can't appear in OLD triples, so increment
+    # linkage + new roots is exactly the full-rebuild answer for them)
+    linked_new = set(inc_fact_canons["canon"]) | set(new_map["component"])
     ent_nodes = _nodes_frame(
         len(new_entity_canons),
         id=ids.node_ids(schema.ENTITY, new_entity_canons),
@@ -331,15 +474,38 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
                              dtype=bool),
         overlay=overlay,
     )
+    # EXISTING external entities the increment's facts now link: their node
+    # rows are frozen (additive overlays never rewrite), so record the flip
+    # as data for the query surface (entity_stats applies it).
+    linked_new_ref = ray.put(np.sort(np.asarray(sorted(linked_new), dtype=object)))
+
+    def flipped(t: pd.DataFrame) -> pd.DataFrame:
+        e = t[(t["label"] == schema.ENTITY)
+              & t["is_external"].astype(object).eq(True)]
+        if not len(e):
+            return empty_safe(pd.DataFrame({"canon": pd.Series(dtype="object")}))
+        ln = get_broadcast(linked_new_ref)
+        if not len(ln):
+            return empty_safe(pd.DataFrame({"canon": pd.Series(dtype="object")}))
+        arr = e["full_name"].to_numpy(object)
+        pos = np.clip(np.searchsorted(ln, arr), 0, len(ln) - 1)
+        return empty_safe(pd.DataFrame({"canon": arr[ln[pos] == arr]}))
+
+    flips = (
+        ctx.read_logical("nodes", columns=["label", "full_name", "is_external"])
+        .map_batches(flipped, batch_format="pandas")
+        .to_pandas().drop_duplicates()
+    )
+    # old dim vocab via a pruned logical scan (base + prior increments)
     old_dims = (
-        ctx.read("materialize", "nodes", columns=["label", "name"])
+        ctx.read_logical("nodes", columns=["label", "name"])
         .map_batches(
             lambda t: empty_safe(
                 t[t["label"].isin([schema.SPEAKER, schema.TOOL])].drop_duplicates()
             ),
             batch_format="pandas",
         )
-        .to_pandas()
+        .to_pandas().drop_duplicates()
     )
     have_dims = set(zip(old_dims["label"], old_dims["name"]))
     inc_dims = (
@@ -354,9 +520,14 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
         )
         .to_pandas().drop_duplicates()
     )
-    new_dims = inc_dims[~inc_dims.apply(
-        lambda r: (r["label"], r["name"]) in have_dims, axis=1
-    )] if len(inc_dims) else inc_dims
+    if len(inc_dims):
+        mask = [
+            (lbl, nm) not in have_dims
+            for lbl, nm in zip(inc_dims["label"], inc_dims["name"])
+        ]
+        new_dims = inc_dims[np.asarray(mask, dtype=bool)]
+    else:
+        new_dims = inc_dims
     dim_nodes = _nodes_frame(
         len(new_dims),
         id=np.concatenate([
@@ -401,7 +572,10 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
     )
     summaries.count()
 
-    # new-key entity dimension rows + new canon-map rows, as pass deltas
+    # ---- pass deltas: SAME table names as the base passes ------------------
+    # entity_keys: mention-count PARTIALS for every inc key (union readers
+    # re-aggregate, so existing keys' totals stay correct) + the increment's
+    # new alias-pair rows, in the base 4-column schema
     inc_keys = records.map_batches(
         lambda t: empty_safe(
             t.loc[t["kind"] == "mention"]
@@ -412,17 +586,54 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
     ).to_pandas()
     if len(inc_keys):
         inc_keys = inc_keys.groupby("key", as_index=False)["n_mentions"].sum()
-    new_key_rows = inc_keys[~inc_keys["key"].isin(set(old_keys))]
-    cm_new = new_map[~new_map["node"].isin(set(old_canon))]
+    else:
+        inc_keys = pd.DataFrame({"key": pd.Series(dtype="object"),
+                                 "n_mentions": pd.Series(dtype="int64")})
+    ment_rows = pd.DataFrame({
+        "key": inc_keys["key"].to_numpy(object),
+        "n_mentions": inc_keys["n_mentions"].to_numpy(np.int64),
+        "obj_key": np.full(len(inc_keys), "", dtype=object),
+        "is_alias": np.zeros(len(inc_keys), dtype=bool),
+    })
+    old_pair_set = set(zip(old_pairs["key"], old_pairs["obj_key"]))
+    new_pairs = inc_partials[[
+        (a, b) not in old_pair_set
+        for a, b in zip(inc_partials["key"], inc_partials["obj_key"])
+    ]] if len(inc_partials) else inc_partials
+    alias_rows = pd.DataFrame({
+        "key": new_pairs["key"].to_numpy(object),
+        "n_mentions": np.zeros(len(new_pairs), np.int64),
+        "obj_key": new_pairs["obj_key"].to_numpy(object),
+        "is_alias": np.ones(len(new_pairs), dtype=bool),
+    })
+    ek_delta = pd.concat([ment_rows, alias_rows], ignore_index=True)
+    cm_new = new_map[~new_map["node"].isin(set(old_map["node"]))]
+
+    _EK_SCHEMA = pa.schema([
+        ("key", pa.string()), ("n_mentions", pa.int64()),
+        ("obj_key", pa.string()), ("is_alias", pa.bool_()),
+    ])
+    _CM_SCHEMA = pa.schema([("node", pa.string()), ("component", pa.string())])
+    _FLIP_SCHEMA = pa.schema([("canon", pa.string())])
+
+    def _typed(df: pd.DataFrame, sch: pa.Schema) -> pa.Table:
+        # an all-empty Dataset.to_pandas() can drop columns — rebuild them
+        for f in sch:
+            if f.name not in df.columns:
+                df = df.assign(**{f.name: pd.Series(dtype="object")})
+        obj_cols = {f.name: "object" for f in sch if f.type == pa.string()}
+        return pa.Table.from_pandas(
+            df[[f.name for f in sch]].reset_index(drop=True).astype(obj_cols),
+            schema=sch, preserve_index=False,
+        ).replace_schema_metadata(None)
 
     return {
         "records": records,
         "triples": triples_inc,
         "reaching": reaching_cached,
-        "entity_keys_new": pa.Table.from_pandas(
-            new_key_rows.reset_index(drop=True), preserve_index=False
-        ).replace_schema_metadata(None),
-        "canon_map_new": pa.Table.from_pandas(
-            cm_new.reset_index(drop=True), preserve_index=False
-        ).replace_schema_metadata(None),
+        "entity_keys": _typed(ek_delta, _EK_SCHEMA),
+        "canon_map": _typed(
+            cm_new.astype({"node": "object", "component": "object"}), _CM_SCHEMA
+        ),
+        "entity_flips": _typed(flips, _FLIP_SCHEMA),
     }

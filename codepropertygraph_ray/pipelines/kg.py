@@ -905,13 +905,19 @@ def run_validate(ctx: PassContext) -> dict:
 
     from ..stages import validate as v
 
-    nodes = ctx.read("materialize", "nodes")
-    edges = ctx.read("materialize", "edges")
+    # logical (base ∪ inc_* overlay) reads: at build time this is just the
+    # materialize delta, but a re-validation run AFTER incremental ingest
+    # must see the increments' nodes/edges AND their ndim/tprops dims —
+    # otherwise every increment edge would read as dangling
+    nodes = ctx.read_logical("nodes")
+    edges = ctx.read_logical("edges")
     budget = _p(ctx, "validate_broadcast_max_rows") or v.BROADCAST_MAX_ROWS
     # path-selection scalar from parquet METADATA (row-group counts), not a
     # Dataset.count() — counting the union-schema delta decoded every file
     # (~30 s at 7M nodes)
-    n_nodes = pads.dataset(ctx.delta_dir("materialize", "nodes")).count_rows()
+    n_nodes = sum(
+        pads.dataset(d).count_rows() for d in ctx.overlay_dirs("nodes")
+    )
     import json as _json
 
     mat_dir = os.path.dirname(ctx.delta_dir("materialize", "nodes"))
@@ -921,8 +927,16 @@ def run_validate(ctx: PassContext) -> dict:
         with open(labels_file) as fh:
             vocab = _json.load(fh)
         if isinstance(vocab, dict) and vocab.get("nodes") == list(schema.NODE_LABELS):
-            dim_dir = os.path.join(mat_dir, "ndim")
-            tp_dir = os.path.join(mat_dir, "tprops")
+            dim_dir = [
+                d for d in (os.path.join(os.path.dirname(nd), "ndim")
+                            for nd in ctx.overlay_dirs("nodes"))
+                if os.path.isdir(d)
+            ]
+            tp_dir = [
+                d for d in (os.path.join(os.path.dirname(nd), "tprops")
+                            for nd in ctx.overlay_dirs("nodes"))
+                if os.path.isdir(d)
+            ]
     return {
         "violations": v.validate_graph(
             nodes, edges,

@@ -49,6 +49,42 @@ def blocks_per_cpu() -> int:
     return max(1, int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "1")))
 
 
+# logical table name → (producing CORE pass, table). Increments (and any
+# other extra overlay pass) expose the SAME table name under their own
+# numbered inc_* dir; union-reading the logical name sees base + overlays —
+# the GraphView nodes/edges union generalized to every pipeline table, per
+# the overlay-loader semantics of `ProtoCpgLoader.scala:57-75`.
+LOGICAL_TABLES = {
+    "records": ("base", "records"),
+    "entity_keys": ("entities", "entity_keys"),
+    "canon_map": ("entities", "canon_map"),
+    "triples": ("link", "triples"),
+    "reaching": ("link", "reaching"),
+    "linked_canons": ("link", "linked_canons"),
+    "dom": ("materialize", "dom"),
+    "nodes": ("materialize", "nodes"),
+    "edges": ("materialize", "edges"),
+    "ndim": ("materialize", "ndim"),
+    "tprops": ("materialize", "tprops"),
+}
+
+
+def _expand_parquet(dirs: list[str]) -> list[str]:
+    files = []
+    for d in dirs:
+        if os.path.isdir(d):
+            files.extend(
+                sorted(
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+            )
+        elif os.path.isfile(d):
+            files.append(d)
+    return files
+
+
 @dataclass
 class PassContext:
     """Handed to each pass; passes exchange data only through overlay dirs
@@ -59,6 +95,53 @@ class PassContext:
     params: dict = field(default_factory=dict)
     _dirs: dict[str, str] = field(default_factory=dict)  # "pass/table" → dir
     _side_root: str | None = None  # the RUNNING pass's numbered dir
+
+    # -- logical (base ∪ overlays) reads -------------------------------------
+    def overlay_dirs(self, logical: str) -> list[str]:
+        """All delta dirs exposing ``logical``: the core pass's delta first,
+        then every extra overlay's same-named table in numbered order."""
+        base_pass, table = LOGICAL_TABLES[logical]
+        base_key = f"{base_pass}/{table}"
+        dirs = [self.delta_dir(base_pass, table)]
+        dirs += [
+            d
+            for k, d in sorted(self._dirs.items(), key=lambda kv: kv[1])
+            if k != base_key and k.split("/", 1)[1] == table
+        ]
+        return dirs
+
+    def logical_files(self, logical: str) -> list[str]:
+        return _expand_parquet(self.overlay_dirs(logical))
+
+    def logical_bytes(self, logical: str) -> int:
+        return sum(os.path.getsize(f) for f in self.logical_files(logical))
+
+    def read_logical(self, logical: str, columns: list[str] | None = None):
+        """Union Dataset over base + every overlay exposing ``logical``."""
+        import ray
+        import ray.data
+
+        files = self.logical_files(logical)
+        if not files:  # all deltas empty → typed read of the base dir
+            base_pass, table = LOGICAL_TABLES[logical]
+            return self.read(base_pass, table, columns=columns)
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        return ray.data.read_parquet(
+            files, columns=columns,
+            override_num_blocks=max(len(files), ncpu * blocks_per_cpu()),
+        )
+
+    def read_logical_table(self, logical: str, columns=None):
+        """Driver-side Arrow union — only for vocab-scale logical tables."""
+        import pyarrow as pa
+        import pyarrow.parquet as pqt
+
+        files = self.logical_files(logical)
+        if not files:
+            base_pass, table = LOGICAL_TABLES[logical]
+            return self.read_table(base_pass, table, columns=columns)
+        tbls = [pqt.read_table(f, columns=columns) for f in files]
+        return tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls, promote_options="default")
 
     def side_dir(self, table: str) -> str:
         """Directory for a side-written table of the currently running pass

@@ -30,8 +30,9 @@ def kg_runner(sf_dir: str):
 def mentions(sf_dir: str):
     """(conv_id, turn_idx, ordinal, surface, key) — extraction surface."""
     r = kg_runner(sf_dir)
-    ds = r.ctx.read("base", "records",
-                    columns=["kind", "conv_id", "turn_idx", "ordinal", "surface", "key"])
+    ds = r.ctx.read_logical(
+        "records",
+        columns=["kind", "conv_id", "turn_idx", "ordinal", "surface", "key"])
     return ds.map_batches(
         lambda t: t[t["kind"] == "mention"].drop(columns=["kind"]),
         batch_format="pandas",
@@ -41,8 +42,9 @@ def mentions(sf_dir: str):
 def facts(sf_dir: str):
     """(conv_id, turn_idx, ordinal, subj_key, pred, obj_key) — raw facts."""
     r = kg_runner(sf_dir)
-    ds = r.ctx.read("base", "records",
-                    columns=["kind", "conv_id", "turn_idx", "ordinal", "key", "pred", "obj_key"])
+    ds = r.ctx.read_logical(
+        "records",
+        columns=["kind", "conv_id", "turn_idx", "ordinal", "key", "pred", "obj_key"])
     return ds.map_batches(
         lambda t: t[t["kind"] == "fact"]
         .drop(columns=["kind"])
@@ -53,25 +55,31 @@ def facts(sf_dir: str):
 
 def entity_keys(sf_dir: str):
     """(key, n_mentions) — the distinct-mention-key dimension (the entities
-    delta also carries the alias-pair rows of the fused pass; filter them)."""
-    ds = kg_runner(sf_dir).ctx.read(
-        "entities", "entity_keys", columns=["key", "n_mentions", "is_alias"]
+    delta also carries the alias-pair rows of the fused pass; filter them).
+    Reads the LOGICAL union (base + increments) and re-aggregates: an
+    increment emits mention-count PARTIALS for keys it touches, so the sum
+    reproduces the full-rebuild totals."""
+    from ..functions.agg import hash_agg
+
+    ds = kg_runner(sf_dir).ctx.read_logical(
+        "entity_keys", columns=["key", "n_mentions", "is_alias"]
     )
-    return ds.map_batches(
+    ments = ds.map_batches(
         lambda t: t.loc[~t["is_alias"], ["key", "n_mentions"]],
         batch_format="pandas",
     )
+    return hash_agg(ments, "key", n_mentions=("n_mentions", "sum"))
 
 
 def canonical_map(sf_dir: str):
     """(key, canon) for EVERY distinct mention key (un-aliased → itself)."""
     r = kg_runner(sf_dir)
     ek = (
-        r.ctx.read_table("entities", "entity_keys", columns=["key", "is_alias"])
+        r.ctx.read_logical_table("entity_keys", columns=["key", "is_alias"])
         .to_pandas()
     )
-    ek = ek.loc[~ek["is_alias"], ["key"]]
-    cm = r.ctx.read_table("entities", "canon_map").to_pandas()
+    ek = ek.loc[~ek["is_alias"], ["key"]].drop_duplicates()
+    cm = r.ctx.read_logical_table("canon_map").to_pandas()
     out = ek.merge(cm, left_on="key", right_on="node", how="left")
     out["canon"] = out["component"].fillna(out["key"])
     return out[["key", "canon"]].sort_values("key", ignore_index=True)
@@ -92,10 +100,10 @@ def canonical_map_distributed(sf_dir: str):
 
     r = kg_runner(sf_dir)
     ek = (
-        r.ctx.read_table("entities", "entity_keys", columns=["key", "is_alias"])
+        r.ctx.read_logical_table("entity_keys", columns=["key", "is_alias"])
         .to_pandas()
     )
-    rec = r.ctx.read("base", "records", columns=["kind", "pred", "key", "obj_key"])
+    rec = r.ctx.read_logical("records", columns=["kind", "pred", "key", "obj_key"])
     from ..functions.agg import empty_safe
 
     alias_pairs = rec.map_batches(
@@ -108,7 +116,7 @@ def canonical_map_distributed(sf_dir: str):
         batch_format="pandas",
     )
     cm = cc_canonical_map(alias_pairs, distributed=True)
-    keys = ek.loc[~ek["is_alias"], ["key"]]
+    keys = ek.loc[~ek["is_alias"], ["key"]].drop_duplicates()
     out = keys.merge(cm, left_on="key", right_on="node", how="left")
     out["canon"] = out["component"].fillna(out["key"])
     return out[["key", "canon"]].sort_values("key", ignore_index=True)
@@ -118,7 +126,7 @@ def triples(sf_dir: str):
     """(subj, pred, obj, conv_id, turn_idx) — canonical triples with
     earliest-stating-turn lineage. THE flagship output."""
     r = kg_runner(sf_dir)
-    ds = r.ctx.read("link", "triples")
+    ds = r.ctx.read_logical("triples")
     return ds.map_batches(
         lambda t: t.assign(turn_idx=t["turn_idx"].astype("int32"))[
             ["subj", "pred", "obj", "conv_id", "turn_idx"]
@@ -128,9 +136,18 @@ def triples(sf_dir: str):
 
 
 def entity_stats(sf_dir: str):
-    """(canon, n_mentions, is_external) per canonical entity."""
+    """(canon, n_mentions, is_external) per canonical entity.
+
+    Post-ingest correctness: node rows are additive overlays and never
+    rewritten, so an existing external entity that gained fact linkage via
+    an increment keeps a stale ``is_external`` on its NODE row; each
+    increment records those canons in an ``entity_flips`` side table and
+    this query applies them (the DiffGraph property-update-as-data
+    discipline — see pipelines/incremental.py)."""
     r = kg_runner(sf_dir)
-    nodes = r.ctx.read("materialize", "nodes", columns=["label", "full_name", "is_external"])
+    nodes = r.ctx.read_logical(
+        "nodes", columns=["label", "full_name", "is_external"]
+    )
     ents = nodes.map_batches(
         lambda t: t[t["label"] == "ENTITY"][["full_name", "is_external"]].rename(
             columns={"full_name": "canon"}
@@ -138,8 +155,8 @@ def entity_stats(sf_dir: str):
         batch_format="pandas",
     ).to_pandas()
     cm = canonical_map(sf_dir)
-    ek = r.ctx.read_table(
-        "entities", "entity_keys", columns=["key", "n_mentions", "is_alias"]
+    ek = r.ctx.read_logical_table(
+        "entity_keys", columns=["key", "n_mentions", "is_alias"]
     ).to_pandas()
     ek = ek[~ek["is_alias"]]
     counts = (
@@ -153,7 +170,25 @@ def entity_stats(sf_dir: str):
     # labels) → pandas object dtype after the read; re-assert plain bool
     # so the dtype survives to the oracle compare
     out["is_external"] = out["is_external"].astype(bool)
+    flips = _entity_flips(r)
+    if flips:
+        out.loc[out["canon"].isin(flips), "is_external"] = False
     return out.sort_values("canon", ignore_index=True)
+
+
+def _entity_flips(r) -> set:
+    """Union of every increment's entity_flips table (empty pre-ingest)."""
+    import pyarrow.dataset as pads
+
+    canons: set = set()
+    for key, d in sorted(r.ctx._dirs.items()):
+        if key.split("/", 1)[1] == "entity_flips":
+            import os as _os
+
+            files = [f for f in _os.listdir(d) if f.endswith(".parquet")]
+            if files:
+                canons |= set(pads.dataset(d).to_table().column("canon").to_pylist())
+    return canons
 
 
 def conv_stats(sf_dir: str):
@@ -165,7 +200,7 @@ def conv_stats(sf_dir: str):
     import ray.data
 
     r = kg_runner(sf_dir)
-    rec = r.ctx.read("base", "records", columns=["kind", "conv_id"])
+    rec = r.ctx.read_logical("records", columns=["kind", "conv_id"])
 
     def partial(t: pd.DataFrame) -> pd.DataFrame:
         g = (
@@ -185,9 +220,11 @@ def conv_stats(sf_dir: str):
         n_facts=("n_facts", "sum"),
     ).to_pandas()
 
-    from ..sources.transcripts import read_transcripts
-
-    turns = read_transcripts(sf_dir, columns=["conv_id"])
+    # n_turns from the graph's TURN nodes (logical union) — post-ingest the
+    # sf transcripts don't include increment conversations, the graph does
+    turns = r.ctx.read_logical("nodes", columns=["label", "conv_id"]).map_batches(
+        lambda t: t.loc[t["label"] == "TURN", ["conv_id"]], batch_format="pandas"
+    )
     tc = hash_agg(
         turns.map_batches(
             lambda t: t.groupby("conv_id", as_index=False).agg(n_turns=("conv_id", "size")),
@@ -203,25 +240,40 @@ def conv_stats(sf_dir: str):
 
 
 def tool_usage(sf_dir: str):
-    """(tool, n_turns) — dimension rollup over tool turns."""
-    import ray.data
-    from ray.data.aggregate import Sum
+    """(tool, n_turns) — dimension rollup over tool turns, computed from
+    the GRAPH (one USES_TOOL edge per tool turn, grouped by the TOOL
+    dimension node): post-ingest the union graph carries increment turns
+    the sf transcripts don't. TOOL nodes are a vocab-scale dimension —
+    broadcast the id→name map and count edges distributed."""
+    import ray
 
-    from ..sources.transcripts import ensure_transcripts
+    from ..functions.agg import empty_safe, hash_agg
+    from ..functions.joins import get_broadcast
 
-    from ..sources.transcripts import read_transcripts
-
-    ds = read_transcripts(sf_dir, columns=["role", "tool"])
+    r = kg_runner(sf_dir)
+    tools = (
+        r.ctx.read_logical("nodes", columns=["label", "id", "name"])
+        .map_batches(
+            lambda t: empty_safe(t.loc[t["label"] == "TOOL", ["id", "name"]]),
+            batch_format="pandas",
+        )
+        .to_pandas().drop_duplicates("id")
+    )
+    name_ref = ray.put(dict(zip(tools["id"], tools["name"])))
 
     def partial(t: pd.DataFrame) -> pd.DataFrame:
-        tt = t[(t["role"] == "tool") & t["tool"].fillna("").ne("")]
-        vc = tt["tool"].value_counts()
-        return pd.DataFrame({"tool": vc.index, "n_turns": vc.to_numpy(np.int64)})
+        e = t[t["label"] == "USES_TOOL"]
+        vc = e["dst"].value_counts()
+        names = pd.Series(vc.index).map(get_broadcast(name_ref))
+        return empty_safe(pd.DataFrame(
+            {"tool": names.to_numpy(object), "n_turns": vc.to_numpy(np.int64)}
+        ))
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("tool")
-        .aggregate(Sum("n_turns", alias_name="n_turns"))
+    edges = r.ctx.read_logical("edges", columns=["label", "dst"])
+    return hash_agg(
+        edges.map_batches(partial, batch_format="pandas"),
+        "tool",
+        n_turns=("n_turns", "sum"),
     )
 
 
@@ -234,16 +286,17 @@ def external_entities(sf_dir: str):
 
 def next_turn_pairs(sf_dir: str):
     """(conv_id, turn_idx, next_turn_idx) — the NEXT_TURN (CFG-successor)
-    relation, built per conversation group."""
-    import ray.data
-
-    from ..sources.transcripts import ensure_transcripts
-
+    relation, built per conversation group over the graph's TURN nodes
+    (logical union, so increment conversations are included)."""
     from ..functions.agg import hash_groupby
 
-    from ..sources.transcripts import read_transcripts
-
-    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx"])
+    r = kg_runner(sf_dir)
+    ds = r.ctx.read_logical(
+        "nodes", columns=["label", "conv_id", "turn_idx"]
+    ).map_batches(
+        lambda t: t.loc[t["label"] == "TURN", ["conv_id", "turn_idx"]],
+        batch_format="pandas",
+    )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         # bucket of whole conversations → vectorized shift across them
@@ -265,7 +318,7 @@ def node_label_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
     r = kg_runner(sf_dir)
-    nodes = r.ctx.read("materialize", "nodes", columns=["label"])
+    nodes = r.ctx.read_logical("nodes", columns=["label"])
 
     def partial(t: pd.DataFrame) -> pd.DataFrame:
         vc = t["label"].value_counts()
@@ -281,7 +334,7 @@ def node_label_counts(sf_dir: str):
 def reaching_mentions_pairs(sf_dir: str):
     """(conv_id, src_turn_idx, dst_turn_idx, variable) — the REACHING_DEF
     overlay rows (stages/reaching.py, side-written by the fused link pass)."""
-    return kg_runner(sf_dir).ctx.read("link", "reaching")
+    return kg_runner(sf_dir).ctx.read_logical("reaching")
 
 
 def dominators(sf_dir: str):
@@ -292,7 +345,7 @@ def dominators(sf_dir: str):
     side runs Cooper-Harvey-Kennedy per conversation — agreement IS the
     algorithm check."""
     r = kg_runner(sf_dir)
-    ds = r.ctx.read("materialize", "dom")
+    ds = r.ctx.read_logical("dom")
     return ds.map_batches(
         lambda t: t.loc[t["kind"] == "dom", ["conv_id", "b", "a"]].rename(
             columns={"b": "turn_idx", "a": "idom_turn_idx"}
@@ -307,7 +360,7 @@ def cdg_pairs(sf_dir: str):
     reverse graph, `CdgPass.scala:17-54`, `CfgDominatorFrontier.scala:14-38`).
     SQL oracle: Ferrante's definition with the interval-DAG span predicate."""
     r = kg_runner(sf_dir)
-    ds = r.ctx.read("materialize", "dom")
+    ds = r.ctx.read_logical("dom")
     return ds.map_batches(
         lambda t: t.loc[t["kind"] == "cdg", ["conv_id", "a", "b"]].rename(
             columns={"a": "controller", "b": "dependent"}
@@ -331,7 +384,7 @@ def reaches_closure(sf_dir: str):
     # distributed filter to ONE conversation before anything drives —
     # the reaching table is corpus-scale, the survivor set is one conv
     mine = (
-        r.ctx.read("link", "reaching", columns=["conv_id", "src_turn_idx"])
+        r.ctx.read_logical("reaching", columns=["conv_id", "src_turn_idx"])
         .map_batches(
             lambda t: empty_safe(t[t["conv_id"] == conv]),
             batch_format="pandas",
@@ -370,8 +423,8 @@ def reaches_paths(sf_dir: str, max_depth: int = REACHES_PATH_DEPTH):
     (per-turn branching)^depth inside one conversation, the same budget
     the reference's engine pays per task."""
     r = kg_runner(sf_dir)
-    ds = r.ctx.read(
-        "link", "reaching", columns=["conv_id", "src_turn_idx", "dst_turn_idx"]
+    ds = r.ctx.read_logical(
+        "reaching", columns=["conv_id", "src_turn_idx", "dst_turn_idx"]
     )
     return _enumerate_paths(ds, max_depth)
 
@@ -436,7 +489,7 @@ def reaches_paths_semantic(sf_dir: str, max_depth: int = REACHES_PATH_DEPTH,
     r = kg_runner(sf_dir)
     if semantics_text is None:
         counts = hash_agg(
-            r.ctx.read("link", "reaching", columns=["variable"]).map_batches(
+            r.ctx.read_logical("reaching", columns=["variable"]).map_batches(
                 lambda t: t.groupby("variable", as_index=False).size()
                 .rename(columns={"size": "n"}),
                 batch_format="pandas",
@@ -452,8 +505,8 @@ def reaches_paths_semantic(sf_dir: str, max_depth: int = REACHES_PATH_DEPTH,
     blocked = blocked_keys(parse(semantics_text))
     bref = ray.put(blocked)
 
-    ds = r.ctx.read(
-        "link", "reaching",
+    ds = r.ctx.read_logical(
+        "reaching",
         columns=["conv_id", "src_turn_idx", "dst_turn_idx", "variable"],
     ).map_batches(
         lambda t: t.loc[~t["variable"].isin(get_broadcast(bref)),
@@ -482,7 +535,7 @@ def fact_closure(sf_dir: str):
         return pd.DataFrame({"m": [t["subj"].min()]})
 
     mins = (
-        r.ctx.read("link", "triples", columns=["subj"])
+        r.ctx.read_logical("triples", columns=["subj"])
         .map_batches(local_min, batch_format="pandas")
         .to_pandas()
     )
@@ -516,7 +569,7 @@ def member_resolve(sf_dir: str):
     from ..functions.joins import get_broadcast
 
     r = kg_runner(sf_dir)
-    tri = r.ctx.read("link", "triples", columns=["subj", "pred", "obj"])
+    tri = r.ctx.read_logical("triples", columns=["subj", "pred", "obj"])
     pairs = tri.map_batches(
         lambda t: t.loc[(t["pred"] == "located_in") & (t["obj"] < t["subj"]),
                         ["subj", "obj"]],
@@ -550,7 +603,7 @@ def _binding_inputs(sf_dir: str):
     from ..functions.agg import hash_agg, hash_groupby
 
     r = kg_runner(sf_dir)
-    tri = r.ctx.read("link", "triples", columns=["subj", "pred", "obj"])
+    tri = r.ctx.read_logical("triples", columns=["subj", "pred", "obj"])
     facts = hash_groupby(
         tri, ["subj", "pred", "obj"], lambda g: g.drop_duplicates()
     ).to_pandas()

@@ -95,11 +95,32 @@ def _in_fact_codes(code_of_label):
     return facts, collect
 
 
+def _dim_dataset(src):
+    """pads.dataset over one dir OR a list of dirs (expanded to files —
+    pyarrow's list form wants file paths, not directories)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    if isinstance(src, (list, tuple)):
+        files = []
+        for d in src:
+            if os.path.isdir(d):
+                files.extend(sorted(
+                    os.path.join(d, f) for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                ))
+            else:
+                files.append(d)
+        return pads.dataset(files)
+    return pads.dataset(src)
+
+
 def validate_graph(nodes, edges, num_partitions: int = 16,
                    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
                    n_nodes: int | None = None,
-                   dim_dir: str | None = None,
-                   turn_props_dir: str | None = None,
+                   dim_dir: str | list | None = None,
+                   turn_props_dir: str | list | None = None,
                    numeric_edges_dir: str | None = None) -> pa.Table:
     """nodes, edges: ray Datasets → pyarrow Table of (check, detail) rows.
 
@@ -121,8 +142,8 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
 # ---------------------------------------------------------------------------
 
 
-def _validate_broadcast(nodes, edges, dim_dir: str | None = None,
-                        turn_props_dir: str | None = None,
+def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
+                        turn_props_dir: str | list | None = None,
                         numeric_edges_dir: str | None = None) -> pa.Table:
     import threading
 
@@ -198,10 +219,9 @@ def _validate_broadcast(nodes, edges, dim_dir: str | None = None,
         # the materialize pass side-wrote the numeric dim from the frames
         # it had in hand (pipelines/kg.write_graph) — one small driver
         # read replaces the full node scan (the caller verified the
-        # label-code vocabulary matches the live schema)
-        import pyarrow.dataset as pads
-
-        dim = pads.dataset(dim_dir).to_table().to_pandas()
+        # label-code vocabulary matches the live schema). A LIST unions
+        # the base dim with every increment's dim (post-ingest validation)
+        dim = _dim_dataset(dim_dir).to_table().to_pandas()
     else:
         dim = (
             nodes.select_columns(["id", "label", "is_external"])
@@ -217,9 +237,7 @@ def _validate_broadcast(nodes, edges, dim_dir: str | None = None,
     # TURN-subset property lookup (sorted ids ∥ conv hash ∥ turn_idx) for
     # the CFG checks — filtered in-task, sorted once on the driver
     if turn_props_dir is not None:
-        import pyarrow.dataset as pads
-
-        tprops = pads.dataset(turn_props_dir).to_table().to_pandas()
+        tprops = _dim_dataset(turn_props_dir).to_table().to_pandas()
     else:
         tprops = (
             nodes.select_columns(["id", "label", "conv_id", "turn_idx"])
