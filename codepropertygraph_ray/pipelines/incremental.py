@@ -314,6 +314,7 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
                         "ext": pa.array(
                             (extc.notna() & extc.astype(object).eq(True)).to_numpy()
                         ),
+                        "pmask": pa.array(schema.node_prop_mask(t), pa.uint16()),
                     }),
                     os.path.join(dimdir, fname), compression="zstd",
                 )
@@ -539,6 +540,10 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
             for lbl in (schema.SPEAKER, schema.TOOL)
         ]).to_numpy() if len(new_dims) else np.empty(0, object),
         name=pd.concat([
+            new_dims.loc[new_dims["label"] == lbl, "name"]
+            for lbl in (schema.SPEAKER, schema.TOOL)
+        ]).to_numpy() if len(new_dims) else np.empty(0, object),
+        full_name=pd.concat([
             new_dims.loc[new_dims["label"] == lbl, "name"]
             for lbl in (schema.SPEAKER, schema.TOOL)
         ]).to_numpy() if len(new_dims) else np.empty(0, object),

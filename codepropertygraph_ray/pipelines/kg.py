@@ -551,6 +551,7 @@ def run_materialize(ctx: PassContext) -> dict:
                         "id": t.column("id"),
                         "code": pa.array(code, pa.int16()),
                         "ext": pa.array((extc.notna() & extc.astype(object).eq(True)).to_numpy()),
+                        "pmask": pa.array(schema.node_prop_mask(t), pa.uint16()),
                     }),
                     os.path.join(dimdir, fname), compression="zstd",
                 )
@@ -874,13 +875,18 @@ def run_materialize(ctx: PassContext) -> dict:
     pqt.write_table(
         pa.table({"id": pa.array(meta["id"].to_numpy(np.int64)),
                   "code": pa.array([dim_labels.index(schema.META_DATA)], pa.int16()),
-                  "ext": pa.array([False])}),
+                  "ext": pa.array([False]),
+                  "pmask": pa.array(
+                      schema.node_prop_mask(
+                          sparse_to_table(meta, schema.NODES_SCHEMA)
+                      ), pa.uint16())}),
         os.path.join(dimdir, "part-meta.parquet"), compression="zstd",
     )
     import json as _json
 
     with open(os.path.join(ctx._side_root, "dim_labels.json"), "w") as fh:
-        _json.dump({"nodes": dim_labels, "edges": dim_edge_labels}, fh)
+        _json.dump({"nodes": dim_labels, "edges": dim_edge_labels,
+                    "props": list(schema.NODE_PROP_COLS)}, fh)
 
     # every branch writes its own files; the union carries only the tiny
     # per-task summaries, and ONE count() drives the whole execution
@@ -926,7 +932,9 @@ def run_validate(ctx: PassContext) -> dict:
     if os.path.isfile(labels_file):
         with open(labels_file) as fh:
             vocab = _json.load(fh)
-        if isinstance(vocab, dict) and vocab.get("nodes") == list(schema.NODE_LABELS):
+        if (isinstance(vocab, dict)
+                and vocab.get("nodes") == list(schema.NODE_LABELS)
+                and vocab.get("props") == list(schema.NODE_PROP_COLS)):
             dim_dir = [
                 d for d in (os.path.join(os.path.dirname(nd), "ndim")
                             for nd in ctx.overlay_dirs("nodes"))

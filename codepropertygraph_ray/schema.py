@@ -108,6 +108,44 @@ IN_DEGREE_FACTS: dict[tuple[str, str], tuple[int, int | None]] = {
     #   check (validator reads is_external per node)
 }
 
+# Property-key facts per node label — the KeysValidator analog
+# (`cpgvalidator/.../validators/KeysValidator.scala:12-58`: every node must
+# carry its type's required keys and nothing outside the allowed set). In
+# the Arrow transposition "property present" means the sparse column is
+# non-null, so each label maps to (required_props, optional_props); any
+# other NODE_PROP_COLS column set on a node of that label is a violation.
+# `id`, `label` and `overlay` are universal and not property keys.
+NODE_PROP_COLS = ("name", "full_name", "code", "order", "conv_id",
+                  "turn_idx", "is_external")
+
+def node_prop_mask(t) -> "object":
+    """uint16 bitmask per row of an Arrow nodes table: bit i set ⟺
+    ``NODE_PROP_COLS[i]`` is non-null. Computed wherever a node frame is
+    already in hand (the materialize/ingest dim writers) so the validator's
+    KeysValidator checks never need a second full node scan."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    pm = np.zeros(t.num_rows, dtype=np.uint16)
+    for i, c in enumerate(NODE_PROP_COLS):
+        pm |= pc.is_valid(t.column(c)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint16) << i
+    return pm
+
+
+NODE_PROP_FACTS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
+    META_DATA: (("name", "full_name"), ()),
+    CONVERSATION: (("name", "full_name", "conv_id"), ()),
+    TURN: (("name", "full_name", "order", "conv_id", "turn_idx"), ()),
+    MENTION: (("name", "full_name", "code", "order", "conv_id", "turn_idx"),
+              ()),
+    ENTITY: (("name", "full_name", "is_external"), ()),
+    TOOL: (("name", "full_name"), ()),
+    SPEAKER: (("name", "full_name"), ()),
+    TAG: (("name", "full_name"), ()),
+}
+
 # ---------------------------------------------------------------------------
 # User schema extension (samples/customcpg/schemas/myschema.json analog:
 # the reference merges user JSON schemas over the base at build time)
@@ -115,7 +153,7 @@ IN_DEGREE_FACTS: dict[tuple[str, str], tuple[int, int | None]] = {
 
 
 def register_extension(node_labels=(), edge_facts=(), out_degree=None,
-                       in_degree=None) -> None:
+                       in_degree=None, node_props=None) -> None:
     """Merge user-supplied node labels, (src, edge, dst) facts and
     out-degree bounds into the active schema — the rebuild of the
     reference's layered user-schema merge (`samples/customcpg/README.md`).
@@ -136,6 +174,8 @@ def register_extension(node_labels=(), edge_facts=(), out_degree=None,
         OUT_DEGREE_FACTS.update(out_degree)
     if in_degree:
         IN_DEGREE_FACTS.update(in_degree)
+    if node_props:  # label → (required_props, optional_props); labels
+        NODE_PROP_FACTS.update(node_props)  # absent here are unchecked
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,99 @@ def _in_fact_codes(code_of_label):
     return facts, collect
 
 
+def _prop_masks(label_names):
+    """(required, forbidden) uint16 bit-matrices per label code over
+    schema.NODE_PROP_COLS — the KeysValidator fact tables
+    (`cpgvalidator/.../validators/KeysValidator.scala:12-58`). Labels
+    absent from NODE_PROP_FACTS (unregistered extensions) are unchecked."""
+    pcols = schema.NODE_PROP_COLS
+    bit = {c: np.uint16(1 << i) for i, c in enumerate(pcols)}
+    full = np.uint16((1 << len(pcols)) - 1)
+    req = np.zeros(len(label_names), dtype=np.uint16)
+    forb = np.zeros(len(label_names), dtype=np.uint16)
+    for i, lab in enumerate(label_names):
+        fact = schema.NODE_PROP_FACTS.get(lab)
+        if fact is None:
+            continue
+        required, optional = fact
+        r = np.uint16(sum(int(bit[c]) for c in required))
+        o = np.uint16(sum(int(bit[c]) for c in optional))
+        req[i] = r
+        forb[i] = full & ~(r | o)
+    return req, forb
+
+
+def _decode_mask_viols(label_names, miss_or, over_or):
+    out = []
+    for i, lab in enumerate(label_names):
+        for j, col in enumerate(schema.NODE_PROP_COLS):
+            if miss_or[i] & (1 << j):
+                out.append(("node_key_missing", f"{lab}.{col}"))
+            if over_or[i] & (1 << j):
+                out.append(("node_key_forbidden", f"{lab}.{col}"))
+    return out
+
+
+def _prop_mask_viols(label_names, codes, pmask):
+    """(check, detail) rows from per-node label codes + presence bitmasks:
+    per label, the OR of missing-required and set-forbidden bits."""
+    valid = codes >= 0
+    c, pm = codes[valid].astype(np.int64), pmask[valid].astype(np.uint16)
+    req, forb = _prop_masks(label_names)
+    miss_or = np.zeros(len(label_names), dtype=np.uint16)
+    over_or = np.zeros(len(label_names), dtype=np.uint16)
+    np.bitwise_or.at(miss_or, c, req[c] & ~pm)
+    np.bitwise_or.at(over_or, c, forb[c] & pm)
+    return _decode_mask_viols(label_names, miss_or, over_or)
+
+
+def _keys_partial_scan(ds, label_names, precoded: bool = False):
+    """KeysValidator check via a distributed scan: each batch reduces to at
+    most one (code, miss, over) row per label — only bit-OR partials reach
+    the driver. ``precoded=True`` scans a numeric dim that already carries
+    (code, pmask) columns; otherwise ``ds`` is a raw nodes table."""
+    req, forb = _prop_masks(label_names)
+    pcols = schema.NODE_PROP_COLS
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        if precoded:
+            code = t["code"].to_numpy().astype(np.int64)
+            pm = t["pmask"].to_numpy().astype(np.uint16)
+        else:
+            code = pd.Categorical(
+                t["label"], categories=label_names
+            ).codes.astype("int64")
+            pm = np.zeros(len(t), dtype=np.uint16)
+            for i, c in enumerate(pcols):
+                pm |= t[c].notna().to_numpy().astype(np.uint16) << i
+        valid = code >= 0
+        c2, p2 = code[valid], pm[valid]
+        miss_or = np.zeros(len(label_names), dtype=np.uint16)
+        over_or = np.zeros(len(label_names), dtype=np.uint16)
+        np.bitwise_or.at(miss_or, c2, req[c2] & ~p2)
+        np.bitwise_or.at(over_or, c2, forb[c2] & p2)
+        nz = (miss_or | over_or) != 0
+        return pd.DataFrame({
+            "kcode": pd.Series(np.flatnonzero(nz), dtype="int16"),
+            "miss": pd.Series(miss_or[nz], dtype="uint16"),
+            "over": pd.Series(over_or[nz], dtype="uint16"),
+        })
+
+    parts = (
+        (ds if precoded else ds.select_columns(["label", *pcols]))
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    miss_or = np.zeros(len(label_names), dtype=np.uint16)
+    over_or = np.zeros(len(label_names), dtype=np.uint16)
+    if len(parts):
+        np.bitwise_or.at(miss_or, parts["kcode"].to_numpy(np.int64),
+                         parts["miss"].to_numpy(np.uint16))
+        np.bitwise_or.at(over_or, parts["kcode"].to_numpy(np.int64),
+                         parts["over"].to_numpy(np.uint16))
+    return _decode_mask_viols(label_names, miss_or, over_or)
+
+
 def _dim_dataset(src):
     """pads.dataset over one dir OR a list of dirs (expanded to files —
     pyarrow's list form wants file paths, not directories)."""
@@ -187,9 +280,13 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
     def node_dim_batch(t: pd.DataFrame) -> pd.DataFrame:
         # categorical codes (C-level) — unknown labels → -1 like the old map
         code = pd.Categorical(t["label"], categories=label_names).codes.astype("int16")
+        pm = np.zeros(len(t), dtype=np.uint16)
+        for i, c in enumerate(schema.NODE_PROP_COLS):
+            pm |= t[c].notna().to_numpy().astype(np.uint16) << i
         return pd.DataFrame(
             {"id": t["id"].astype("int64"), "code": code,
-             "ext": t["is_external"].notna() & t["is_external"].astype(object).eq(True)}
+             "ext": t["is_external"].notna() & t["is_external"].astype(object).eq(True),
+             "pmask": pm}
         )
 
     def turn_prop_batch(t: pd.DataFrame) -> pd.DataFrame:
@@ -224,7 +321,7 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
         dim = _dim_dataset(dim_dir).to_table().to_pandas()
     else:
         dim = (
-            nodes.select_columns(["id", "label", "is_external"])
+            nodes.select_columns(["id", "label", *schema.NODE_PROP_COLS])
             .map_batches(node_dim_batch, batch_format="pandas", batch_size=None)
             .to_pandas()
         )
@@ -275,6 +372,19 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
         driver_viols.append(_viol("meta_data_count", ["expected exactly 1"]))
     n_mentions = int(counts[code_of_label[schema.MENTION]])
 
+    # ---- KeysValidator analog: required/forbidden property keys ---------
+    # the side-written dim carries a per-node property-presence bitmask
+    # (pmask); without one, a distributed bit-OR partial scan stands in
+    key_rows = (
+        _prop_mask_viols(label_names, codes_u, dim["pmask"].to_numpy())
+        if "pmask" in dim.columns
+        else _keys_partial_scan(nodes, label_names)
+    )
+    if key_rows:
+        kf = pd.DataFrame(key_rows, columns=["check", "detail"])
+        for chk, grp in kf.groupby("check"):
+            driver_viols.append(_viol(chk, grp["detail"]))
+
     # broadcast lookup = (sorted int64 ids, int16 label codes): plasma-zero-
     # copy numpy arrays + np.searchsorted — 100× faster per batch than a
     # Series.map(dict) probe at 10^6+ nodes, and the dominant validator
@@ -316,6 +426,15 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
         if mx == 1
     )
     ideg_facts = tuple(in_facts)
+    # extension facts with max > 1: the total-vs-distinct bound is only
+    # exact for mx==1 (one node at mx+1 can hide behind nodes below the
+    # bound), so these ship per-batch (dst, count) partials reduced to
+    # exact per-node totals on the driver — same shape as _degN
+    ideg_n_facts = tuple(
+        (dc, lc) for (dc, lc), (_mn, mx) in in_facts.items()
+        if mx is not None and mx > 1
+    )
+    ideg_n_set = frozenset(ideg_n_facts)
     nt_code = edge_labels.index(schema.NEXT_TURN) if schema.NEXT_TURN in edge_labels else -1
     ref_code = edge_labels.index(schema.REF) if schema.REF in edge_labels else -1
 
@@ -422,6 +541,21 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
                  "scode": idcs, "lcode": ilcs, "n": ins_,
                  "pos": pd.Series(iblobs, dtype="object")}
             ))
+        for dc, lc in ideg_n_facts:
+            m3 = (dst_c == dc) & (lcode == lc)
+            if m3.any():
+                degi = (
+                    pd.DataFrame({"p": pos_dst[m3].astype(np.int64)})
+                    .groupby("p", as_index=False).size()
+                )
+                frames.append(pd.DataFrame(
+                    {"check": pd.Series(["_idegN"] * len(degi), dtype="string"),
+                     "detail": pd.Series(degi["p"].astype(str), dtype="string"),
+                     "scode": np.full(len(degi), dc, np.int16),
+                     "lcode": np.full(len(degi), lc, np.int16),
+                     "n": degi["size"].astype(np.int64),
+                     "pos": pd.Series([None] * len(degi), dtype="object")}
+                ))
 
         # ---- CFG sanity on NEXT_TURN (NoLongJumpValidator analog) --------
         ntm = lcode == nt_code
@@ -494,7 +628,14 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
             ))
 
     # ---- in-degree facts: totals + distinct-dst bitmaps per fact --------
+    # (mx>1 extension facts reduce exact per-node sums from _idegN instead:
+    # the aggregate total-vs-distinct bound is only exact for mx==1)
     ideg = edge_results[edge_results["check"] == "_ideg"]
+    idegn = edge_results[edge_results["check"] == "_idegN"]
+    idegn_sums = (
+        idegn.groupby(["detail", "scode", "lcode"], as_index=False)["n"].sum()
+        if len(idegn) else None
+    )
     ent_code = code_of_label.get(schema.ENTITY, -1)
     ref_lcode = edge_labels.index(schema.REF) if schema.REF in edge_labels else -1
     grouped = {k: g for k, g in ideg.groupby(["scode", "lcode"])} if len(ideg) else {}
@@ -507,7 +648,19 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
             for blob in grp["pos"]:
                 bitmap[np.frombuffer(blob, dtype="<i4")] = True
         distinct = int(bitmap.sum())
-        if mx is not None and total > distinct * mx:
+        if mx is not None and (dc, lc) in ideg_n_set:
+            n_over = 0
+            if idegn_sums is not None:
+                sub = idegn_sums[(idegn_sums["scode"] == dc)
+                                 & (idegn_sums["lcode"] == lc)]
+                n_over = int((sub["n"].to_numpy() > mx).sum())
+            if n_over:
+                driver_viols.append(_viol(
+                    "in_degree_exceeded",
+                    [f"{label_names[dc]}<-{edge_labels[lc]}"
+                     f" nodes_over_max={n_over}"],
+                ))
+        elif mx is not None and total > distinct * mx:
             driver_viols.append(_viol(
                 "in_degree_exceeded",
                 [f"{label_names[dc]}<-{edge_labels[lc]}"
@@ -531,7 +684,7 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
                 ))
 
     edge_results = edge_results[
-        ~ref_rows & ~edge_results["check"].isin(["_deg1", "_degN", "_ideg"])
+        ~ref_rows & ~edge_results["check"].isin(["_deg1", "_degN", "_ideg", "_idegN"])
     ][["check", "detail"]].drop_duplicates()
     if n_refs != n_mentions:  # every MENTION has exactly one REF out-edge
         driver_viols.append(
@@ -585,15 +738,19 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
         conv = np.zeros(len(t), np.int64)
         if is_turn.any():
             conv[is_turn] = hash_series([t.loc[is_turn, "conv_id"].fillna("")])
+        pm = np.zeros(len(t), dtype=np.uint16)
+        for i, c in enumerate(schema.NODE_PROP_COLS):
+            pm |= t[c].notna().to_numpy().astype(np.uint16) << i
         out = pd.DataFrame(
             {"id": t["id"].astype("int64"), "code": code, "conv": conv,
              "tidx": t["turn_idx"].fillna(-1).astype("int32"),
-             "ext": t["is_external"].notna() & t["is_external"].astype(object).eq(True)}
+             "ext": t["is_external"].notna() & t["is_external"].astype(object).eq(True),
+             "pmask": pm}
         )
         return out
 
     dim = nodes.select_columns(
-        ["id", "label", "conv_id", "turn_idx", "is_external"]
+        ["id", "label", *schema.NODE_PROP_COLS]
     ).map_batches(node_dim_batch, batch_format="pandas").materialize()
 
     # ---- node-side: duplicate ids (bucketed) + label counts (partials) --
@@ -621,6 +778,13 @@ def _validate_sharded(nodes, edges, num_partitions: int) -> pa.Table:
     if counts.get(code_of_label[schema.META_DATA], 0) != 1:
         driver_viols.append(_viol("meta_data_count", ["expected exactly 1"]))
     n_mentions = int(counts.get(code_of_label[schema.MENTION], 0))
+
+    # ---- KeysValidator analog over the numeric dim (bit-OR partials) ----
+    key_rows = _keys_partial_scan(dim, label_names, precoded=True)
+    if key_rows:
+        kf = pd.DataFrame(key_rows, columns=["check", "detail"])
+        for chk, grp in kf.groupby("check"):
+            driver_viols.append(_viol(chk, grp["detail"]))
 
     # ---- edge-side shuffle 1: key = src -------------------------------
     def edge_rows(t: pd.DataFrame) -> pd.DataFrame:

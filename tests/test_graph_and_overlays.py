@@ -404,10 +404,10 @@ def test_schema_extension_registration(ray_session):
         )
 
     nodes = nodes_tbl([
-        (1, "META_DATA", None, None, None, None, None, None, None, "t"),
-        (2, "TURN", None, None, None, None, None, None, None, "t"),
+        (1, "META_DATA", "m", "m", None, None, None, None, None, "t"),
+        (2, "TURN", "c/0", "c/0", None, 0, "c", 0, None, "t"),
         (3, "ANNOTATION", "a", None, None, None, None, None, None, "t"),
-        (4, "CONVERSATION", None, None, None, None, None, None, None, "t"),
+        (4, "CONVERSATION", "c", "c", None, None, "c", None, None, "t"),
     ])
     edges = edges_tbl([
         (2, 3, "ANNOTATED_BY", None, None, "t"),
@@ -437,6 +437,143 @@ def test_schema_extension_registration(ray_session):
         schema.EDGE_FACTS[:] = saved[2]
         schema.OUT_DEGREE_FACTS.clear()
         schema.OUT_DEGREE_FACTS.update(saved[3])
+
+
+def test_validator_keys(ray_session):
+    """KeysValidator analog: a TURN missing its required conv_id yields a
+    node_key_missing violation; a SPEAKER carrying a forbidden turn_idx
+    yields node_key_forbidden — on BOTH validator paths (the real pipeline
+    exercises the zero-violation side end-to-end)."""
+    import pyarrow as pa
+    import ray.data
+
+    from codepropertygraph_ray import schema
+    from codepropertygraph_ray.stages.validate import validate_graph
+
+    def nodes_tbl(rows):
+        df = pd.DataFrame(
+            rows, columns=["id", "label", "name", "full_name", "code", "order",
+                           "conv_id", "turn_idx", "is_external", "overlay"]
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, schema=schema.NODES_SCHEMA, preserve_index=False)
+        )
+
+    def edges_tbl(rows):
+        df = pd.DataFrame(
+            rows, columns=["src", "dst", "label", "variable", "order", "overlay"]
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, schema=schema.EDGES_SCHEMA, preserve_index=False)
+        )
+
+    edges = edges_tbl([
+        (100, 1, "AST", None, None, "t"),
+        (1, 7, "SPOKEN_BY", None, None, "t"),
+    ])
+    good_nodes = [
+        (1, "TURN", "c/0", "c/0", None, 0, "c", 0, None, "t"),
+        (7, "SPEAKER", "user", "user", None, None, None, None, None, "t"),
+        (100, "CONVERSATION", "c", "c", None, None, "c", None, None, "t"),
+        (101, "META_DATA", "m", "m", None, None, None, None, None, "t"),
+    ]
+    bad_nodes = [
+        # TURN with conv_id null (required) …
+        (1, "TURN", "c/0", "c/0", None, 0, None, 0, None, "t"),
+        # … and SPEAKER with turn_idx set (forbidden)
+        (7, "SPEAKER", "user", "user", None, None, None, 3, None, "t"),
+        (100, "CONVERSATION", "c", "c", None, None, "c", None, None, "t"),
+        (101, "META_DATA", "m", "m", None, None, None, None, None, "t"),
+    ]
+    for budget in (0, 10**9):  # sharded and broadcast paths agree
+        ok = validate_graph(nodes_tbl(good_nodes), edges, num_partitions=4,
+                            broadcast_max_rows=budget).to_pandas()
+        assert len(ok) == 0, (budget, ok.to_dict())
+        bad = validate_graph(nodes_tbl(bad_nodes), edges, num_partitions=4,
+                             broadcast_max_rows=budget).to_pandas()
+        got = set(zip(bad["check"], bad["detail"]))
+        assert ("node_key_missing", "TURN.conv_id") in got, (budget, got)
+        assert ("node_key_forbidden", "SPEAKER.turn_idx") in got, (budget, got)
+
+
+def test_in_degree_max_gt_one_is_per_node_exact(ray_session):
+    """An extension in-degree fact with max>=2 must be enforced PER NODE on
+    both validator paths: one node at max+1 hidden behind nodes below the
+    bound (total <= distinct*max) used to slip past the broadcast path's
+    aggregate total-vs-distinct test (ADVICE r3)."""
+    import pyarrow as pa
+    import ray.data
+
+    from codepropertygraph_ray import schema
+    from codepropertygraph_ray.stages.validate import validate_graph
+
+    def nodes_tbl(rows):
+        df = pd.DataFrame(
+            rows, columns=["id", "label", "name", "full_name", "code", "order",
+                           "conv_id", "turn_idx", "is_external", "overlay"]
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, schema=schema.NODES_SCHEMA, preserve_index=False)
+        )
+
+    def edges_tbl(rows):
+        df = pd.DataFrame(
+            rows, columns=["src", "dst", "label", "variable", "order", "overlay"]
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, schema=schema.EDGES_SCHEMA, preserve_index=False)
+        )
+
+    saved = (list(schema.NODE_LABELS), list(schema.EDGE_LABELS),
+             list(schema.EDGE_FACTS), dict(schema.IN_DEGREE_FACTS))
+    try:
+        schema.register_extension(
+            node_labels=["ANNOTATION"],
+            edge_facts=[("TURN", "ANNOTATED_BY", "ANNOTATION")],
+            in_degree={("ANNOTATION", "ANNOTATED_BY"): (0, 2)},
+        )
+        # TURN ids 1..5 (each satisfies TURN<-AST); annotations 11..13.
+        # ann 11 has in-degree 3 (> max 2); 12 and 13 have 1 each, so the
+        # aggregate bound holds (total=5 <= distinct(3)*max(2)=6).
+        nodes = nodes_tbl(
+            [(i, "TURN", f"c/{i}", f"c/{i}", None, i, "c", i, None, "t")
+             for i in range(1, 6)]
+            + [(10 + i, "ANNOTATION", f"a{i}", None, None, None, None, None,
+                None, "t") for i in range(1, 4)]
+            + [(100, "CONVERSATION", "c", "c", None, None, "c", None,
+                None, "t"),
+               (101, "META_DATA", "m", "m", None, None, None, None,
+                None, "t")]
+        )
+        bad_edges = edges_tbl(
+            [(100, i, "AST", None, None, "t") for i in range(1, 6)]
+            + [(1, 11, "ANNOTATED_BY", None, None, "t"),
+               (2, 11, "ANNOTATED_BY", None, None, "t"),
+               (3, 11, "ANNOTATED_BY", None, None, "t"),
+               (4, 12, "ANNOTATED_BY", None, None, "t"),
+               (5, 13, "ANNOTATED_BY", None, None, "t")]
+        )
+        ok_edges = edges_tbl(
+            [(100, i, "AST", None, None, "t") for i in range(1, 6)]
+            + [(1, 11, "ANNOTATED_BY", None, None, "t"),
+               (2, 11, "ANNOTATED_BY", None, None, "t"),
+               (3, 12, "ANNOTATED_BY", None, None, "t"),
+               (4, 12, "ANNOTATED_BY", None, None, "t"),
+               (5, 13, "ANNOTATED_BY", None, None, "t")]
+        )
+        for budget in (0, 10**9):  # sharded and broadcast paths agree
+            bad = validate_graph(nodes, bad_edges, num_partitions=4,
+                                 broadcast_max_rows=budget).to_pandas()
+            assert "in_degree_exceeded" in set(bad["check"]), (budget, bad)
+            good = validate_graph(nodes, ok_edges, num_partitions=4,
+                                  broadcast_max_rows=budget).to_pandas()
+            assert len(good) == 0, (budget, good.to_dict())
+    finally:
+        schema.NODE_LABELS[:] = saved[0]
+        schema.EDGE_LABELS[:] = saved[1]
+        schema.EDGE_FACTS[:] = saved[2]
+        schema.IN_DEGREE_FACTS.clear()
+        schema.IN_DEGREE_FACTS.update(saved[3])
 
 
 def test_conv_dominators_closed_form_matches_chk():
