@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_member_resolve": kgq.member_resolve,
         "kg_dump_context": kgq.dump_turn_context,
         "kg_dot_export": kgq.dot_export,
+        "kg_dot_cfg": kgq.dot_export_cfg,
+        "kg_dot_cdg": kgq.dot_export_cdg,
+        "kg_dot_ddg": kgq.dot_export_ddg,
         # --- KG graph analytics (whole-graph query surface) ----------------
         "kg_entity_cooccurrence": analytics.entity_cooccurrence,
         "kg_entity_degree": analytics.entity_degree,
@@ -673,6 +676,113 @@ def _kg_sql() -> dict[str, str]:
                  'digraph "' || n.conv_id || '" {{' || chr(10) || n.ns
                  || coalesce(chr(10) || e.es, '') || chr(10) || '}}' AS dot
           FROM nodes n LEFT JOIN chain e ON e.conv_id = n.conv_id
+        """,
+        # CFG flavor: the reply graph (chain + user-skip edges) the
+        # dominator overlay runs on — DotCfgGenerator.scala analog
+        "kg_dot_cfg": f"""
+          WITH dcf_tt AS (SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn, role FROM {t}),
+          dcf_nodes AS (
+            SELECT conv_id,
+                   string_agg('  t' || turn || ' [label="' || turn || ':' || role || '"];',
+                              chr(10) ORDER BY turn) AS ns
+            FROM dcf_tt GROUP BY conv_id
+          ),
+          dcf_chain AS (
+            SELECT conv_id, turn AS a,
+                   lead(turn) OVER (PARTITION BY conv_id ORDER BY turn) AS b
+            FROM dcf_tt
+          ),
+          dcf_sk AS (
+            SELECT conv_id, turn AS a,
+                   lead(turn) OVER (PARTITION BY conv_id ORDER BY turn) AS b
+            FROM dcf_tt WHERE role = 'user'
+          ),
+          dcf_e AS (
+            SELECT conv_id, a, b FROM dcf_chain WHERE b IS NOT NULL
+            UNION SELECT conv_id, a, b FROM dcf_sk WHERE b IS NOT NULL AND b > a + 1
+          ),
+          dcf_es AS (
+            SELECT conv_id,
+                   string_agg('  t' || a || ' -> t' || b || ';', chr(10) ORDER BY a, b) AS es
+            FROM dcf_e GROUP BY conv_id
+          )
+          SELECT n.conv_id,
+                 'digraph "' || n.conv_id || '" {{' || chr(10) || n.ns
+                 || coalesce(chr(10) || e.es, '') || chr(10) || '}}' AS dot
+          FROM dcf_nodes n LEFT JOIN dcf_es e ON e.conv_id = n.conv_id
+        """,
+        # CDG flavor: Ferrante control dependence with the interval-DAG
+        # span predicate (same derivation as kg_cdg, CTEs prefixed) —
+        # DotCdgGenerator.scala analog
+        "kg_dot_cdg": f"""
+          WITH dcd_tt AS (SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn, role FROM {t}),
+          dcd_sk AS (SELECT conv_id, turn AS a,
+                            lead(turn) OVER (PARTITION BY conv_id ORDER BY turn) AS b
+                     FROM dcd_tt WHERE role = 'user'),
+          dcd_skips AS (SELECT conv_id, a, b FROM dcd_sk WHERE b IS NOT NULL AND b > a + 1),
+          dcd_chain AS (SELECT conv_id, turn AS a,
+                               lead(turn) OVER (PARTITION BY conv_id ORDER BY turn) AS b
+                        FROM dcd_tt),
+          dcd_e AS (SELECT conv_id, a, b FROM dcd_chain WHERE b IS NOT NULL
+                    UNION SELECT conv_id, a, b FROM dcd_skips),
+          dcd_cdg AS (
+            SELECT DISTINCT e.conv_id, e.a, d.turn AS b
+            FROM dcd_e e JOIN dcd_tt d ON d.conv_id = e.conv_id AND d.turn >= e.b
+            WHERE NOT EXISTS (SELECT 1 FROM dcd_skips k
+                              WHERE k.conv_id = e.conv_id AND k.a >= e.b
+                                AND k.a < d.turn AND k.b > d.turn)
+              AND EXISTS (SELECT 1 FROM dcd_skips k2
+                          WHERE k2.conv_id = e.conv_id AND k2.a >= e.a
+                            AND k2.a < d.turn AND k2.b > d.turn)
+          ),
+          dcd_nodes AS (
+            SELECT conv_id,
+                   string_agg('  t' || turn || ' [label="' || turn || ':' || role || '"];',
+                              chr(10) ORDER BY turn) AS ns
+            FROM dcd_tt GROUP BY conv_id
+          ),
+          dcd_es AS (
+            SELECT conv_id,
+                   string_agg('  t' || a || ' -> t' || b || ';', chr(10) ORDER BY a, b) AS es
+            FROM dcd_cdg GROUP BY conv_id
+          )
+          SELECT n.conv_id,
+                 'digraph "' || n.conv_id || '" {{' || chr(10) || n.ns
+                 || coalesce(chr(10) || e.es, '') || chr(10) || '}}' AS dot
+          FROM dcd_nodes n LEFT JOIN dcd_es e ON e.conv_id = n.conv_id
+        """,
+        # DDG flavor: REACHES dataflow edges labeled with their variable,
+        # drawn from the reaching overlay — DdgGenerator.scala:1-100 analog
+        "kg_dot_ddg": f"""
+          WITH ddg_rp AS (
+            SELECT conv_id, src_turn_idx, dst_turn_idx, variable FROM (
+              SELECT conv_id, turn_idx AS src_turn_idx,
+                     CAST(lead(turn_idx) OVER (
+                       PARTITION BY conv_id, key ORDER BY turn_idx
+                     ) AS INTEGER) AS dst_turn_idx,
+                     key AS variable
+              FROM (SELECT DISTINCT conv_id, turn_idx, key FROM ({mentions_keyed}))
+            ) WHERE dst_turn_idx IS NOT NULL
+          ),
+          ddg_tt AS (SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn, role FROM {t}),
+          ddg_nodes AS (
+            SELECT conv_id,
+                   string_agg('  t' || turn || ' [label="' || turn || ':' || role || '"];',
+                              chr(10) ORDER BY turn) AS ns
+            FROM ddg_tt GROUP BY conv_id
+          ),
+          ddg_es AS (
+            SELECT conv_id,
+                   string_agg('  t' || CAST(src_turn_idx AS INTEGER)
+                              || ' -> t' || dst_turn_idx
+                              || ' [label="' || variable || '"];', chr(10)
+                              ORDER BY src_turn_idx, dst_turn_idx, variable) AS es
+            FROM ddg_rp GROUP BY conv_id
+          )
+          SELECT n.conv_id,
+                 'digraph "' || n.conv_id || '" {{' || chr(10) || n.ns
+                 || coalesce(chr(10) || e.es, '') || chr(10) || '}}' AS dot
+          FROM ddg_nodes n LEFT JOIN ddg_es e ON e.conv_id = n.conv_id
         """,
     }
 

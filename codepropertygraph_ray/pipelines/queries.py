@@ -708,3 +708,29 @@ def dot_export(sf_dir: str):
     from ..stages.export import conversation_dot
 
     return conversation_dot(sf_dir)
+
+
+def dot_export_cfg(sf_dir: str):
+    """(conv_id, dot) — the conversation reply graph (chain + user-skip
+    edges), the `DotCfgGenerator.scala` flavor."""
+    from ..stages.export import conversation_dot_cfg
+
+    return conversation_dot_cfg(sf_dir)
+
+
+def dot_export_cdg(sf_dir: str):
+    """(conv_id, dot) — per-conversation control-dependence edges, the
+    `DotCdgGenerator.scala` flavor."""
+    from ..stages.export import conversation_dot_cdg
+
+    return conversation_dot_cdg(sf_dir)
+
+
+def dot_export_ddg(sf_dir: str):
+    """(conv_id, dot) — per-conversation REACHES dataflow edges labeled
+    with their variable, the `DdgGenerator.scala:1-100` flavor (drawn from
+    the pipeline's reaching overlay, logical union incl. increments)."""
+    from ..stages.export import conversation_dot_ddg
+
+    r = kg_runner(sf_dir)
+    return conversation_dot_ddg(sf_dir, r.ctx.read_logical("reaching"))

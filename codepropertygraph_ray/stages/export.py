@@ -56,6 +56,125 @@ def conversation_dot(sf_dir: str, which: str = "turns"):
     return hash_groupby(ds, "conv_id", to_dot)
 
 
+def _dot_rows(conv_id, grp, edge_lines) -> dict:
+    """Assemble one digraph: header + sorted node lines + edge lines."""
+    lines = [f'digraph "{_esc(conv_id)}" {{']
+    for r in grp.sort_values("turn_idx").itertuples():
+        lines.append(
+            f'  t{r.turn_idx} [label="{_esc(f"{r.turn_idx}:{r.role}")}"];'
+        )
+    lines.extend(edge_lines)
+    lines.append("}")
+    return {"conv_id": conv_id, "dot": "\n".join(lines)}
+
+
+def conversation_dot_cfg(sf_dir: str):
+    """→ Dataset (conv_id, dot): the conversation REPLY GRAPH (NEXT_TURN
+    chain + user-skip edges — the graph the dominator overlay runs on),
+    the `DotCfgGenerator.scala` analog."""
+    from ..pipelines.kg import conv_graph_edges
+    from ..sources.transcripts import read_transcripts
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role"])
+
+    def to_dot(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv_id, grp in g.groupby("conv_id"):
+            grp = grp.sort_values("turn_idx")
+            edges = sorted(conv_graph_edges(
+                grp["turn_idx"].to_numpy(), grp["role"].to_numpy()
+            ))
+            rows.append(_dot_rows(
+                conv_id, grp, [f"  t{a} -> t{b};" for a, b in edges]
+            ))
+        return pd.DataFrame(rows, columns=["conv_id", "dot"])
+
+    return hash_groupby(ds, "conv_id", to_dot)
+
+
+def conversation_dot_cdg(sf_dir: str):
+    """→ Dataset (conv_id, dot): per-conversation control-dependence edges
+    (the CdgPass overlay), the `DotCdgGenerator.scala` analog. Recomputed
+    in-bucket with the closed form that is property-tested equal to the
+    CHK dominance-frontier run (functions/graph.py)."""
+    from ..functions.graph import conv_dominators_frame
+    from ..sources.transcripts import read_transcripts
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role"])
+
+    def to_dot(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        dom = conv_dominators_frame(g[["conv_id", "turn_idx", "role"]])
+        cdg = dom[dom["kind"] == "cdg"]
+        for conv_id, grp in g.groupby("conv_id"):
+            e = cdg[cdg["conv_id"] == conv_id].sort_values(["a", "b"])
+            rows.append(_dot_rows(
+                conv_id, grp,
+                [f"  t{a} -> t{b};" for a, b in zip(e["a"], e["b"])],
+            ))
+        return pd.DataFrame(rows, columns=["conv_id", "dot"])
+
+    return hash_groupby(ds, "conv_id", to_dot)
+
+
+def conversation_dot_ddg(sf_dir: str, reaching_ds):
+    """→ Dataset (conv_id, dot): per-conversation REACHES (dataflow) edges
+    labeled with their variable — the `DdgGenerator.scala:1-100` analog
+    (edges carry the def'd variable like the reference's DDG edge labels).
+
+    ``reaching_ds`` is the pipeline's reaching overlay (conv_id,
+    src_turn_idx, dst_turn_idx, variable); it joins the transcript turns
+    in ONE conv_id-bucketed exchange (tagged union, no broadcast)."""
+    from ..sources.transcripts import read_transcripts
+
+    import numpy as np
+
+    turns = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "role"]
+    ).map_batches(
+        lambda t: pd.DataFrame(
+            {"conv_id": t["conv_id"],
+             "turn_idx": t["turn_idx"].astype("int32"),
+             "role": t["role"],
+             "src_turn_idx": np.full(len(t), -1, np.int32),
+             "dst_turn_idx": np.full(len(t), -1, np.int32),
+             "variable": np.full(len(t), "", object),
+             "kind": np.full(len(t), "t", object)}
+        ),
+        batch_format="pandas",
+    )
+    redges = reaching_ds.map_batches(
+        lambda t: pd.DataFrame(
+            {"conv_id": t["conv_id"],
+             "turn_idx": np.full(len(t), -1, np.int32),
+             "role": np.full(len(t), "", object),
+             "src_turn_idx": t["src_turn_idx"].astype("int32"),
+             "dst_turn_idx": t["dst_turn_idx"].astype("int32"),
+             "variable": t["variable"].astype(object),
+             "kind": np.full(len(t), "r", object)}
+        ),
+        batch_format="pandas",
+    )
+
+    def to_dot(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv_id, grp in g.groupby("conv_id"):
+            t = grp[grp["kind"] == "t"]
+            e = grp.loc[grp["kind"] == "r",
+                        ["src_turn_idx", "dst_turn_idx", "variable"]]
+            e = e.astype({"src_turn_idx": "int64", "dst_turn_idx": "int64"})
+            e = e.sort_values(["src_turn_idx", "dst_turn_idx", "variable"])
+            rows.append(_dot_rows(
+                conv_id, t,
+                [f'  t{a} -> t{b} [label="{_esc(v)}"];'
+                 for a, b, v in zip(e["src_turn_idx"], e["dst_turn_idx"],
+                                    e["variable"])],
+            ))
+        return pd.DataFrame(rows, columns=["conv_id", "dot"])
+
+    return hash_groupby(turns.union(redges), "conv_id", to_dot)
+
+
 def dump_context(sf_dir: str, targets: pd.DataFrame, around: int = 1):
     """targets: DataFrame(conv_id, turn_idx) → Dataset of the turns within
     ``around`` turns of each target, with text (CodeDumper analog).
