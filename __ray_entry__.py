@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dominators": kgq.dominators,
         "kg_cdg": kgq.cdg_pairs,
         "kg_reaches_closure": kgq.reaches_closure,
+        "kg_reaches_cross": kgq.reaches_cross,
         "kg_reaches_paths": kgq.reaches_paths,
         "kg_reaches_paths_sem": kgq.reaches_paths_semantic,
         "kg_bindings": kgq.bindings_inherited,
@@ -174,6 +175,7 @@ def _pagerank_chain(iters: int, damping: float) -> str:
 def _kg_sql() -> dict[str, str]:
     from codepropertygraph_ray.pipelines.queries import (
         BIND_MAX_DEPTH,
+        CROSS_DEPTH,
         REACHES_PATH_DEPTH,
         SEM_TOP_K,
     )
@@ -405,6 +407,44 @@ def _kg_sql() -> dict[str, str]:
             JOIN mine ON mine.s = rc.turn WHERE rc.depth < 3
           )
           SELECT DISTINCT CAST(turn AS INTEGER) AS turn_idx FROM rc
+        """,
+        # dataflow closure with ONE boundary expansion: intra-conversation
+        # REACHES hops ∪ shared-entity hops into the other conversation's
+        # earliest mention of the key (Engine.scala:70-125 param↔arg
+        # task-spawning analog); depth-capped recursive CTE
+        "kg_reaches_cross": f"""
+          WITH RECURSIVE
+          rcx_mt AS (SELECT DISTINCT conv_id, CAST(turn_idx AS INTEGER) AS turn, key
+                     FROM ({mentions_keyed})),
+          rcx_rp AS (
+            SELECT conv_id, src_turn_idx, dst_turn_idx FROM (
+              SELECT conv_id, turn AS src_turn_idx,
+                     lead(turn) OVER (PARTITION BY conv_id, key ORDER BY turn)
+                       AS dst_turn_idx
+              FROM rcx_mt
+            ) WHERE dst_turn_idx IS NOT NULL
+          ),
+          rcx_entry AS (SELECT key, conv_id, min(turn) AS turn
+                        FROM rcx_mt GROUP BY key, conv_id),
+          rcx_edges AS (
+            SELECT conv_id AS c1, src_turn_idx AS t1,
+                   conv_id AS c2, dst_turn_idx AS t2 FROM rcx_rp
+            UNION
+            SELECT m.conv_id, m.turn, e.conv_id, e.turn
+            FROM rcx_mt m JOIN rcx_entry e
+              ON e.key = m.key AND e.conv_id <> m.conv_id
+          ),
+          rcx_seed AS (SELECT min(src_turn_idx) AS s FROM rcx_rp
+                       WHERE conv_id = 'conv-0000000'),
+          rcx(conv_id, turn, depth) AS (
+            SELECT 'conv-0000000', s, 0 FROM rcx_seed WHERE s IS NOT NULL
+            UNION
+            SELECT e.c2, e.t2, rcx.depth + 1
+            FROM rcx JOIN rcx_edges e
+              ON e.c1 = rcx.conv_id AND e.t1 = rcx.turn
+            WHERE rcx.depth < {CROSS_DEPTH}
+          )
+          SELECT DISTINCT conv_id, CAST(turn AS INTEGER) AS turn_idx FROM rcx
         """,
         # PATH ENUMERATION over REACHES — the `.reachableByFlows` analog
         # (Engine.scala:16-127 returns node paths; ResultTable.scala:1-76):

@@ -404,6 +404,133 @@ def reaches_closure(sf_dir: str):
 
 REACHES_PATH_DEPTH = 3
 SEM_TOP_K = 5  # default semantics: kill the K most frequent reaching keys
+CROSS_DEPTH = 2  # boundary-expansion budget for reaches_cross
+
+
+def reaches_cross(sf_dir: str, max_depth: int = CROSS_DEPTH):
+    """(conv_id, turn_idx) — dataflow closure WITH ONE KIND OF BOUNDARY
+    EXPANSION: besides intra-conversation REACHES hops, a turn that
+    mentions key ``k`` flows into every OTHER conversation mentioning
+    ``k``, entering at that conversation's earliest ``k``-mention turn —
+    the param↔arg/return task-spawning of the reference engine
+    (`dataflowengineoss/.../queryengine/Engine.scala:70-125`: crossing a
+    METHOD boundary enters at the parameter binding) transposed to shared
+    canonical entities. Depth-capped BFS from conv-0000000's earliest
+    reaching source; oracle = recursive CTE over the identical edge union.
+
+    Scale shape: the frontier is bounded (depth ≤ ``max_depth``) and
+    broadcast; every probe — intra-edge match, frontier-turn keys, per-key
+    entry turns — is a distributed merge against the streamed reaching /
+    mention tables, pre-filtered by the broadcast key set BEFORE any
+    aggregation, so nothing corpus-scale drives."""
+    import ray
+
+    from ..functions.agg import empty_safe
+    from ..functions.joins import get_broadcast
+
+    r = kg_runner(sf_dir)
+    conv = "conv-0000000"
+    reaching = r.ctx.read_logical(
+        "reaching", columns=["conv_id", "src_turn_idx", "dst_turn_idx"]
+    )
+    # seed: per-batch min + tiny driver reduce (no corpus materialization)
+    mins = reaching.map_batches(
+        lambda t: empty_safe(pd.DataFrame(
+            {"m": [t.loc[t["conv_id"] == conv, "src_turn_idx"].min()]}
+        ).dropna()),
+        batch_format="pandas",
+    ).to_pandas()
+    out_empty = pd.DataFrame({"conv_id": pd.Series(dtype="object"),
+                              "turn_idx": pd.Series(dtype="int32")})
+    if mins.empty:
+        return out_empty
+    seed = (conv, int(mins["m"].min()))
+
+    mentions = r.ctx.read_logical(
+        "records", columns=["kind", "conv_id", "turn_idx", "key"]
+    ).map_batches(
+        lambda t: empty_safe(
+            t.loc[t["kind"] == "mention", ["conv_id", "turn_idx", "key"]]
+            .assign(turn_idx=lambda d: d["turn_idx"].astype("int64"))
+            .drop_duplicates()
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    seen = {seed}
+    frontier = [seed]
+    for _ in range(max_depth):
+        fdf = pd.DataFrame(frontier, columns=["conv_id", "turn_idx"])
+        fdf["turn_idx"] = fdf["turn_idx"].astype("int64")
+        fref = ray.put(fdf)
+
+        def intra(t: pd.DataFrame) -> pd.DataFrame:
+            f = get_broadcast(fref)
+            m = t.assign(turn_idx=t["src_turn_idx"].astype("int64")).merge(
+                f, on=["conv_id", "turn_idx"]
+            )
+            return empty_safe(pd.DataFrame(
+                {"conv_id": m["conv_id"],
+                 "turn": m["dst_turn_idx"].astype("int64")}
+            ).drop_duplicates())
+
+        nxt_intra = reaching.map_batches(intra, batch_format="pandas").to_pandas()
+
+        def frontier_keys(t: pd.DataFrame) -> pd.DataFrame:
+            f = get_broadcast(fref)
+            m = t.merge(f, on=["conv_id", "turn_idx"])
+            return empty_safe(m[["conv_id", "key"]].drop_duplicates())
+
+        fkeys = (
+            mentions.map_batches(frontier_keys, batch_format="pandas")
+            .to_pandas().drop_duplicates()
+        )
+        if len(fkeys):
+            kref = ray.put(np.sort(fkeys["key"].unique().astype(object)))
+
+            def entry_partial(t: pd.DataFrame) -> pd.DataFrame:
+                ks = get_broadcast(kref)
+                arr = t["key"].to_numpy(object)
+                if not len(ks) or not len(arr):
+                    return empty_safe(pd.DataFrame(
+                        {"key": pd.Series(dtype="object"),
+                         "conv_id": pd.Series(dtype="object"),
+                         "turn": pd.Series(dtype="int64")}
+                    ))
+                pos = np.clip(np.searchsorted(ks, arr), 0, len(ks) - 1)
+                sub = t[ks[pos] == arr]
+                g = sub.groupby(["key", "conv_id"], as_index=False).agg(
+                    turn=("turn_idx", "min")
+                )
+                return empty_safe(g)
+
+            ent = (
+                mentions.map_batches(entry_partial, batch_format="pandas")
+                .to_pandas()
+            )
+            if len(ent):
+                ent = ent.groupby(["key", "conv_id"], as_index=False)["turn"].min()
+            cross = ent.merge(fkeys, on="key", suffixes=("", "_src"))
+            cross = cross[cross["conv_id"] != cross["conv_id_src"]][
+                ["conv_id", "turn"]
+            ].drop_duplicates()
+        else:
+            cross = pd.DataFrame({"conv_id": pd.Series(dtype="object"),
+                                  "turn": pd.Series(dtype="int64")})
+
+        cand = pd.concat([nxt_intra, cross], ignore_index=True).drop_duplicates()
+        new_states = [
+            (c, int(t)) for c, t in zip(cand["conv_id"], cand["turn"])
+            if (c, int(t)) not in seen
+        ]
+        if not new_states:
+            break
+        seen.update(new_states)
+        frontier = new_states
+
+    out = pd.DataFrame(sorted(seen), columns=["conv_id", "turn_idx"])
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out.reset_index(drop=True)
 
 
 def reaches_paths(sf_dir: str, max_depth: int = REACHES_PATH_DEPTH):
