@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reaches_cross": kgq.reaches_cross,
         "kg_reaches_paths": kgq.reaches_paths,
         "kg_reaches_paths_sem": kgq.reaches_paths_semantic,
+        "kg_reaches_paths_sem_map": kgq.reaches_paths_semantic_mapped,
         "kg_bindings": kgq.bindings_inherited,
         "kg_overrides": kgq.binding_overrides,
         "kg_member_resolve": kgq.member_resolve,
@@ -522,6 +523,56 @@ def _kg_sql() -> dict[str, str]:
                  CAST(end_turn AS INTEGER) AS end_turn,
                  CAST(depth AS INTEGER) AS depth, path
           FROM rps_paths
+        """,
+        # PER-ARGUMENT semantics mappings (Parser.scala:34-76
+        # PassThroughMapping): top-K variables declared "0->0" — their hops
+        # top-K variables declared "1->1": hops survive only where the
+        # variable's min mention ordinal is 1 at BOTH endpoints
+        "kg_reaches_paths_sem_map": f"""
+          WITH RECURSIVE
+          rsm_mt AS MATERIALIZED (
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn, key,
+                   CAST(min(ordinal) AS BIGINT) AS p
+            FROM ({mentions_keyed}) GROUP BY conv_id, turn_idx, key
+          ),
+          rsm_raw AS MATERIALIZED (
+            SELECT conv_id, key, src_turn_idx, dst_turn_idx, p_src, p_dst FROM (
+              SELECT conv_id, key, turn AS src_turn_idx, p AS p_src,
+                     lead(turn) OVER (PARTITION BY conv_id, key ORDER BY turn)
+                       AS dst_turn_idx,
+                     lead(p) OVER (PARTITION BY conv_id, key ORDER BY turn)
+                       AS p_dst
+              FROM rsm_mt
+            ) WHERE dst_turn_idx IS NOT NULL
+          ),
+          rsm_top AS (
+            SELECT key FROM (SELECT key, count(*) AS n FROM rsm_raw GROUP BY key)
+            ORDER BY n DESC, key LIMIT {SEM_TOP_K}
+          ),
+          rsm_e AS (
+            SELECT DISTINCT conv_id, CAST(src_turn_idx AS INTEGER) AS es,
+                   CAST(dst_turn_idx AS INTEGER) AS ed
+            FROM rsm_raw
+            WHERE key NOT IN (SELECT key FROM rsm_top)
+               OR (p_src = 1 AND p_dst = 1)
+          ),
+          rsm_seeds AS (SELECT conv_id, min(es) AS s0 FROM rsm_e GROUP BY conv_id),
+          rsm_paths(conv_id, start_turn, end_turn, depth, path) AS (
+            SELECT e.conv_id, s.s0, e.ed, 1,
+                   CAST(s.s0 AS VARCHAR) || '->' || CAST(e.ed AS VARCHAR)
+            FROM rsm_seeds s JOIN rsm_e e
+              ON e.conv_id = s.conv_id AND e.es = s.s0
+            UNION ALL
+            SELECT p.conv_id, p.start_turn, e.ed, p.depth + 1,
+                   p.path || '->' || CAST(e.ed AS VARCHAR)
+            FROM rsm_paths p JOIN rsm_e e
+              ON e.conv_id = p.conv_id AND e.es = p.end_turn
+            WHERE p.depth < {REACHES_PATH_DEPTH}
+          )
+          SELECT conv_id, CAST(start_turn AS INTEGER) AS start_turn,
+                 CAST(end_turn AS INTEGER) AS end_turn,
+                 CAST(depth AS INTEGER) AS depth, path
+          FROM rsm_paths
         """,
         # effective binding table: own predicates + located_in-inherited,
         # shallower depth shadows deeper (BindingTableCompat.scala:16-80 —

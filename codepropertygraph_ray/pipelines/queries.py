@@ -643,6 +643,145 @@ def reaches_paths_semantic(sf_dir: str, max_depth: int = REACHES_PATH_DEPTH,
     return _enumerate_paths(ds, max_depth)
 
 
+def reaches_paths_semantic_mapped(sf_dir: str,
+                                  max_depth: int = REACHES_PATH_DEPTH,
+                                  semantics_text: str | None = None):
+    """(conv_id, start_turn, end_turn, depth, path) — flow enumeration with
+    PER-ARGUMENT semantics mappings: a variable declared with ``a->b``
+    mappings propagates ONLY along hops where its mention position (the
+    min ordinal within the turn — the argument-index analog) is ``a`` at
+    the source turn and ``b`` at the destination turn; declared with no
+    mappings ⇒ killed; undeclared ⇒ propagates. This is the
+    PassThroughMapping side of the reference DSL
+    (`semanticsloader/Parser.scala:34-76`; `Engine.scala` applies the
+    mapping per call site) that `reaches_paths_semantic` only used the
+    kill rule of.
+
+    Default document: the ``SEM_TOP_K`` most frequent reaching variables
+    each declared ``1->1`` (second-position pass-through — the
+    position pair that actually occurs in the corpus, so the result
+    provably — deterministic
+    and data-derived, so the oracle is exact; by construction the result
+    differs from both the kill-rule variant (some top-K hops survive) and
+    the unfiltered enumeration (some are dropped).
+
+    Scale shape: mapped-variable edges and their mention positions
+    co-locate in ONE conv_id-bucketed exchange (positions pre-filtered by
+    the broadcast mapped-key set); undeclared-variable edges stream
+    straight into path expansion. Nothing corpus-scale drives."""
+    import ray
+
+    from ..functions.agg import empty_safe, hash_agg, hash_groupby
+    from ..functions.joins import get_broadcast
+    from ..semantics import parse
+
+    r = kg_runner(sf_dir)
+    if semantics_text is None:
+        counts = hash_agg(
+            r.ctx.read_logical("reaching", columns=["variable"]).map_batches(
+                lambda t: t.groupby("variable", as_index=False).size()
+                .rename(columns={"size": "n"}),
+                batch_format="pandas",
+            ),
+            "variable",
+            n=("n", "sum"),
+        ).to_pandas().sort_values(["n", "variable"], ascending=[False, True])
+        if counts.empty:
+            return reaches_paths(sf_dir, max_depth)
+        semantics_text = "\n".join(
+            f'"{k}" 1->1' for k in counts["variable"].head(SEM_TOP_K)
+        )
+    sem = parse(semantics_text)
+    killed = frozenset(k for k, v in sem.items() if not v.propagates)
+    map_rows = [(k, a, b) for k, v in sem.items() for a, b in v.mappings]
+    mapdf = pd.DataFrame(map_rows, columns=["v", "a", "b"]).astype(
+        {"a": "int64", "b": "int64"}
+    )
+    mapped_keys = frozenset(mapdf["v"])
+    kref = ray.put(killed)
+    mkref = ray.put(mapped_keys)
+    mdref = ray.put(mapdf)
+
+    reaching = r.ctx.read_logical(
+        "reaching",
+        columns=["conv_id", "src_turn_idx", "dst_turn_idx", "variable"],
+    )
+    free = reaching.map_batches(
+        lambda t: t.loc[
+            ~t["variable"].isin(get_broadcast(kref))
+            & ~t["variable"].isin(get_broadcast(mkref)),
+            ["conv_id", "src_turn_idx", "dst_turn_idx"],
+        ],
+        batch_format="pandas",
+    )
+
+    def edge_rows(t: pd.DataFrame) -> pd.DataFrame:
+        e = t[t["variable"].isin(get_broadcast(mkref))]
+        return empty_safe(pd.DataFrame(
+            {"conv_id": e["conv_id"],
+             "x": e["src_turn_idx"].astype("int64"),
+             "y": e["dst_turn_idx"].astype("int64"),
+             "v": e["variable"].astype(object),
+             "tag": np.full(len(e), "e", object)}
+        ))
+
+    def pos_rows(t: pd.DataFrame) -> pd.DataFrame:
+        m = t[(t["kind"] == "mention") & t["key"].isin(get_broadcast(mkref))]
+        g = m.groupby(["conv_id", "turn_idx", "key"], as_index=False).agg(
+            p=("ordinal", "min")
+        )
+        return empty_safe(pd.DataFrame(
+            {"conv_id": g["conv_id"],
+             "x": g["turn_idx"].astype("int64"),
+             "y": g["p"].astype("int64"),
+             "v": g["key"].astype(object),
+             "tag": np.full(len(g), "p", object)}
+        ))
+
+    sem_edges = reaching.map_batches(edge_rows, batch_format="pandas")
+    positions = r.ctx.read_logical(
+        "records", columns=["kind", "conv_id", "turn_idx", "key", "ordinal"]
+    ).map_batches(pos_rows, batch_format="pandas")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["conv_id", "src_turn_idx", "dst_turn_idx"]
+        e = g.loc[g["tag"] == "e", ["conv_id", "x", "y", "v"]]
+        if not len(e):
+            return empty_safe(pd.DataFrame(
+                {c: pd.Series(dtype="int64" if c != "conv_id" else "object")
+                 for c in out_cols}
+            ))
+        # per-batch position partials may repeat across batches → min again
+        p = g.loc[g["tag"] == "p"].groupby(
+            ["conv_id", "x", "v"], as_index=False
+        )["y"].min()
+        m = e.merge(
+            p.rename(columns={"x": "xs", "y": "p_src"}),
+            left_on=["conv_id", "x", "v"], right_on=["conv_id", "xs", "v"],
+        ).merge(
+            p.rename(columns={"x": "xd", "y": "p_dst"}),
+            left_on=["conv_id", "y", "v"], right_on=["conv_id", "xd", "v"],
+        )
+        keep = m.merge(get_broadcast(mdref),
+                       left_on=["v", "p_src", "p_dst"],
+                       right_on=["v", "a", "b"])
+        out = keep[["conv_id", "x", "y"]].rename(
+            columns={"x": "src_turn_idx", "y": "dst_turn_idx"}
+        ).drop_duplicates()
+        return empty_safe(out.reset_index(drop=True))
+
+    resolved = hash_groupby(sem_edges.union(positions), "conv_id", resolve)
+    surviving = free.map_batches(
+        lambda t: pd.DataFrame(
+            {"conv_id": t["conv_id"],
+             "src_turn_idx": t["src_turn_idx"].astype("int64"),
+             "dst_turn_idx": t["dst_turn_idx"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).union(resolved)
+    return _enumerate_paths(surviving, max_depth)
+
+
 def fact_closure(sf_dir: str):
     """(full_name) — entities reachable within 3 FACT hops of the
     lexicographically-first fact subject, via the traversal DSL's
