@@ -52,7 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from codepropertygraph_ray.pipelines import analytics
     from codepropertygraph_ray.pipelines import queries as kgq
 
-    return {
+    q = {
         # --- KG pipeline surfaces (the north-rule flagship) ---------------
         "kg_mentions": kgq.mentions,
         "kg_facts": kgq.facts,
@@ -149,6 +149,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_media_stats": multimodal.media_stats,
         "mm_payload_dups": multimodal.payload_dup_groups,
     }
+    return _interleave_families(q)
+
+
+def _interleave_families(q: dict) -> dict:
+    """Round-robin the op families (key prefix before the first '_') so a
+    PREFIX/SAMPLE of queries() still touches every family — the driver's
+    correctness run samples ~50 entries, and grouped ordering left whole
+    families (dedup_/sim_/text_/mm_) unsampled in round 3."""
+    fams: dict[str, list] = {}
+    for k in q:
+        fams.setdefault(k.split("_", 1)[0], []).append(k)
+    out: dict = {}
+    lists = list(fams.values())
+    i = 0
+    while any(lists):
+        for fam in lists:
+            if i < len(fam):
+                out[fam[i]] = q[fam[i]]
+        i += 1
+        if i > max(len(f) for f in lists):
+            break
+    return out
 
 
 # ---------------------------------------------------------------------------
