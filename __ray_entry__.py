@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # no SQL oracle
         "dedup_keep_list": dedup.dedup_keep_list,
+        "dedup_simhash_pairs": dedup.simhash_pairs,  # keyed hash — no SQL oracle
         # --- training-data ops: similarity search --------------------------
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,  # approximate — no SQL oracle

@@ -383,3 +383,105 @@ def dedup_keep_list(sf_dir: str):
         return pd.DataFrame({"doc_id": ids_v, "keep": keep})
 
     return _read_docs(sf_dir, ["doc_id"]).map_batches(flag, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded near-dup pairs
+# ---------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit fingerprint
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: ham ≤ bands-1 ⇒ ≥1 band identical
+SIMHASH_MAX_BUCKET = 2000  # hot-band cap (the MAX_DF discipline): a band
+# value shared by B docs emits B² pairs from ONE bucket — cap and move on
+# (an all-identical-boilerplate corpus is exact-dedup's job, not simhash's)
+
+_POP8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 has no
+    bitwise_count): byte-view + 256-entry table."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(
+        axis=1, dtype=np.int64
+    )
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
+    """(id_a, id_b, hamming) — SimHash near-duplicate pairs with Hamming
+    distance ≤ ``max_hamming``, via banded bucketing: the 64-bit
+    fingerprint (text.simhash64, keyed SipHash — hence no SQL oracle)
+    splits into ``SIMHASH_BANDS`` 16-bit bands; docs sharing any band
+    value co-locate in one bucketed shuffle and verify the full Hamming
+    distance in-bucket. For ``max_hamming ≤ SIMHASH_BANDS - 1`` the
+    banding is EXACT by pigeonhole (≤3 differing bits can corrupt at most
+    3 of the 4 bands), so the result equals the all-pairs answer — the
+    property `test_simhash_pairs_equals_bruteforce` pins.
+
+    Scale shape: candidate generation is one (band, value)-bucketed
+    exchange (the SimHash analog of `minhash_lsh_pairs`' LSH banding);
+    per-bucket fan-out is capped at ``SIMHASH_MAX_BUCKET`` docs; only
+    pair-scale rows reach the driver for the final cross-band dedupe."""
+    from ray.data import from_pandas
+
+    from .agg import empty_safe, hash_groupby
+    from .text import simhash64
+
+    sigs = simhash64(sf_dir)
+
+    def band_rows(t: pd.DataFrame) -> pd.DataFrame:
+        sim = np.ascontiguousarray(t["simhash"].to_numpy(np.int64)).view(np.uint64)
+        n = len(t)
+        parts = [
+            pd.DataFrame({
+                "band": np.full(n, b, np.int8),
+                "val": ((sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int32),
+                "doc_id": t["doc_id"].to_numpy(np.int64),
+                "sim": sim.view(np.int64),
+            })
+            for b in range(SIMHASH_BANDS)
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64")})
+        sz = g.groupby(["band", "val"])["doc_id"].transform("size")
+        g = g[(sz > 1) & (sz <= SIMHASH_MAX_BUCKET)]
+        if not len(g):
+            return empty_safe(empty)
+        m = g.merge(g, on=["band", "val"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return empty_safe(empty)
+        ham = _popcount64(
+            np.ascontiguousarray(m["sim_x"].to_numpy(np.int64)).view(np.uint64)
+            ^ np.ascontiguousarray(m["sim_y"].to_numpy(np.int64)).view(np.uint64)
+        )
+        m = m[ham <= max_hamming]
+        out = pd.DataFrame({
+            "id_a": m["doc_id_x"].to_numpy(np.int64),
+            "id_b": m["doc_id_y"].to_numpy(np.int64),
+            "hamming": ham[ham <= max_hamming],
+        }).drop_duplicates(["id_a", "id_b"])
+        return empty_safe(out)
+
+    pairs = (
+        hash_groupby(
+            sigs.map_batches(band_rows, batch_format="pandas"),
+            ["band", "val"],
+            bucket_pairs,
+        )
+        .to_pandas()  # pair-scale: cross-band dedupe on the driver
+        .drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    if pairs.empty:
+        pairs = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64")})
+    return from_pandas(pairs.astype({"id_a": "int64", "id_b": "int64",
+                                     "hamming": "int64"}))

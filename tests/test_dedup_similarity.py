@@ -205,3 +205,44 @@ def test_dedup_keep_list_policy(ray_session, tmp_path):
     kept = set(out.loc[out["keep"], "doc_id"])
     # docs 0,1,3 are one near-dup component (rep = 0); doc 2 untouched
     assert kept == {0, 2}
+
+
+def test_simhash_pairs_equals_bruteforce(ray_session, tmp_path):
+    """Banding over 4×16-bit bands is EXACT for hamming <= 3 (pigeonhole:
+    <=3 flipped bits corrupt at most 3 bands), so simhash_pairs must equal
+    the all-pairs answer computed directly from the fingerprints —
+    including planted exact dups (hamming 0)."""
+    import itertools
+
+    from codepropertygraph_ray.functions.dedup import (
+        SIMHASH_MAX_HAMMING,
+        _popcount64,
+        simhash_pairs,
+    )
+    from codepropertygraph_ray.functions.text import simhash64
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "data", "table", "scan", "merge"]
+    base = [
+        " ".join(rng.choice(vocab, size=30)) for _ in range(30)
+    ]
+    # planted: exact dup of doc 0, one-token variant of doc 1
+    texts = base + [base[0], base[1].replace("alpha", "omega", 1)]
+    sf_dir = _write_docs(tmp_path, texts)
+
+    got = simhash_pairs(sf_dir).to_pandas()
+    got_set = set(zip(got["id_a"], got["id_b"], got["hamming"]))
+
+    sigs = simhash64(sf_dir).to_pandas().sort_values("doc_id")
+    sims = np.ascontiguousarray(sigs["sim" "hash"].to_numpy(np.int64)).view(np.uint64)
+    ids = sigs["doc_id"].to_numpy(np.int64)
+    want = set()
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        h = int(_popcount64(np.array([sims[i] ^ sims[j]], dtype=np.uint64))[0])
+        if h <= SIMHASH_MAX_HAMMING:
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            want.add((a, b, h))
+    assert got_set == want
+    # the exact dup is found at hamming 0
+    assert (0, 30, 0) in got_set
