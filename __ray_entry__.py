@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_top_term": text.top_term,
         "text_contamination": text.contamination,
         "text_dataset_split": text.dataset_split,
+        "text_redact": text.redact,
         "text_simhash": text.simhash64,  # keyed hash — no SQL oracle
         "text_fingerprint": text.fingerprint,  # rolling hash — no SQL oracle
         # --- training-data ops: dedup --------------------------------------
@@ -1239,6 +1240,9 @@ def _ops_sql() -> dict[str, str]:
           FROM (SELECT (doc_id * 2654435761) % 4294967296 % 100 AS h FROM documents)
           GROUP BY 1
         """,
+        # PII scrub: the same RE2-portable rule table as text.REDACT_RULES,
+        # applied in rule order; counts taken before each replacement
+        "text_redact": _redact_sql(),
         # media metadata rollup: payload bytes = utf-8 text bytes, so the
         # media plumbing's sizes are exactly octet_length(text)
         "mm_payload_dups": """
@@ -1368,6 +1372,24 @@ def _ops_sql() -> dict[str, str]:
           SELECT n AS vec_id, min(m) AS group_id FROM reach GROUP BY n
         """,
     }
+
+
+def _redact_sql() -> str:
+    """Chain one CTE per REDACT_RULES entry: count matches, then
+    regexp_replace globally — the SQL mirror of text.redact's rule loop."""
+    from codepropertygraph_ray.functions.text import REDACT_RULES
+
+    sql = "SELECT event_id, props AS t, CAST(0 AS BIGINT) AS n FROM events"
+    for pat, repl in REDACT_RULES:
+        lit = pat.replace("'", "''")
+        sql = f"""
+          SELECT event_id,
+                 regexp_replace(t, '{lit}', '{repl}', 'g') AS t,
+                 n + len(regexp_extract_all(t, '{lit}')) AS n
+          FROM ({sql})"""
+    return f"""
+      SELECT event_id, t AS redacted, CAST(n AS BIGINT) AS n_redacted
+      FROM ({sql})"""
 
 
 def oracle_sql() -> dict[str, str]:

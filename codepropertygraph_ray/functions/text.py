@@ -406,3 +406,41 @@ def dataset_split(sf_dir: str):
     return hash_agg(
         ds.map_batches(assign, batch_format="pandas"), "split", n_docs=("n_docs", "sum")
     )
+
+
+# PII-redaction pattern table, applied in order (specific → general, like
+# a production scrubber: an email must be masked BEFORE the bare-number
+# rule eats its digits). RE2-portable (no lookarounds) so the same
+# patterns run verbatim in the DuckDB oracle.
+REDACT_RULES = [
+    ("[A-Za-z0-9._]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+    ("\\+?[0-9][0-9 -]{6,}[0-9]", "<PHONE>"),
+    ("[0-9]+", "<NUM>"),
+]
+
+
+def redact(sf_dir: str):
+    """(event_id, redacted, n_redacted) — PII-style masking over the
+    events ``props`` payload: each REDACT_RULES pattern is replaced by its
+    placeholder, in rule order, and the total replacement count is kept
+    for audit. Stateless vectorized ``map_batches`` stage (compiled-regex
+    `.str.replace` per batch — the CodeDumper-adjacent scrub step a
+    training-data pipeline runs before export); no shuffle at all."""
+    from ..sources.tables import read_table
+
+    rules = [(re.compile(p), r) for p, r in REDACT_RULES]
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def scrub(t: pd.DataFrame) -> pd.DataFrame:
+        s = t["props"].astype("string")
+        n = np.zeros(len(t), dtype=np.int64)
+        for pat, repl in rules:
+            n += s.str.count(pat).to_numpy(np.int64)
+            s = s.str.replace(pat, repl, regex=True)
+        return pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(np.int64),
+            "redacted": s.astype(object),
+            "n_redacted": n,
+        })
+
+    return ds.map_batches(scrub, batch_format="pandas")

@@ -53,6 +53,7 @@ def test_queries_and_oracles_align(entrymod):
     assert no_oracle == {
         "text_simhash", "text_fingerprint",  # keyed/rolling hash — not SQL
         "dedup_minhash_lsh", "sim_knn_lsh", "sim_knn_ivf",  # approximate
+        "dedup_simhash_pairs",  # keyed-hash fingerprint — not SQL
         "mm_media_features", "mm_frame_features",  # SipHash fake decode
         "agg_hll_users",  # sketch — approximate by construction
     }

@@ -480,3 +480,34 @@ def test_workspace_and_scripts(ray_session, tmp_path):
     assert ws.projects() == []
     with pytest.raises(KeyError):
         ws.open("demo")
+
+
+def test_redact_masks_pii_in_rule_order(ray_session, tmp_path):
+    import os
+    import pandas as pd
+
+    from codepropertygraph_ray.functions.text import redact
+
+    props = [
+        'contact a.b@mail.com or 555-123 4567 now',  # email + phone
+        '{"k": 42}',                                 # bare number
+        "no pii here",
+        "ids 7 and 99",
+    ]
+    pd.DataFrame(
+        {"event_id": [1, 2, 3, 4],
+         "ts": pd.to_datetime(["2024-01-01"] * 4),
+         "user_id": [1, 1, 2, 2], "event_type": ["a"] * 4,
+         "value": [0.0] * 4, "props": props}
+    ).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = redact(str(tmp_path)).to_pandas().sort_values(
+        "event_id", ignore_index=True
+    )
+    # email masked BEFORE the number rule could eat its digits
+    assert out["redacted"].tolist() == [
+        "contact <EMAIL> or <PHONE> now",
+        '{"k": <NUM>}',
+        "no pii here",
+        "ids <NUM> and <NUM>",
+    ]
+    assert out["n_redacted"].tolist() == [2, 1, 0, 2]
