@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reaches_paths": kgq.reaches_paths,
         "kg_reaches_paths_sem": kgq.reaches_paths_semantic,
         "kg_reaches_paths_sem_map": kgq.reaches_paths_semantic_mapped,
+        "kg_reaches_paths_ap": kgq.reaches_paths_accesspath,
         "kg_bindings": kgq.bindings_inherited,
         "kg_overrides": kgq.binding_overrides,
         "kg_member_resolve": kgq.member_resolve,
@@ -597,6 +598,49 @@ def _kg_sql() -> dict[str, str]:
                  CAST(end_turn AS INTEGER) AS end_turn,
                  CAST(depth AS INTEGER) AS depth, path
           FROM rsm_paths
+        """,
+        # ACCESS-PATH matched flow enumeration (AccessPath.scala:62-249
+        # matchAndDiff): numeric-suffixed keys alias their base class
+        # (untracked-index over-taint); enumeration per (conv, class)
+        "kg_reaches_paths_ap": f"""
+          WITH RECURSIVE
+          rap_raw AS MATERIALIZED (
+            SELECT conv_id,
+                   CASE WHEN regexp_matches(key, '^.* [0-9]+$')
+                        THEN regexp_extract(key, '^(.*) [0-9]+$', 1)
+                        ELSE key END AS var_class,
+                   src_turn_idx, dst_turn_idx FROM (
+              SELECT conv_id, key, turn_idx AS src_turn_idx,
+                     CAST(lead(turn_idx) OVER (
+                       PARTITION BY conv_id, key ORDER BY turn_idx
+                     ) AS INTEGER) AS dst_turn_idx
+              FROM (SELECT DISTINCT conv_id, turn_idx, key FROM ({mentions_keyed}))
+            ) WHERE dst_turn_idx IS NOT NULL
+          ),
+          rap_e AS (SELECT DISTINCT conv_id, var_class,
+                           CAST(src_turn_idx AS INTEGER) AS es,
+                           CAST(dst_turn_idx AS INTEGER) AS ed FROM rap_raw),
+          rap_seeds AS (SELECT conv_id, var_class, min(es) AS s0
+                        FROM rap_e GROUP BY conv_id, var_class),
+          rap_paths(conv_id, var_class, start_turn, end_turn, depth, path) AS (
+            SELECT e.conv_id, e.var_class, s.s0, e.ed, 1,
+                   CAST(s.s0 AS VARCHAR) || '->' || CAST(e.ed AS VARCHAR)
+            FROM rap_seeds s JOIN rap_e e
+              ON e.conv_id = s.conv_id AND e.var_class = s.var_class
+             AND e.es = s.s0
+            UNION ALL
+            SELECT p.conv_id, p.var_class, p.start_turn, e.ed, p.depth + 1,
+                   p.path || '->' || CAST(e.ed AS VARCHAR)
+            FROM rap_paths p JOIN rap_e e
+              ON e.conv_id = p.conv_id AND e.var_class = p.var_class
+             AND e.es = p.end_turn
+            WHERE p.depth < {REACHES_PATH_DEPTH}
+          )
+          SELECT DISTINCT conv_id, var_class,
+                 CAST(start_turn AS INTEGER) AS start_turn,
+                 CAST(end_turn AS INTEGER) AS end_turn,
+                 CAST(depth AS INTEGER) AS depth, path
+          FROM rap_paths
         """,
         # effective binding table: own predicates + located_in-inherited,
         # shallower depth shadows deeper (BindingTableCompat.scala:16-80 —

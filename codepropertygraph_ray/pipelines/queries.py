@@ -1000,3 +1000,85 @@ def dot_export_ddg(sf_dir: str):
 
     r = kg_runner(sf_dir)
     return conversation_dot_ddg(sf_dir, r.ctx.read_logical("reaching"))
+
+
+AP_ELEMENT_RE = r"^(.*) (\d+)$"  # base tokens + numeric element suffix
+
+
+def reaches_paths_accesspath(sf_dir: str,
+                             max_depth: int = REACHES_PATH_DEPTH):
+    """(conv_id, var_class, start_turn, end_turn, depth, path) — VARIABLE-
+    TRACKED flow enumeration under ACCESS-PATH matching: a hop continues a
+    path only when its variable matches the tracked one, where a key with
+    a numeric trailing token ("unknown item 259") is a VariableAccess-like
+    element of its base ("unknown item") and conservatively aliases every
+    other numeric element of the same base — the over-taint rule of
+    `semanticcpg/.../accesspath/AccessPath.scala:62-249` (matchAndDiff:
+    untracked indices cannot be proven disjoint, so they MATCH); keys
+    without a numeric element match only exactly. Matching is an
+    equivalence, so it reduces to equality of a derived alias class, and
+    enumeration runs per (conversation, class) with each class's earliest
+    source turn as its seed.
+
+    Scale shape: one hash-bucketed exchange keyed (conv_id, var_class);
+    expansion is per-group vectorized self-joins, fan-out bounded by the
+    class's own branching — strictly narrower than reaches_paths' whole-
+    conversation edge set. Nothing drives on the driver."""
+    r = kg_runner(sf_dir)
+    ds = r.ctx.read_logical(
+        "reaching",
+        columns=["conv_id", "src_turn_idx", "dst_turn_idx", "variable"],
+    )
+    return _accesspath_paths(ds, max_depth)
+
+
+def _accesspath_paths(ds, max_depth: int):
+    """Class derivation + per-(conv, class) path expansion over a Dataset
+    of (conv_id, src_turn_idx, dst_turn_idx, variable) reaching rows."""
+    from ..functions.agg import empty_safe, hash_groupby
+
+    def add_class(t: pd.DataFrame) -> pd.DataFrame:
+        base = t["variable"].str.extract(AP_ELEMENT_RE, expand=True)[0]
+        return pd.DataFrame({
+            "conv_id": t["conv_id"],
+            "var_class": base.fillna(t["variable"]),
+            "src_turn_idx": t["src_turn_idx"],
+            "dst_turn_idx": t["dst_turn_idx"],
+        })
+
+    def per_class(g: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame(
+            {"conv_id": g["conv_id"], "var_class": g["var_class"],
+             "es": g["src_turn_idx"].astype("int32"),
+             "ed": g["dst_turn_idx"].astype("int32")}
+        ).drop_duplicates()
+        gk = ["conv_id", "var_class"]
+        seeds = e.groupby(gk, as_index=False).agg(s0=("es", "min"))
+        cur = seeds.merge(e, left_on=gk + ["s0"], right_on=gk + ["es"])
+        cur = pd.DataFrame(
+            {"conv_id": cur["conv_id"], "var_class": cur["var_class"],
+             "start_turn": cur["s0"], "end_turn": cur["ed"],
+             "depth": np.full(len(cur), 1, dtype=np.int32),
+             "path": cur["s0"].astype(str) + "->" + cur["ed"].astype(str)}
+        )
+        levels = [cur]
+        for _ in range(max_depth - 1):
+            nxt = levels[-1].merge(
+                e, left_on=gk + ["end_turn"], right_on=gk + ["es"]
+            )
+            if not len(nxt):
+                break
+            levels.append(pd.DataFrame(
+                {"conv_id": nxt["conv_id"], "var_class": nxt["var_class"],
+                 "start_turn": nxt["start_turn"], "end_turn": nxt["ed"],
+                 "depth": (nxt["depth"] + 1).astype("int32"),
+                 "path": nxt["path"] + "->" + nxt["ed"].astype(str)}
+            ))
+        out = pd.concat(levels, ignore_index=True).drop_duplicates()
+        return empty_safe(out)
+
+    return hash_groupby(
+        ds.map_batches(add_class, batch_format="pandas"),
+        ["conv_id", "var_class"],
+        per_class,
+    )

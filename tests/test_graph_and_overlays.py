@@ -737,3 +737,29 @@ def test_validator_side_dim_matches_scan(kg_run):
     ).to_pandas()
     without = validate_graph(nodes, edges, n_nodes=nodes.count()).to_pandas()
     assert len(with_dirs) == len(without) == 0
+
+
+def test_accesspath_overtaint_chains_across_elements(ray_session):
+    """The AccessPath rule must let a flow hop from one numeric element of
+    a base onto a DIFFERENT element of the same base (untracked-index
+    over-taint), and must NOT merge distinct non-numeric keys."""
+    import pandas as pd
+    import ray.data
+
+    from codepropertygraph_ray.pipelines.queries import _accesspath_paths
+
+    reach = pd.DataFrame({
+        "conv_id": ["c1"] * 3 + ["c1"],
+        "src_turn_idx": [1, 3, 2, 4],
+        "dst_turn_idx": [3, 5, 4, 6],
+        "variable": ["box 1", "box 2",      # same base, different elements
+                     "alpha", "beta"],      # distinct exact keys
+    })
+    out = _accesspath_paths(ray.data.from_pandas(reach), 3).to_pandas()
+    got = set(zip(out["var_class"], out["depth"], out["path"]))
+    # cross-element chain 1->3 (box 1) continued by 3->5 (box 2)
+    assert ("box", 2, "1->3->5") in got
+    # exact keys stay separate: each seeds its own class, no chain
+    assert ("alpha", 1, "2->4") in got
+    assert ("beta", 1, "4->6") in got
+    assert not any(c in ("alpha", "beta") and d > 1 for c, d, _ in got)
