@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_bfs": analytics.entity_bfs,
         "kg_pagerank": analytics.pagerank,
         "kg_entity_jaccard": analytics.entity_jaccard,
+        "kg_entity_pmi": analytics.entity_pmi,
         "kg_entity_span": analytics.entity_span,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
@@ -118,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pivot_events": relational.pivot_event_types,
         "rel_region_nations": relational.region_nation_list,
         "rel_rollup_revenue": relational.rollup_revenue,
+        "rel_cube_revenue": relational.cube_revenue,
+        "rel_above_avg": relational.orders_above_customer_avg,
         "rel_sample_stratified": relational.sample_stratified_events,
         "rel_hourly_active_users": relational.hourly_active_users,
         "agg_hll_users": sketch.hll_distinct_users,  # approximate — no SQL oracle
@@ -208,6 +211,7 @@ def _kg_sql() -> dict[str, str]:
     from codepropertygraph_ray.pipelines.analytics import (
         BFS_MAX_DEPTH,
         JAC_ROUND,
+        PMI_ROUND,
         PR_DAMPING,
         PR_ITERS,
         PR_ROUND,
@@ -769,6 +773,29 @@ def _kg_sql() -> dict[str, str]:
         # neighborhood Jaccard for co-occurring pairs with ≥1 shared
         # neighbor (wedge counting; ej_ prefixes avoid CTE capture by the
         # nested canonical-map snippet)
+        # PMI collocation over turn units: same mc/pair/entity counts as
+        # the cooccurrence oracle; N = total turns (transcript rows)
+        "kg_entity_pmi": f"""
+          WITH pmi_mc AS MATERIALIZED (
+            SELECT DISTINCT m.conv_id, m.turn_idx, c.canon
+            FROM ({mentions_keyed}) m JOIN ({canon}) c ON c.key = m.key),
+          pmi_pairs AS (
+            SELECT a.canon AS canon_a, b.canon AS canon_b,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM pmi_mc a JOIN pmi_mc b
+              ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+             AND a.canon < b.canon
+            GROUP BY 1, 2),
+          pmi_ent AS (SELECT canon, CAST(count(*) AS BIGINT) AS n
+                      FROM pmi_mc GROUP BY canon),
+          pmi_n AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM {t})
+          SELECT p.canon_a, p.canon_b,
+                 round(ln(p.n_ab * pmi_n.nt / (ea.n * eb.n)), {PMI_ROUND}) AS pmi
+          FROM pmi_pairs p
+          JOIN pmi_ent ea ON ea.canon = p.canon_a
+          JOIN pmi_ent eb ON eb.canon = p.canon_b
+          CROSS JOIN pmi_n
+        """,
         "kg_entity_jaccard": f"""
           WITH ej_ec AS MATERIALIZED ({cooc}),
           ej_und(a, b) AS (SELECT canon_a, canon_b FROM ej_ec
@@ -1127,6 +1154,28 @@ def _rel_sql() -> dict[str, str]:
           JOIN nation ON n_nationkey = c_nationkey
           JOIN region ON r_regionkey = n_regionkey
           GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "rel_cube_revenue": """
+          SELECT coalesce(r_name, 'ALL') AS r_name,
+                 coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                 round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
+          FROM orders
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation ON n_nationkey = c_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          GROUP BY CUBE(r_name, o_orderpriority)
+        """,
+        # correlated subquery, decorrelated; boundary test in exact cents
+        # (price*n > sum) so no float-epsilon row flips
+        "rel_above_avg": """
+          SELECT o_orderkey, o_custkey, o_totalprice FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   count(*) OVER (PARTITION BY o_custkey) AS n,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     OVER (PARTITION BY o_custkey) AS tot
+            FROM orders
+          ) WHERE cents * n > tot
         """,
         # deterministic stratified sample: smallest multiplicative hash per
         # stratum, event_id tiebreak (same subset at any parallelism)

@@ -108,7 +108,7 @@ def q1_pricing(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _orders_by_region(sf_dir: str):
+def _orders_by_region(sf_dir: str, extra_cols=()):
     """orders ⋈ customer ⋈ nation ⋈ region — the shared dimension chain.
 
     nation/region are CONSTANT-size dims (25/5 rows) and merge driver-side;
@@ -124,7 +124,9 @@ def _orders_by_region(sf_dir: str):
         ["n_nationkey", "n_name", "r_name"]
     ]
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_totalprice", *extra_cols]
+    )
     j = join_auto(orders, cust, on="o_custkey", right_on="c_custkey", how="inner")
     return broadcast_join(j, nd, on="c_nationkey", right_on="n_nationkey")
 
@@ -856,3 +858,67 @@ def hourly_active_users(sf_dir: str):
     return hash_groupby(
         ds.map_batches(partial, batch_format="pandas"), "hour_epoch", per_bucket
     )
+
+
+def orders_above_customer_avg(sf_dir: str):
+    """(o_orderkey, o_custkey, o_totalprice) — orders strictly above their
+    OWN customer's average order value: the correlated-subquery archetype
+    (`WHERE price > (SELECT avg(...) ... same customer)`), decorrelated
+    into one custkey-bucketed exchange. The boundary comparison runs in
+    exact integer units (price_cents * n > sum_cents), so no float-epsilon
+    row can flip between this and the SQL oracle."""
+    from .agg import empty_safe, hash_groupby
+    from ..sources.tables import read_table
+
+    ds = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        cents = to_units(g["o_totalprice"], 100)
+        grp = g.groupby("o_custkey")
+        n = grp["o_orderkey"].transform("size").to_numpy(np.int64)
+        g = g.assign(_c=cents)
+        tot = g.groupby("o_custkey")["_c"].transform("sum").to_numpy(np.int64)
+        keep = cents * n > tot
+        out = g.loc[keep, ["o_orderkey", "o_custkey", "o_totalprice"]]
+        return empty_safe(out)
+
+    return hash_groupby(ds, "o_custkey", per_cust)
+
+
+def cube_revenue(sf_dir: str):
+    """(r_name, o_orderpriority, revenue) — revenue with full CUBE
+    subtotals over (region, priority): every grouping-set combination,
+    absent dimensions as 'ALL'. Same shape as rollup_revenue: ONE
+    distributed partial-agg pass over the fact stream; all four grouping
+    sets derive from the dimension-sized base aggregate (|regions| ×
+    |priorities|) in exact int units, rounded once at the end."""
+    from ray.data.aggregate import Sum
+
+    joined = _orders_by_region(sf_dir, extra_cols=["o_orderpriority"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.assign(rev_u=to_units(t["o_totalprice"], 100))
+        return t.groupby(["r_name", "o_orderpriority"], as_index=False).agg(
+            revenue=("rev_u", "sum")
+        )
+
+    base = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["r_name", "o_orderpriority"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    by_r = base.groupby("r_name", as_index=False).agg(revenue=("revenue", "sum"))
+    by_r["o_orderpriority"] = "ALL"
+    by_p = base.groupby("o_orderpriority", as_index=False).agg(
+        revenue=("revenue", "sum")
+    )
+    by_p["r_name"] = "ALL"
+    total = pd.DataFrame({"r_name": ["ALL"], "o_orderpriority": ["ALL"],
+                          "revenue": [base["revenue"].sum()]})
+    out = pd.concat([base, by_r, by_p, total], ignore_index=True)
+    out["revenue"] = round_half_away(out["revenue"] / 100.0, 2)
+    return out[["r_name", "o_orderpriority", "revenue"]]

@@ -405,3 +405,71 @@ def entity_span(sf_dir: str):
     return hash_groupby(
         ds.map_batches(partial, batch_format="pandas"), "canon", finish
     )
+
+
+PMI_ROUND = 6
+
+
+def entity_pmi(sf_dir: str):
+    """(canon_a, canon_b, pmi) — pointwise mutual information of each
+    co-occurring canonical entity pair over turn units:
+    ``ln(n_ab * N / (n_a * n_b))`` with n_ab = turns co-mentioning the
+    pair, n_x = turns mentioning x, N = total TURN count. The association
+    strength behind alias suggestion / related-entity panels (the KG-side
+    collocation statistic; same unit definitions as entity_cooccurrence).
+
+    Shape: pair counts ride the existing (conv, turn)-bucketed exchange;
+    per-entity turn counts are ONE canon-keyed exchange and broadcast
+    (vocab-scale) into the pair stream; N is a per-batch partial count +
+    tiny reduce. Rounded half-away at ``PMI_ROUND`` on both sides."""
+    from ..functions.joins import build_lookup, get_broadcast, lookup_keys
+
+    mc = _canon_mention_turns(sf_dir).materialize()
+
+    # distinct (conv, turn) per canon → n_x; one canon-keyed exchange
+    ent = hash_groupby(
+        mc,
+        "canon",
+        lambda g: g.drop_duplicates()
+        .groupby("canon", as_index=False)
+        .agg(n=("canon", "size")),
+    ).to_pandas()
+    eref = ray.put(build_lookup(ent["canon"], ent["n"]))
+
+    r = kg_runner(sf_dir)
+    nn = (
+        r.ctx.read_logical("nodes", columns=["label"])
+        .map_batches(
+            lambda t: pd.DataFrame({"n": [int((t["label"] == "TURN").sum())]}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    total_turns = int(nn["n"].sum())
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on=["conv_id", "turn_idx"])
+        m = m[m["canon_x"] < m["canon_y"]]
+        pc = m.groupby(["canon_x", "canon_y"], as_index=False).size()
+        return pc.rename(
+            columns={"canon_x": "canon_a", "canon_y": "canon_b", "size": "n_ab"}
+        )
+
+    co = hash_agg(
+        hash_groupby(mc, ["conv_id", "turn_idx"], pairs),
+        ["canon_a", "canon_b"],
+        n_ab=("n_ab", "sum"),
+    )
+
+    def score(t: pd.DataFrame) -> pd.DataFrame:
+        lk = get_broadcast(eref)
+        na = lookup_keys(lk, t["canon_a"]).astype("float64")
+        nb = lookup_keys(lk, t["canon_b"]).astype("float64")
+        pmi = np.log(t["n_ab"].to_numpy(np.float64) * total_turns / (na * nb))
+        return pd.DataFrame(
+            {"canon_a": t["canon_a"], "canon_b": t["canon_b"],
+             "pmi": round_half_away(pmi, PMI_ROUND)}
+        )
+
+    return co.map_batches(score, batch_format="pandas")
