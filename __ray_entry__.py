@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_extract_k": relational.events_extract_k,
         "rel_shipped_monthly": relational.shipped_monthly,
         "rel_asof_click_view": asof.asof_join_events,
+        "rel_range_count": asof.range_count_events,
         "rel_sessionize": relational.sessionize_events,
         "rel_topk_per_customer": relational.topk_orders_per_customer,
         "rel_percent_rank": relational.percent_rank_orders,
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_contamination": text.contamination,
         "text_dataset_split": text.dataset_split,
         "text_redact": text.redact,
+        "text_tfidf": text.tfidf_top_terms,
         "text_simhash": text.simhash64,  # keyed hash — no SQL oracle
         "text_fingerprint": text.fingerprint,  # rolling hash — no SQL oracle
         # --- training-data ops: dedup --------------------------------------
@@ -1155,6 +1157,15 @@ def _rel_sql() -> dict[str, str]:
           JOIN region ON r_regionkey = n_regionkey
           GROUP BY ROLLUP(r_name, n_name)
         """,
+        # range join: per click, views by the same user in (ts-5min, ts]
+        "rel_range_count": """
+          SELECT l.event_id, CAST(count(r.event_id) AS BIGINT) AS n_views
+          FROM events l LEFT JOIN events r
+            ON r.user_id = l.user_id AND r.event_type = 'view'
+           AND r.ts > l.ts - INTERVAL 5 MINUTE AND r.ts <= l.ts
+          WHERE l.event_type = 'click'
+          GROUP BY l.event_id
+        """,
         "rel_cube_revenue": """
           SELECT coalesce(r_name, 'ALL') AS r_name,
                  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -1226,6 +1237,8 @@ def _ops_sql() -> dict[str, str]:
         BPE_SQL_RE,
         LANG_MARKERS,
         STOPWORDS,
+        TFIDF_K,
+        TFIDF_ROUND,
     )
 
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -1347,6 +1360,28 @@ def _ops_sql() -> dict[str, str]:
           SELECT 'image' AS kind, CAST(count(*) AS BIGINT) AS n_items,
                  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
           FROM documents
+        """,
+        # TF-IDF top-k: rank on the ROUNDED score (both sides), term tiebreak
+        "text_tfidf": f"""
+          WITH tfx_ex AS MATERIALIZED (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+          tfx_tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                     FROM tfx_ex GROUP BY 1, 2),
+          tfx_df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                     FROM (SELECT DISTINCT doc_id, term FROM tfx_ex)
+                     GROUP BY term),
+          tfx_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+          SELECT doc_id, term, rank, score FROM (
+            SELECT t.doc_id, t.term,
+                   round(t.tf * ln(tfx_n.n / d.df), {TFIDF_ROUND}) AS score,
+                   row_number() OVER (
+                     PARTITION BY t.doc_id
+                     ORDER BY round(t.tf * ln(tfx_n.n / d.df), {TFIDF_ROUND}) DESC,
+                              t.term ASC
+                   ) AS rank
+            FROM tfx_tf t JOIN tfx_df d ON d.term = t.term CROSS JOIN tfx_n
+          ) WHERE rank <= {TFIDF_K}
         """,
         # per-document most-frequent token, lexicographic tiebreak
         "text_top_term": """

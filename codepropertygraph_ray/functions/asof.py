@@ -68,3 +68,64 @@ def asof_join_events(sf_dir: str, left_type: str = "click", right_type: str = "v
         )
 
     return hash_groupby(both, "user_id", per_bucket)
+
+
+RANGE_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes
+
+
+def range_count_events(sf_dir: str, left_type: str = "click",
+                       right_type: str = "view",
+                       window_us: int = RANGE_WINDOW_US):
+    """events ⟕range events — for every '{left_type}' event, the number of
+    '{right_type}' events by the same user in the HALF-OPEN window
+    ``(l.ts - window, l.ts]``. The range-join companion to the as-of join:
+    same key-bucketed composition (ray_guide 'As-of / range join'), but the
+    per-bucket kernel is two vectorized ``searchsorted`` probes over the
+    sorted right side instead of ``merge_asof`` — a count over an interval,
+    not a nearest match.
+
+    Returns (event_id, n_views); zero-match left rows kept (count 0)."""
+    from ..sources.tables import read_table
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    both = ds.map_batches(
+        lambda t, lt=left_type, rt=right_type: t[t["event_type"].isin([lt, rt])],
+        batch_format="pandas",
+    )
+
+    def per_bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        """Grouped interval count WITHOUT a per-user loop: the merge-rank
+        trick. rights-≤-query counts come from ONE lexsort of the union
+        (user, ts, rights-first flag) + a cumsum; the window count is the
+        difference of two such ranks (the shared previous-users prefix
+        cancels). O((n+m) log(n+m)) vectorized per bucket."""
+        is_l = (g["event_type"] == left_type).to_numpy()
+        is_r = (g["event_type"] == right_type).to_numpy()
+        lu = g.loc[is_l, "user_id"].to_numpy(np.int64)
+        lt = g.loc[is_l, "ts"].to_numpy("datetime64[us]").astype("int64")
+        ru = g.loc[is_r, "user_id"].to_numpy(np.int64)
+        rt = g.loc[is_r, "ts"].to_numpy("datetime64[us]").astype("int64")
+        if not len(lu):
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "n_views": pd.Series(dtype="int64")})
+
+        def rank_le(qt: np.ndarray) -> np.ndarray:
+            u = np.concatenate([ru, lu])
+            t = np.concatenate([rt, qt])
+            flag = np.concatenate([np.zeros(len(ru), np.int8),
+                                   np.ones(len(qt), np.int8)])
+            order = np.lexsort((flag, t, u))
+            rights_cum = np.cumsum(flag[order] == 0)
+            pos = np.empty(len(order), np.int64)
+            pos[order] = np.arange(len(order))
+            return rights_cum[pos[len(ru):]]
+
+        n = rank_le(lt) - rank_le(lt - window_us)
+        return pd.DataFrame(
+            {"event_id": g.loc[is_l, "event_id"].to_numpy(np.int64),
+             "n_views": n.astype(np.int64)}
+        )
+
+    return hash_groupby(both, "user_id", per_bucket_count)

@@ -444,3 +444,58 @@ def redact(sf_dir: str):
         })
 
     return ds.map_batches(scrub, batch_format="pandas")
+
+
+TFIDF_K = 3
+TFIDF_ROUND = 6
+
+
+def tfidf_top_terms(sf_dir: str, k: int = TFIDF_K):
+    """(doc_id, term, rank, score) — each document's top-k terms by
+    TF-IDF (`tf * ln(N / df)`), rank ties broken lexicographically. The
+    full distinctive-term extractor that `top_term` is the integer core
+    of.
+
+    Shape: document frequency is ONE term-keyed exchange of per-batch
+    partials (documents are row-contained, so per-batch distinct
+    (doc, term) IS globally distinct) and broadcasts (vocab-scale);
+    scoring is then a stateless vectorized pass over the corpus. Ranking
+    compares the score ROUNDED to ``TFIDF_ROUND`` on both sides, so a
+    1-ulp libm divergence cannot flip a rank against the SQL oracle."""
+    from .agg import hash_agg, round_half_away
+    from .joins import build_lookup, get_broadcast, lookup_keys
+
+    import ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(t: pd.DataFrame) -> pd.DataFrame:
+        ex = t[["doc_id"]].join(t["text"].str.split(" ").explode().rename("term"))
+        vc = ex.drop_duplicates()["term"].value_counts()
+        return pd.DataFrame({"term": vc.index, "df": vc.to_numpy(np.int64)})
+
+    df_tbl = hash_agg(
+        ds.map_batches(df_partial, batch_format="pandas"), "term", df=("df", "sum")
+    ).to_pandas()
+    n_docs = float(ds.count())
+    ref = ray.put(build_lookup(df_tbl["term"], df_tbl["df"]))
+
+    def score(t: pd.DataFrame) -> pd.DataFrame:
+        ex = t[["doc_id"]].join(t["text"].str.split(" ").explode().rename("term"))
+        g = ex.groupby(["doc_id", "term"], as_index=False).size()
+        dfv = lookup_keys(get_broadcast(ref), g["term"]).astype("float64")
+        g["score"] = round_half_away(
+            g["size"].to_numpy(np.float64) * np.log(n_docs / dfv), TFIDF_ROUND
+        )
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], ignore_index=True)
+        g["rank"] = g.groupby("doc_id").cumcount() + 1
+        g = g[g["rank"] <= k]
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(np.int64),
+             "term": g["term"].to_numpy(),
+             "rank": g["rank"].to_numpy(np.int64),
+             "score": g["score"].to_numpy(np.float64)}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

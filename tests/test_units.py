@@ -511,3 +511,34 @@ def test_redact_masks_pii_in_rule_order(ray_session, tmp_path):
         "ids <NUM> and <NUM>",
     ]
     assert out["n_redacted"].tolist() == [2, 1, 0, 2]
+
+
+def test_range_count_halfopen_window(ray_session, tmp_path):
+    import os
+    import pandas as pd
+
+    from codepropertygraph_ray.functions.asof import range_count_events
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: click at 12:05; views at 12:00 (EXCLUDED: == ts-5min),
+        # 12:01, 12:05 (included: == ts), 12:06 (after)
+        (1, base + 5 * m, 1, "click"),
+        (2, base + 0 * m, 1, "view"),
+        (3, base + 1 * m, 1, "view"),
+        (4, base + 5 * m, 1, "view"),
+        (5, base + 6 * m, 1, "view"),
+        # user 2's view must not leak into user 1's count
+        (6, base + 4 * m, 2, "view"),
+        # user 3: click with no views at all -> count 0
+        (7, base + 5 * m, 3, "click"),
+    ]
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"]).assign(
+        value=0.0, props=""
+    ).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = range_count_events(str(tmp_path)).to_pandas().sort_values(
+        "event_id", ignore_index=True
+    )
+    assert out["event_id"].tolist() == [1, 7]
+    assert out["n_views"].tolist() == [2, 0]
