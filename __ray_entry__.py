@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_shipped_monthly": relational.shipped_monthly,
         "rel_asof_click_view": asof.asof_join_events,
         "rel_range_count": asof.range_count_events,
+        "rel_funnel": relational.funnel_stages,
         "rel_sessionize": relational.sessionize_events,
         "rel_topk_per_customer": relational.topk_orders_per_customer,
         "rel_percent_rank": relational.percent_rank_orders,
@@ -1156,6 +1157,26 @@ def _rel_sql() -> dict[str, str]:
           JOIN nation ON n_nationkey = c_nationkey
           JOIN region ON r_regionkey = n_regionkey
           GROUP BY ROLLUP(r_name, n_name)
+        """,
+        # ordered-sequence funnel: each stage's completion = min ts of its
+        # events at-or-after the previous stage's completion
+        "rel_funnel": """
+          WITH fnl_v AS (SELECT user_id, min(ts) AS vt FROM events
+                         WHERE event_type = 'view' GROUP BY user_id),
+          fnl_c AS (SELECT e.user_id, min(e.ts) AS ct
+                    FROM events e JOIN fnl_v v ON v.user_id = e.user_id
+                    WHERE e.event_type = 'click' AND e.ts >= v.vt
+                    GROUP BY e.user_id),
+          fnl_p AS (SELECT e.user_id, min(e.ts) AS pt
+                    FROM events e JOIN fnl_c c ON c.user_id = e.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts >= c.ct
+                    GROUP BY e.user_id)
+          SELECT v.user_id,
+                 CAST(1 + (c.user_id IS NOT NULL)::INT
+                        + (p.user_id IS NOT NULL)::INT AS BIGINT) AS funnel_stage
+          FROM fnl_v v
+          LEFT JOIN fnl_c c ON c.user_id = v.user_id
+          LEFT JOIN fnl_p p ON p.user_id = v.user_id
         """,
         # range join: per click, views by the same user in (ts-5min, ts]
         "rel_range_count": """

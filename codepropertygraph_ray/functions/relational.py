@@ -922,3 +922,54 @@ def cube_revenue(sf_dir: str):
     out = pd.concat([base, by_r, by_p, total], ignore_index=True)
     out["revenue"] = round_half_away(out["revenue"] / 100.0, 2)
     return out[["r_name", "o_orderpriority", "revenue"]]
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def funnel_stages(sf_dir: str, stages: list[str] = FUNNEL_STAGES):
+    """(user_id, funnel_stage) — ordered-sequence funnel: per user, how far
+    through view → click → purchase they progressed, where each stage must
+    occur at-or-after the PREVIOUS stage's earliest completion time (the
+    classic product-analytics funnel; ties count — `>=`). Stage k's
+    completion time is the min ts of stage-k events ≥ stage-(k-1)'s time.
+
+    Shape: one user-bucketed exchange; inside a bucket each stage is a
+    groupby-min + merge + filter — vectorized, no per-user loop. Users
+    with no stage-1 event drop."""
+    from .agg import empty_safe, hash_groupby
+    from ..sources.tables import read_table
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+    relevant = ds.map_batches(
+        lambda t, st=tuple(stages): t[t["event_type"].isin(st)],
+        batch_format="pandas",
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cur = (
+            g[g["event_type"] == stages[0]]
+            .groupby("user_id", as_index=False)
+            .agg(prev_ts=("ts", "min"))
+        )
+        if cur.empty:
+            return empty_safe(pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "funnel_stage": pd.Series(dtype="int64")}))
+        stage = np.ones(len(cur), dtype=np.int64)
+        reached = cur[["user_id"]].assign(funnel_stage=stage)
+        for k, ev in enumerate(stages[1:], start=2):
+            nxt = g[g["event_type"] == ev].merge(cur, on="user_id")
+            nxt = nxt[nxt["ts"] >= nxt["prev_ts"]]
+            if nxt.empty:
+                break
+            cur = nxt.groupby("user_id", as_index=False).agg(prev_ts=("ts", "min"))
+            reached.loc[
+                reached["user_id"].isin(cur["user_id"]), "funnel_stage"
+            ] = k
+        return empty_safe(reached.astype({"user_id": "int64",
+                                          "funnel_stage": "int64"}))
+
+    return hash_groupby(relevant, "user_id", per_bucket)
