@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_asof_click_view": asof.asof_join_events,
         "rel_range_count": asof.range_count_events,
         "rel_funnel": relational.funnel_stages,
+        "rel_session_overlap": asof.session_overlap_counts,
         "rel_sessionize": relational.sessionize_events,
         "rel_topk_per_customer": relational.topk_orders_per_customer,
         "rel_percent_rank": relational.percent_rank_orders,
@@ -117,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sliding_max": relational.sliding_max_events,
         "rel_lag_gaps": relational.lag_gaps,
         "rel_median_price": relational.median_price_by_priority,
+        "rel_price_quantiles": relational.price_quantiles_by_priority,
+        "rel_mode_event": relational.mode_event_per_user,
         "rel_sample_hash": relational.sample_orders_hash,
         "rel_pivot_events": relational.pivot_event_types,
         "rel_region_nations": relational.region_nation_list,
@@ -1124,6 +1127,25 @@ def _rel_sql() -> dict[str, str]:
                  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price
           FROM orders GROUP BY o_orderpriority
         """,
+        # quantile vector from ONE value histogram; quantile_disc matches
+        # the Ray side's all-integer cumulative pick
+        "rel_price_quantiles": """
+          SELECT o_orderpriority,
+                 quantile_disc(o_totalprice, 0.25) AS p25,
+                 quantile_disc(o_totalprice, 0.50) AS p50,
+                 quantile_disc(o_totalprice, 0.90) AS p90
+          FROM orders GROUP BY o_orderpriority
+        """,
+        # per-user modal event type, ties broken by smallest type string —
+        # the same total order the Ray-side sort applies
+        "rel_mode_event": """
+          SELECT user_id, event_type AS mode_event, n FROM (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY count(*) DESC, event_type) AS rk
+            FROM events GROUP BY user_id, event_type
+          ) WHERE rk = 1
+        """,
         # deterministic multiplicative-hash sample — identical subset at any
         # parallelism, same arithmetic on both sides
         "rel_sample_hash": """
@@ -1186,6 +1208,33 @@ def _rel_sql() -> dict[str, str]:
            AND r.ts > l.ts - INTERVAL 5 MINUTE AND r.ts <= l.ts
           WHERE l.event_type = 'click'
           GROUP BY l.event_id
+        """,
+        # interval-overlap self-join over gap-30min sessions (inclusive
+        # endpoints); LEFT JOIN keeps zero-overlap sessions
+        "rel_session_overlap": """
+          WITH ovl_o AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ), ovl_s AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+            FROM ovl_o
+          ), ovl_sess AS (
+            SELECT user_id, CAST(sess + 1 AS BIGINT) AS session_idx,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM ovl_s GROUP BY user_id, sess
+          )
+          SELECT a.user_id, a.session_idx,
+                 CAST(count(b.user_id) AS BIGINT) AS n_overlap
+          FROM ovl_sess a LEFT JOIN ovl_sess b
+            ON b.session_start <= a.session_end
+           AND b.session_end >= a.session_start
+           AND NOT (b.user_id = a.user_id AND b.session_idx = a.session_idx)
+          GROUP BY a.user_id, a.session_idx
         """,
         "rel_cube_revenue": """
           SELECT coalesce(r_name, 'ALL') AS r_name,

@@ -129,3 +129,135 @@ def range_count_events(sf_dir: str, left_type: str = "click",
         )
 
     return hash_groupby(both, "user_id", per_bucket_count)
+
+
+OVERLAP_BAND_US = 6 * 3600 * 1_000_000  # 6-hour time bands
+
+
+def session_overlap_counts(sf_dir: str, gap_min: int = 30,
+                           band_us: int = OVERLAP_BAND_US):
+    """Interval-OVERLAP self-join over sessionized events: for each session,
+    how many OTHER sessions (any user) overlap it in time (inclusive
+    endpoints). The third member of the temporal-join family next to the
+    as-of and range joins above.
+
+    NOT a pairwise join: overlap(a) over disjoint-per-key intervals reduces
+    to the counting identity
+
+        n(a) = |{b : b.start <= a.end}| - |{b : b.end < a.start}| - 1
+
+    (same-user sessions never overlap by construction — the sessionizer
+    breaks on gap > ``gap_min`` — so the -1 removes exactly self). Both
+    terms are GLOBAL ranks, computed distributively: (1) a calendar-scale
+    per-band histogram of starts/ends (per-batch partials, tiny driver
+    reduce, broadcast once) supplies the prefix below each band; (2) one
+    exchange keyed by time band co-locates each band's point values with
+    the queries that land in it for an in-band ``searchsorted``; (3) a
+    session-keyed sum combines the two signed partials. Shuffle volume is
+    session-scale (4 rows/session), never pair-scale — the reason this
+    beats enumerating overlap pairs at 100 TB.
+
+    Returns (user_id, session_idx, n_overlap); zero-overlap sessions kept.
+    """
+    import ray
+
+    from .agg import empty_safe, hash_agg, hash_groupby
+    from .joins import get_broadcast
+    from .relational import sessionize_events
+
+    sessions = sessionize_events(sf_dir, gap_min=gap_min)
+
+    def to_us(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": t["user_id"].astype("int64"),
+             "session_idx": t["session_idx"].astype("int64"),
+             "s_us": t["session_start"].astype("datetime64[us]").astype("int64"),
+             "e_us": t["session_end"].astype("datetime64[us]").astype("int64")}
+        )
+
+    # session-scale (orders of magnitude below the event stream); pin it so
+    # the histogram and the tagged exchange don't re-run the sessionizer
+    iv = sessions.map_batches(to_us, batch_format="pandas").materialize()
+
+    # (1) band histogram: bounded by calendar span / band_us, not by rows
+    def hist(t: pd.DataFrame) -> pd.DataFrame:
+        s = pd.Series(t["s_us"].to_numpy() // band_us).value_counts()
+        e = pd.Series(t["e_us"].to_numpy() // band_us).value_counts()
+        return empty_safe(
+            pd.DataFrame({"band": s.index, "n_s": s.to_numpy(np.int64),
+                          "n_e": 0}).set_index("band")
+            .add(pd.DataFrame({"band": e.index, "n_s": 0,
+                               "n_e": e.to_numpy(np.int64)}).set_index("band"),
+                 fill_value=0)
+            .reset_index().astype({"band": "int64", "n_s": "int64",
+                                   "n_e": "int64"})
+        )
+
+    h = iv.map_batches(hist, batch_format="pandas").to_pandas()
+    h = h.groupby("band", as_index=False).sum().sort_values("band",
+                                                            ignore_index=True)
+    bands = h["band"].to_numpy(np.int64)
+    cum_s = np.concatenate([[0], np.cumsum(h["n_s"].to_numpy(np.int64))])
+    cum_e = np.concatenate([[0], np.cumsum(h["n_e"].to_numpy(np.int64))])
+    pref = ray.put((bands, cum_s, cum_e))
+
+    # (2) tagged exchange: per session 2 point rows + 2 query rows
+    def tag(t: pd.DataFrame) -> pd.DataFrame:
+        s = t["s_us"].to_numpy(np.int64)
+        e = t["e_us"].to_numpy(np.int64)
+        uid = t["user_id"].to_numpy(np.int64)
+        sid = t["session_idx"].to_numpy(np.int64)
+        z = np.zeros(len(t), np.int64)
+        return pd.DataFrame(
+            {"band": np.concatenate([s // band_us, e // band_us,
+                                     e // band_us, s // band_us]),
+             # 0 = start point, 1 = end point,
+             # 2 = query rank(starts <= e), 3 = query rank(ends < s)
+             "kind": np.repeat(np.arange(4, dtype=np.int8), len(t)),
+             "val": np.concatenate([s, e, e, s]),
+             "user_id": np.concatenate([z, z, uid, uid]),
+             "session_idx": np.concatenate([z, z, sid, sid])}
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bands_g, cs, ce = get_broadcast(pref)
+        out = []
+        for band, gb in g.groupby("band", sort=False):
+            i = int(np.searchsorted(bands_g, band))
+            kb = gb["kind"].to_numpy()
+            val = gb["val"].to_numpy(np.int64)
+            starts = np.sort(val[kb == 0])
+            ends = np.sort(val[kb == 1])
+            q2 = kb == 2
+            q3 = kb == 3
+            if q2.any():
+                n2 = np.searchsorted(starts, val[q2], side="right") + cs[i]
+                out.append(pd.DataFrame(
+                    {"user_id": gb["user_id"].to_numpy(np.int64)[q2],
+                     "session_idx": gb["session_idx"].to_numpy(np.int64)[q2],
+                     "cnt": n2.astype(np.int64)}))
+            if q3.any():
+                n3 = np.searchsorted(ends, val[q3], side="left") + ce[i]
+                out.append(pd.DataFrame(
+                    {"user_id": gb["user_id"].to_numpy(np.int64)[q3],
+                     "session_idx": gb["session_idx"].to_numpy(np.int64)[q3],
+                     "cnt": -n3.astype(np.int64)}))
+        if not out:
+            return empty_safe(pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "session_idx": pd.Series(dtype="int64"),
+                 "cnt": pd.Series(dtype="int64")}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = hash_groupby(iv.map_batches(tag, batch_format="pandas"),
+                         "band", per_bucket)
+
+    # (3) combine the signed partials per session; -1 removes self
+    summed = hash_agg(parts, ["user_id", "session_idx"], n=("cnt", "sum"))
+    return summed.map_batches(
+        lambda t: pd.DataFrame(
+            {"user_id": t["user_id"].astype("int64"),
+             "session_idx": t["session_idx"].astype("int64"),
+             "n_overlap": (t["n"] - 1).astype("int64")}),
+        batch_format="pandas",
+    )

@@ -924,6 +924,81 @@ def cube_revenue(sf_dir: str):
     return out[["r_name", "o_orderpriority", "revenue"]]
 
 
+def mode_event_per_user(sf_dir: str):
+    """(user_id, mode_event, n) — each user's most frequent event type,
+    ties broken by lexicographically smallest type (deterministic — mode
+    MUST have a total order on ties or two runs diverge). Partial counts
+    per batch collapse the stream to (user, type) pairs before the
+    shuffle; the per-bucket pick is a vectorized sort + drop_duplicates."""
+    from .agg import hash_agg, hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        return t.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("event_type", "size")
+        )
+
+    counts = hash_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id", "event_type"],
+        n=("n", "sum"),
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], ignore_index=True)
+        out = g.drop_duplicates("user_id")[["user_id", "event_type", "n"]]
+        return out.rename(columns={"event_type": "mode_event"}).astype(
+            {"user_id": "int64", "n": "int64"})
+
+    return hash_groupby(counts, "user_id", pick)
+
+
+PRICE_QUANTILES = [(1, 4), (1, 2), (9, 10)]  # p25 / p50 / p90 as fractions
+
+
+def price_quantiles_by_priority(sf_dir: str,
+                                quantiles: list[tuple[int, int]] = PRICE_QUANTILES):
+    """(o_orderpriority, p25, p50, p90) — exact discrete quantiles per
+    group, generalizing :func:`median_price_by_priority` to a quantile
+    VECTOR in one pass: the same counting method (per-batch (group, value)
+    partial counts → value histogram, dimension-sized at any row count),
+    then each quantile q=num/den picks the smallest value with
+    cume_count·den ≥ num·total — all-integer, exactly DuckDB's
+    ``quantile_disc``. One histogram shuffle serves every quantile."""
+    from .agg import hash_agg, hash_groupby
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        return t.groupby(["o_orderpriority", "o_totalprice"], as_index=False).agg(
+            n=("o_totalprice", "size")
+        )
+
+    hist = hash_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority", "o_totalprice"],
+        n=("n", "sum"),
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderpriority", "o_totalprice"], ignore_index=True)
+        out = []
+        for prio, grp in g.groupby("o_orderpriority", sort=False):
+            cum = grp["n"].cumsum().to_numpy()
+            total = cum[-1]
+            vals = grp["o_totalprice"].to_numpy()
+            row = [prio]
+            for num, den in quantiles:
+                idx = int(np.searchsorted(cum * den, num * total, side="left"))
+                row.append(vals[idx])
+            out.append(row)
+        return pd.DataFrame(out, columns=["o_orderpriority", "p25", "p50", "p90"])
+
+    return hash_groupby(hist, "o_orderpriority", pick)
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
