@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_jaccard": analytics.entity_jaccard,
         "kg_entity_pmi": analytics.entity_pmi,
         "kg_entity_span": analytics.entity_span,
+        "kg_fuzzy_keys": analytics.fuzzy_key_pairs,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -111,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_funnel": relational.funnel_stages,
         "rel_session_overlap": asof.session_overlap_counts,
         "rel_sessionize": relational.sessionize_events,
+        "rel_gap_fill": relational.gap_fill_hourly,
+        "rel_skyline": relational.skyline_orders,
+        "rel_first_last": relational.first_last_event,
         "rel_topk_per_customer": relational.topk_orders_per_customer,
         "rel_percent_rank": relational.percent_rank_orders,
         "rel_value_bands": relational.events_value_bands,
@@ -822,6 +826,17 @@ def _kg_sql() -> dict[str, str]:
         """,
         # temporal footprint per canonical entity (min/max position key +
         # distinct-conversation spread)
+        # SymSpell deletion-neighborhood join = exact Levenshtein<=1 join;
+        # the oracle states the spec directly (length-pruned all-pairs is
+        # fine at oracle scale, never the engine's plan)
+        "kg_fuzzy_keys": f"""
+          WITH fz_k AS MATERIALIZED (SELECT DISTINCT key FROM ({mentions_keyed}))
+          SELECT a.key AS key_a, b.key AS key_b
+          FROM fz_k a JOIN fz_k b
+            ON a.key < b.key
+           AND abs(length(a.key) - length(b.key)) <= 1
+           AND levenshtein(a.key, b.key) <= 1
+        """,
         "kg_entity_span": f"""
           WITH es_mc AS MATERIALIZED (
             SELECT DISTINCT m.conv_id, m.turn_idx, c.canon
@@ -1126,6 +1141,48 @@ def _rel_sql() -> dict[str, str]:
           SELECT o_orderpriority,
                  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price
           FROM orders GROUP BY o_orderpriority
+        """,
+        # zero-filled per-user hourly series (resample archetype); the Ray
+        # side's grouped-arange fill equals generate_series per user span
+        "rel_gap_fill": """
+          WITH gf_c AS (
+            SELECT user_id,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+          ), gf_s AS (
+            SELECT user_id, min(hour_epoch) AS mn, max(hour_epoch) AS mx
+            FROM gf_c GROUP BY user_id
+          ), gf_h AS (
+            SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS hour_epoch
+            FROM gf_s
+          )
+          SELECT h.user_id, h.hour_epoch,
+                 CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+          FROM gf_h h LEFT JOIN gf_c c USING (user_id, hour_epoch)
+        """,
+        # 2-D Pareto skyline (max price, min date): the oracle is the
+        # dominance definition itself; the Ray side is a prefix-max filter
+        "rel_skyline": """
+          SELECT o_orderkey, o_orderdate, o_totalprice FROM orders a
+          WHERE NOT EXISTS (
+            SELECT 1 FROM orders b
+            WHERE b.o_totalprice >= a.o_totalprice
+              AND b.o_orderdate <= a.o_orderdate
+              AND (b.o_totalprice > a.o_totalprice
+                   OR b.o_orderdate < a.o_orderdate))
+        """,
+        # distributive argmin/argmax merge under the (ts, event_id) total
+        # order — first/last event type per user
+        "rel_first_last": """
+          SELECT DISTINCT user_id,
+                 first_value(event_type) OVER w1 AS first_event,
+                 last_value(event_type) OVER w2 AS last_event
+          FROM events
+          WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
+                 w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)
         """,
         # quantile vector from ONE value histogram; quantile_disc matches
         # the Ray side's all-integer cumulative pick

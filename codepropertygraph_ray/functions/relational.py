@@ -1048,3 +1048,120 @@ def funnel_stages(sf_dir: str, stages: list[str] = FUNNEL_STAGES):
                                           "funnel_stage": "int64"}))
 
     return hash_groupby(relevant, "user_id", per_bucket)
+
+
+def gap_fill_hourly(sf_dir: str):
+    """(user_id, hour_epoch, n_events) — per-user hourly activity series
+    with ZERO-filled gaps between each user's first and last active hour
+    (the resample/interpolate archetype a feature pipeline runs before
+    windowed models). Per-batch (user, hour) partial counts collapse the
+    event stream before the shuffle; the fill is a grouped-arange —
+    np.repeat of per-user spans, no per-user Python loop — so a user
+    spanning the whole calendar costs rows, not driver time."""
+    from .agg import hash_agg, hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        hour = (t["ts"].astype("datetime64[us]").astype("int64")
+                // 3_600_000_000) * 3600
+        return pd.DataFrame({"user_id": t["user_id"], "hour_epoch": hour}) \
+            .groupby(["user_id", "hour_epoch"], as_index=False).agg(
+                n=("hour_epoch", "size"))
+
+    counts = hash_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id", "hour_epoch"],
+        n=("n", "sum"),
+    )
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "hour_epoch"], ignore_index=True)
+        spans = g.groupby("user_id", as_index=False).agg(
+            mn=("hour_epoch", "min"), mx=("hour_epoch", "max"))
+        nh = ((spans["mx"] - spans["mn"]) // 3600 + 1).to_numpy(np.int64)
+        total = int(nh.sum())
+        # grouped arange: hour[i] = mn(user) + (i - span_start(user)) * 3600
+        starts = np.concatenate([[0], np.cumsum(nh)[:-1]])
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts, nh)
+        full = pd.DataFrame(
+            {"user_id": np.repeat(spans["user_id"].to_numpy(np.int64), nh),
+             "hour_epoch": np.repeat(spans["mn"].to_numpy(np.int64), nh)
+             + idx * 3600})
+        out = full.merge(g, on=["user_id", "hour_epoch"], how="left")
+        out["n_events"] = out["n"].fillna(0).astype("int64")
+        return out[["user_id", "hour_epoch", "n_events"]]
+
+    return hash_groupby(counts, "user_id", fill)
+
+
+def skyline_orders(sf_dir: str):
+    """(o_orderkey, o_orderdate, o_totalprice) — the Pareto frontier of
+    orders maximizing price while minimizing date: kept iff no other order
+    is at least as expensive AND at least as early with one strict. The
+    2-D skyline collapses to a prefix-max over dates: kept iff
+    price == max(price | same date) AND price > max(price | earlier date).
+    Per-date max partials shuffle (date-scale, never row-scale), the
+    prefix-max table broadcasts once, and the corpus filter streams —
+    no candidate set ever collects."""
+    import ray
+
+    from .joins import get_broadcast
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def per_date_max(t: pd.DataFrame) -> pd.DataFrame:
+        d = (t["o_orderdate"].astype("datetime64[us]").astype("int64"))
+        return pd.DataFrame({"d": d, "p": t["o_totalprice"]}) \
+            .groupby("d", as_index=False).agg(mx=("p", "max"))
+
+    dm = (ds.map_batches(per_date_max, batch_format="pandas")
+          .to_pandas().groupby("d", as_index=False).max()
+          .sort_values("d", ignore_index=True))
+    dates = dm["d"].to_numpy(np.int64)
+    mx = dm["mx"].to_numpy(np.float64)
+    run = np.maximum.accumulate(mx)                       # max over <= date
+    prev = np.concatenate([[-np.inf], run[:-1]])          # max over < date
+    ref = ray.put((dates, mx, prev))
+
+    def keep(t: pd.DataFrame) -> pd.DataFrame:
+        ds_, mx_, prev_ = get_broadcast(ref)
+        d = t["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        p = t["o_totalprice"].to_numpy(np.float64)
+        i = np.searchsorted(ds_, d)
+        return t[(p == mx_[i]) & (p > prev_[i])]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def first_last_event(sf_dir: str):
+    """(user_id, first_event, last_event) — each user's first and last
+    event type under the total order (ts, event_id). The distributive
+    argmin/argmax merge: every batch keeps only its local first/last row
+    per user (2 rows enter the shuffle per user per batch), the bucket
+    stage re-minimizes — associative, so any batch split gives the same
+    answer."""
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def extremes(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        return pd.concat(
+            [t.drop_duplicates("user_id", keep="first"),
+             t.drop_duplicates("user_id", keep="last")],
+            ignore_index=True,
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        first = g.drop_duplicates("user_id", keep="first")
+        last = g.drop_duplicates("user_id", keep="last")
+        return pd.DataFrame(
+            {"user_id": first["user_id"].to_numpy(np.int64),
+             "first_event": first["event_type"].to_numpy(),
+             "last_event": last["event_type"].to_numpy()})
+
+    return hash_groupby(
+        ds.map_batches(extremes, batch_format="pandas"), "user_id", pick)

@@ -473,3 +473,82 @@ def entity_pmi(sf_dir: str):
         )
 
     return co.map_batches(score, batch_format="pandas")
+
+
+FUZZY_MAX_VARIANT_DF = 256  # hot-variant cap (the MAX_DF discipline): a
+# deletion variant shared by more keys than this is a stop-pattern (e.g. a
+# template fragment); enumerating its pairs is quadratic noise, so it is
+# dropped and logged by count in the bucket (bounded false-negative rate,
+# same contract as dedup.MAX_DF / SIMHASH_MAX_BUCKET).
+
+
+def fuzzy_key_pairs(sf_dir: str, max_df: int = FUZZY_MAX_VARIANT_DF):
+    """(key_a, key_b) — all entity-key pairs at Levenshtein distance ≤ 1,
+    key_a < key_b. The fuzzy-match companion to the exact-key linking the
+    Linker performs (`semanticcpg/.../Linker.scala:52-86` joins on exact
+    FULL_NAME; a curation pipeline wants the near-miss report next to it).
+
+    SymSpell deletion-neighborhood join, never an all-pairs scan: every
+    key emits itself plus each single-character deletion (≤ len+1 variants,
+    keys are vocab-scale); two keys within edit distance 1 necessarily
+    share a variant (b = insert into a ⇒ a ∈ del(b); substitution ⇒ same
+    deletion at the edit position), so candidate pairs are enumerated per
+    variant bucket and verified with an exact distance-≤1 check. Shuffle
+    volume is Σ(len+1) variant rows — linear in vocabulary bytes — and
+    pair work is candidate-scale, bounded by the per-variant DF cap."""
+    keys = kg_runner(sf_dir).ctx.read_logical(
+        "entity_keys", columns=["key", "is_alias"]
+    ).map_batches(
+        lambda t: t.loc[~t["is_alias"], ["key"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+
+    def variants(t: pd.DataFrame) -> pd.DataFrame:
+        out_v, out_k = [], []
+        for k in t["key"].drop_duplicates():
+            out_v.append(k)
+            out_k.append(k)
+            for i in range(len(k)):
+                out_v.append(k[:i] + k[i + 1:])
+                out_k.append(k)
+        return pd.DataFrame({"variant": out_v, "key": out_k})
+
+    def _ed_le_1(a: str, b: str) -> bool:
+        la, lb = len(a), len(b)
+        if a == b:
+            return True
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:  # one substitution allowed
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0  # a is shorter: b must be a with one char inserted
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    def per_variant(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for _, grp in g.groupby("variant", sort=False):
+            ks = grp["key"].drop_duplicates().to_numpy()
+            if len(ks) < 2 or len(ks) > max_df:
+                continue
+            ks.sort()
+            for i in range(len(ks) - 1):
+                for j in range(i + 1, len(ks)):
+                    if _ed_le_1(ks[i], ks[j]):
+                        rows_a.append(ks[i])
+                        rows_b.append(ks[j])
+        return empty_safe(pd.DataFrame({"key_a": rows_a, "key_b": rows_b}))
+
+    cand = hash_groupby(
+        keys.map_batches(variants, batch_format="pandas"),
+        "variant",
+        per_variant,
+    )
+    # the same pair surfaces once per shared variant — distinct it
+    return hash_groupby(
+        cand, ["key_a", "key_b"],
+        lambda g: g.drop_duplicates(ignore_index=True),
+    )

@@ -464,3 +464,99 @@ def test_hll_sketch_error_merge_and_determinism(ray_session):
     assert dict(zip(got["event_type"], got["approx_users"])) == dict(
         zip(again["event_type"], again["approx_users"])
     )
+
+
+def test_fuzzy_keys_match_bruteforce(ray_session, kg_run):
+    from codepropertygraph_ray.pipelines.analytics import fuzzy_key_pairs
+    from codepropertygraph_ray.pipelines.queries import entity_keys
+
+    got = fuzzy_key_pairs(SF_DIR).to_pandas()
+    keys = sorted(entity_keys(SF_DIR).to_pandas()["key"])
+
+    def ed1(a, b):
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    ref = {(a, b) for i, a in enumerate(keys) for b in keys[i + 1:]
+           if ed1(a, b)}
+    assert set(zip(got["key_a"], got["key_b"])) == ref
+    assert not got.duplicated(["key_a", "key_b"]).any()
+
+
+def test_gap_fill_matches_loop(ray_session):
+    from codepropertygraph_ray.functions.relational import gap_fill_hourly
+
+    got = gap_fill_hourly(SF_DIR).to_pandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "ts"])
+    hour = (ev["ts"].astype("datetime64[us]").astype("int64")
+            // 3_600_000_000) * 3600
+    counts = defaultdict(int)
+    for u, h in zip(ev["user_id"], hour):
+        counts[(u, h)] += 1
+    ref = {}
+    for u in ev["user_id"].unique():
+        hs = [h for (uu, h) in counts if uu == u]
+        for h in range(min(hs), max(hs) + 3600, 3600):
+            ref[(u, h)] = counts.get((u, h), 0)
+    assert dict(zip(zip(got["user_id"], got["hour_epoch"]),
+                    got["n_events"])) == ref
+
+
+def test_skyline_matches_bruteforce(ray_session):
+    from codepropertygraph_ray.functions.relational import skyline_orders
+
+    got = skyline_orders(SF_DIR).to_pandas()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    d = o["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+    p = o["o_totalprice"].to_numpy()
+    dominated = np.zeros(len(o), dtype=bool)
+    for i in range(len(o)):
+        dominated[i] = bool(np.any(
+            (p >= p[i]) & (d <= d[i]) & ((p > p[i]) | (d < d[i]))))
+    assert set(got["o_orderkey"]) == set(o["o_orderkey"].to_numpy()[~dominated])
+    assert len(got) == int((~dominated).sum())
+
+
+def test_first_last_matches_sort(ray_session):
+    from codepropertygraph_ray.functions.relational import first_last_event
+
+    got = first_last_event(SF_DIR).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+    first = ev.drop_duplicates("user_id", keep="first").set_index("user_id")
+    last = ev.drop_duplicates("user_id", keep="last").set_index("user_id")
+    assert dict(zip(got["user_id"], got["first_event"])) == \
+        first["event_type"].to_dict()
+    assert dict(zip(got["user_id"], got["last_event"])) == \
+        last["event_type"].to_dict()
+
+
+def test_session_overlap_matches_pairscan(ray_session):
+    from codepropertygraph_ray.functions.asof import session_overlap_counts
+    from codepropertygraph_ray.functions.relational import sessionize_events
+
+    got = session_overlap_counts(SF_DIR).to_pandas()
+    sess = sessionize_events(SF_DIR).to_pandas()
+    s = sess["session_start"].astype("datetime64[us]").astype("int64").to_numpy()
+    e = sess["session_end"].astype("datetime64[us]").astype("int64").to_numpy()
+    n = len(sess)
+    ref = {}
+    for i in range(n):
+        ov = (s <= e[i]) & (e >= s[i])
+        ov[i] = False
+        ref[(sess["user_id"].iat[i], sess["session_idx"].iat[i])] = int(ov.sum())
+    assert dict(zip(zip(got["user_id"], got["session_idx"]),
+                    got["n_overlap"])) == ref
