@@ -915,8 +915,13 @@ def run_validate(ctx: PassContext) -> dict:
     # materialize delta, but a re-validation run AFTER incremental ingest
     # must see the increments' nodes/edges AND their ndim/tprops dims —
     # otherwise every increment edge would read as dangling
-    nodes = ctx.read_logical("nodes")
-    edges = ctx.read_logical("edges")
+    # THUNKS, not Datasets: read_parquet over a many-part delta spends
+    # ~1-2 s of driver-serial metadata time per construction; the validator
+    # builds edges inside its warm thread (overlapped with the dim chain)
+    # and touches nodes only on exceptional paths when the side-written
+    # dim is present
+    nodes = lambda: ctx.read_logical("nodes")  # noqa: E731
+    edges = lambda: ctx.read_logical("edges")  # noqa: E731
     budget = _p(ctx, "validate_broadcast_max_rows") or v.BROADCAST_MAX_ROWS
     # path-selection scalar from parquet METADATA (row-group counts), not a
     # Dataset.count() — counting the union-schema delta decoded every file

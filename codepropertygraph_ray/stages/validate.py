@@ -40,6 +40,9 @@ Two execution shapes, chosen by node count:
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -209,6 +212,85 @@ def _dim_dataset(src):
     return pads.dataset(src)
 
 
+
+def _probe_sorted(ids_s: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """``np.searchsorted(ids_s, q)`` but ~2.7× faster for large random
+    query vectors: pre-sorting the queries makes the binary-search walk
+    sequentially through the probe table (cache locality) instead of
+    random-missing per query; the inverse permutation restores order."""
+    if len(q) < 4096:
+        return np.searchsorted(ids_s, q)
+    o = np.argsort(q, kind="stable")
+    pos = np.empty(len(q), dtype=np.int64)
+    pos[o] = np.searchsorted(ids_s, q[o])
+    return pos
+
+
+def _dim_files(src) -> list:
+    """Expand one dir OR a list of dirs to a sorted parquet file list."""
+    dirs = src if isinstance(src, (list, tuple)) else [src]
+    files = []
+    for d in dirs:
+        if os.path.isdir(d):
+            files.extend(sorted(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet")
+            ))
+        else:
+            files.append(d)
+    return files
+
+
+@ray.remote(num_returns=3)
+def _dim_state_task(dim_dir, turn_props_dir, nlabels, ent_code, req, forb,
+                    nthreads=4):
+    """Side-written-dim fast path: read + sort the numeric dims and reduce
+    every node-side check in ONE worker task. The two big returns (sorted
+    probe arrays, sorted TURN props) land in plasma as task outputs — zero
+    driver copies, zero driver sort time — and the read+sort itself is
+    polars, multi-threaded inside the task's 4-cpu slot (measured 0.1–0.4 s
+    vs 1.1 s numpy argsort+take at 7.3M rows). ``req``/``forb`` are the
+    KeysValidator bit-matrices built on the DRIVER (runtime schema
+    extensions registered there must win over the worker's module state);
+    the driver decodes the returned OR-masks back to violation rows."""
+    os.environ.setdefault("POLARS_MAX_THREADS", str(nthreads))  # task slot
+    import polars as pl
+
+    dim = pl.read_parquet(_dim_files(dim_dir)).sort("id")
+    ids_sorted = np.ascontiguousarray(dim["id"].to_numpy())
+    codes_sorted = np.ascontiguousarray(dim["code"].to_numpy())
+    ext_sorted = np.ascontiguousarray(dim["ext"].to_numpy())
+    tp = pl.read_parquet(_dim_files(turn_props_dir)).sort("id")
+    n_dim_rows = len(ids_sorted)
+    dup_ids = (
+        np.unique(ids_sorted[1:][ids_sorted[1:] == ids_sorted[:-1]])
+        if n_dim_rows > 1 else np.empty(0, np.int64)
+    )
+    counts = np.bincount(codes_sorted[codes_sorted >= 0], minlength=nlabels)
+    n_unknown = int((codes_sorted < 0).sum())
+    masks = None
+    if "pmask" in dim.columns:  # bit-OR is order-free: sorted rows are fine
+        valid = codes_sorted >= 0
+        c = codes_sorted[valid].astype(np.int64)
+        pm = dim["pmask"].to_numpy()[valid].astype(np.uint16)
+        miss_or = np.zeros(nlabels, dtype=np.uint16)
+        over_or = np.zeros(nlabels, dtype=np.uint16)
+        np.bitwise_or.at(miss_or, c, req[c] & ~pm)
+        np.bitwise_or.at(over_or, c, forb[c] & pm)
+        masks = (miss_or, over_or)
+    nonext_packed = np.packbits((codes_sorted == ent_code) & ~ext_sorted)
+    small = {"n_dim_rows": n_dim_rows, "dup_ids": dup_ids, "counts": counts,
+             "n_unknown": n_unknown, "masks": masks,
+             "nonext_packed": nonext_packed}
+    return (
+        (ids_sorted, codes_sorted),
+        (np.ascontiguousarray(tp["id"].to_numpy()),
+         np.ascontiguousarray(tp["conv"].to_numpy()),
+         np.ascontiguousarray(tp["tidx"].to_numpy())),
+        small,
+    )
+
+
 def validate_graph(nodes, edges, num_partitions: int = 16,
                    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
                    n_nodes: int | None = None,
@@ -221,13 +303,36 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
     (ledger row counts / ``pyarrow.dataset.count_rows``) when available —
     ``Dataset.count()`` on a column-pruned read of the materialize delta
     measured ~30 s at 7M nodes (a full decode of the union-schema files),
-    pure waste for a path-selection scalar."""
+    pure waste for a path-selection scalar.
+
+    ``nodes`` / ``edges`` may be zero-arg CALLABLES returning the Dataset:
+    ``read_parquet`` over a many-part delta spends 1–2 s of driver-serial
+    metadata time just CONSTRUCTING the Dataset (551 parts at sf0.4), and
+    on the side-written-dim fast path the nodes table is only touched by
+    exceptional branches — a thunk defers (usually: skips) that cost, and
+    the edges construction runs inside the warm thread, overlapped with
+    the driver's dim chain."""
+    nodes_fn = nodes if callable(nodes) else (lambda: nodes)
+    edges_fn = edges if callable(edges) else (lambda: edges)
     if n_nodes is None:
-        n_nodes = nodes.count()
+        n_nodes = nodes_fn().count()
     if n_nodes <= broadcast_max_rows:
-        return _validate_broadcast(nodes, edges, dim_dir, turn_props_dir,
-                                   numeric_edges_dir)
-    return _validate_sharded(nodes, edges, num_partitions)
+        return _validate_broadcast(_once(nodes_fn), edges_fn, dim_dir,
+                                   turn_props_dir, numeric_edges_dir)
+    return _validate_sharded(nodes_fn(), edges_fn(), num_partitions)
+
+
+def _once(fn):
+    """Memoize a zero-arg thunk (the nodes Dataset is used by several
+    exceptional branches; construct it at most once)."""
+    cell: list = []
+
+    def get():
+        if not cell:
+            cell.append(fn())
+        return cell[0]
+
+    return get
 
 
 # ---------------------------------------------------------------------------
@@ -235,40 +340,54 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
 # ---------------------------------------------------------------------------
 
 
-def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
+def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
                         turn_props_dir: str | list | None = None,
                         numeric_edges_dir: str | None = None) -> pa.Table:
     import threading
 
+    import pyarrow.compute as pc
+
     label_names, code_of_label = _label_codes()
     edge_labels = list(schema.EDGE_LABELS)  # captured: includes extensions
+    _label_set = pa.array(edge_labels, pa.string())
 
-    # ---- numeric edge stream, materialized CONCURRENTLY with the driver's
-    # dim build below: the edge read/decode needs nothing from the dim, and
-    # the dim argsort/put chain is the validator's largest serial term —
-    # overlapping the two hides one behind the other on both cluster widths
-    if numeric_edges_dir is not None:
-        from ray.data import read_parquet
-
-        edge_input = read_parquet(numeric_edges_dir)
-    else:
-        def to_numeric(t: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"src": t["src"].astype("int64"),
-                 "dst": t["dst"].astype("int64"),
-                 "lcode": pd.Categorical(
-                     t["label"], categories=edge_labels
-                 ).codes.astype("int16")}
-            )
-
-        edge_input = edges.select_columns(["src", "dst", "label"]).map_batches(
-            to_numeric, batch_format="pandas"
+    # ---- numeric edge stream, CONSTRUCTED and materialized CONCURRENTLY
+    # with the driver's dim build below: the edge read/decode needs nothing
+    # from the dim, and the dim argsort/put chain is the validator's
+    # largest serial term — overlapping the two hides one behind the other
+    # on both cluster widths. Dataset construction itself (read_parquet
+    # metadata over a many-part delta, ~1 s driver-serial) lives in the
+    # thread too, so the driver goes straight to the dim chain.
+    def to_numeric(t: pa.Table) -> pa.Table:
+        # arrow kernels end-to-end: index_in maps label→code without a
+        # pandas object-string detour (measured 1.22 s vs 1.59 s for the
+        # Categorical path over 27M edges at 32 cpus)
+        lcode = pc.cast(
+            pc.fill_null(pc.index_in(t["label"], value_set=_label_set), -1),
+            pa.int16(),
         )
+        return pa.table(
+            {"src": pc.cast(t["src"], pa.int64()),
+             "dst": pc.cast(t["dst"], pa.int64()),
+             "lcode": lcode}
+        )
+
+    def _build_edge_input():
+        if numeric_edges_dir is not None:
+            from ray.data import read_parquet
+
+            return read_parquet(numeric_edges_dir)
+        return edges_fn().select_columns(["src", "dst", "label"]).map_batches(
+            to_numeric, batch_format="pyarrow"
+        )
+
     _edge_holder: dict = {}
+    _t0 = time.perf_counter()
 
     def _warm_edges():
         try:
-            _edge_holder["ds"] = edge_input.materialize()
+            _edge_holder["ds"] = _build_edge_input().materialize()
+            _edge_holder["t"] = time.perf_counter() - _t0
         except Exception as e:  # surfaced after join
             _edge_holder["err"] = e
 
@@ -304,61 +423,90 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
         )
 
     # The probe table is the (id, code) dim fetched UNSORTED and argsorted
-    # on the driver. Measured alternatives at 7.3M/14.7M nodes, same box:
-    # Ray's distributed sort("id") 13.3 s (sample + range-exchange
-    # barriers), serial k-way run merge 6.8 s (and scaling-hostile),
-    # parallel Ray-task merge tree 12.5 s (searchsorted merges are
-    # cache-miss-bound, not O(n)) — vs driver np.argsort+take 1.2 s/2.3 s
-    # (introsort on values). The driver holds the dim on this path by
-    # definition (≤ BROADCAST_MAX_ROWS ⇒ argsort ≤ ~8 s at the cap, a
-    # width-independent constant); beyond the cap the sharded path runs.
-    if dim_dir is not None:
-        # the materialize pass side-wrote the numeric dim from the frames
-        # it had in hand (pipelines/kg.write_graph) — one small driver
-        # read replaces the full node scan (the caller verified the
-        # label-code vocabulary matches the live schema). A LIST unions
-        # the base dim with every increment's dim (post-ingest validation)
-        dim = _dim_dataset(dim_dir).to_table().to_pandas()
+    # ONCE. Measured alternatives at 7.3M/14.7M nodes, same box: Ray's
+    # distributed sort("id") 13.3 s (sample + range-exchange barriers),
+    # serial k-way run merge 6.8 s (and scaling-hostile), parallel
+    # Ray-task merge tree 12.5 s (searchsorted merges are cache-miss-
+    # bound, not O(n)) — vs np.argsort+take 1.2 s/2.3 s (introsort on
+    # values). On the side-written-dim fast path the WHOLE chain (read →
+    # argsort → reductions) runs in ONE Ray task whose big returns land in
+    # plasma directly — off the driver's critical path, overlapped with
+    # the edge-stream warm thread (was ~3.3 s driver-serial at sf0.4).
+    # The fallback paths (no side dim: probe built from a full node scan)
+    # keep the driver chain — they already pay a corpus scan anyway.
+    ent_code = code_of_label.get(schema.ENTITY, -1)
+    if dim_dir is not None and turn_props_dir is not None:
+        req, forb = _prop_masks(label_names)
+        # cap the slot at the cluster width: a fixed num_cpus=4 request is
+        # INFEASIBLE on a 2-cpu test cluster and hangs forever
+        slot = max(1, min(4, int(ray.cluster_resources().get("CPU", 1))))
+        label_of, turn_props_ref, small_ref = _dim_state_task.options(
+            num_cpus=slot
+        ).remote(
+            dim_dir, turn_props_dir, len(label_names), ent_code, req, forb,
+            nthreads=slot)
+        small = ray.get(small_ref)
+        n_dim_rows = small["n_dim_rows"]
+        dup_ids = small["dup_ids"]
+        counts = small["counts"]
+        n_unknown = small["n_unknown"]
+        key_rows = (_decode_mask_viols(label_names, *small["masks"])
+                    if small["masks"] is not None else None)
+        nonext = np.unpackbits(
+            small["nonext_packed"], count=n_dim_rows).astype(bool)
     else:
-        dim = (
-            nodes.select_columns(["id", "label", *schema.NODE_PROP_COLS])
-            .map_batches(node_dim_batch, batch_format="pandas", batch_size=None)
-            .to_pandas()
+        if dim_dir is not None:
+            dim = _dim_dataset(dim_dir).to_table().to_pandas()
+        else:
+            dim = (
+                nodes().select_columns(["id", "label", *schema.NODE_PROP_COLS])
+                .map_batches(node_dim_batch, batch_format="pandas", batch_size=None)
+                .to_pandas()
+            )
+        ids_u = dim["id"].to_numpy(np.int64)
+        codes_u = dim["code"].to_numpy(np.int16)
+        order = np.argsort(ids_u)
+        ids_sorted = ids_u[order]
+        codes_sorted = codes_u[order]
+        ext_sorted = dim["ext"].to_numpy()[order]
+        nonext = (codes_sorted == ent_code) & ~ext_sorted
+        # TURN-subset property lookup (sorted ids ∥ conv hash ∥ turn_idx)
+        # for the CFG checks — filtered in-task, sorted once
+        if turn_props_dir is not None:
+            tprops = _dim_dataset(turn_props_dir).to_table().to_pandas()
+        else:
+            tprops = (
+                nodes().select_columns(["id", "label", "conv_id", "turn_idx"])
+                .map_batches(turn_prop_batch, batch_format="pandas", batch_size=None)
+                .to_pandas()
+            )
+        _to = np.argsort(tprops["id"].to_numpy(np.int64))
+        turn_props_ref = ray.put(
+            (tprops["id"].to_numpy(np.int64)[_to],
+             tprops["conv"].to_numpy(np.int64)[_to],
+             tprops["tidx"].to_numpy(np.int32)[_to])
         )
-    ids_u = dim["id"].to_numpy(np.int64)
-    codes_u = dim["code"].to_numpy(np.int16)
-    order = np.argsort(ids_u)
-    ids_sorted = ids_u[order]
-    codes_sorted = codes_u[order]
-    ext_sorted = dim["ext"].to_numpy()[order]  # driver-only (entity-ref check)
-    # TURN-subset property lookup (sorted ids ∥ conv hash ∥ turn_idx) for
-    # the CFG checks — filtered in-task, sorted once on the driver
-    if turn_props_dir is not None:
-        tprops = _dim_dataset(turn_props_dir).to_table().to_pandas()
-    else:
-        tprops = (
-            nodes.select_columns(["id", "label", "conv_id", "turn_idx"])
-            .map_batches(turn_prop_batch, batch_format="pandas", batch_size=None)
-            .to_pandas()
+        n_dim_rows = len(ids_sorted)
+        dup_ids = (
+            np.unique(ids_sorted[1:][ids_sorted[1:] == ids_sorted[:-1]])
+            if n_dim_rows > 1 else np.empty(0, np.int64)
         )
-    _to = np.argsort(tprops["id"].to_numpy(np.int64))
-    turn_props_ref = ray.put(
-        (tprops["id"].to_numpy(np.int64)[_to],
-         tprops["conv"].to_numpy(np.int64)[_to],
-         tprops["tidx"].to_numpy(np.int32)[_to])
-    )
-    n_dim_rows = len(ids_sorted)
-    dup_ids = (
-        np.unique(ids_sorted[1:][ids_sorted[1:] == ids_sorted[:-1]])
-        if n_dim_rows > 1 else np.empty(0, np.int64)
-    )
-    counts = np.bincount(codes_sorted[codes_sorted >= 0], minlength=len(label_names))
-    n_unknown = int((codes_sorted < 0).sum())
+        counts = np.bincount(codes_sorted[codes_sorted >= 0],
+                             minlength=len(label_names))
+        n_unknown = int((codes_sorted < 0).sum())
+        key_rows = (
+            _prop_mask_viols(label_names, codes_u, dim["pmask"].to_numpy())
+            if "pmask" in dim.columns else None
+        )
+        # broadcast lookup = (sorted int64 ids, int16 label codes): plasma-
+        # zero-copy numpy arrays + np.searchsorted — 100× faster per batch
+        # than a Series.map(dict) probe at 10^6+ nodes
+        label_of = ray.put((ids_sorted, codes_sorted))
 
     driver_viols = [_EMPTY]
     if n_unknown:  # exceptional path: name the unknown labels
         bad = (
-            nodes.select_columns(["label"])
+            nodes().select_columns(["label"])
             .map_batches(
                 lambda t: t.loc[~t["label"].isin(label_names), ["label"]].drop_duplicates(),
                 batch_format="pandas",
@@ -375,21 +523,13 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
     # ---- KeysValidator analog: required/forbidden property keys ---------
     # the side-written dim carries a per-node property-presence bitmask
     # (pmask); without one, a distributed bit-OR partial scan stands in
-    key_rows = (
-        _prop_mask_viols(label_names, codes_u, dim["pmask"].to_numpy())
-        if "pmask" in dim.columns
-        else _keys_partial_scan(nodes, label_names)
-    )
+    if key_rows is None:
+        key_rows = _keys_partial_scan(nodes(), label_names)
     if key_rows:
         kf = pd.DataFrame(key_rows, columns=["check", "detail"])
         for chk, grp in kf.groupby("check"):
             driver_viols.append(_viol(chk, grp["detail"]))
 
-    # broadcast lookup = (sorted int64 ids, int16 label codes): plasma-zero-
-    # copy numpy arrays + np.searchsorted — 100× faster per batch than a
-    # Series.map(dict) probe at 10^6+ nodes, and the dominant validator
-    # cost at scale.
-    label_of = ray.put((ids_sorted, codes_sorted))
     allowed = frozenset(schema.EDGE_FACTS)
 
     def _lookup(ids: np.ndarray, table) -> np.ndarray:
@@ -445,9 +585,9 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
         src_v = t["src"].to_numpy(np.int64)
         dst_v = t["dst"].to_numpy(np.int64)
         if len(ids_s):
-            pos_src = np.clip(np.searchsorted(ids_s, src_v), 0, len(ids_s) - 1)
+            pos_src = np.clip(_probe_sorted(ids_s, src_v), 0, len(ids_s) - 1)
             src_c = np.where(ids_s[pos_src] == src_v, codes_s[pos_src], -1)
-            pos_dst = np.clip(np.searchsorted(ids_s, dst_v), 0, len(ids_s) - 1)
+            pos_dst = np.clip(_probe_sorted(ids_s, dst_v), 0, len(ids_s) - 1)
             dst_c = np.where(ids_s[pos_dst] == dst_v, codes_s[pos_dst], -1)
         else:
             pos_src = np.zeros(len(t), dtype=np.int64)
@@ -563,8 +703,8 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
             tids, tconv, ttidx = get_broadcast(turn_props_ref)
             if len(tids):
                 sv, dvv = src_v[ntm], dst_v[ntm]
-                ps = np.clip(np.searchsorted(tids, sv), 0, len(tids) - 1)
-                pdd = np.clip(np.searchsorted(tids, dvv), 0, len(tids) - 1)
+                ps = np.clip(_probe_sorted(tids, sv), 0, len(tids) - 1)
+                pdd = np.clip(_probe_sorted(tids, dvv), 0, len(tids) - 1)
                 okb = (tids[ps] == sv) & (tids[pdd] == dvv)
                 cross = okb & (tconv[ps] != tconv[pdd])
                 mono = (
@@ -591,12 +731,15 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
                     frames.append(v)
         return pd.concat(frames, ignore_index=True)
 
+    _t_dim = time.perf_counter() - _t0
     _warm.join()
     if "err" in _edge_holder:
         raise _edge_holder["err"]
+    _t_warm = time.perf_counter() - _t0
     edge_results = (
         _edge_holder["ds"].map_batches(edge_scan, batch_format="pandas").to_pandas()
     )
+    _t_scan = time.perf_counter() - _t0
 
     ref_rows = edge_results["check"] == "_ref_partial"
     n_refs = edge_results.loc[ref_rows, "detail"].astype(int).sum()
@@ -676,7 +819,6 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
                 ))
         if dc == ent_code and lc == ref_lcode:
             # conditional InFact: non-external ENTITY needs ≥1 incoming REF
-            nonext = (codes_sorted == ent_code) & ~ext_sorted
             miss = int((nonext & ~bitmap[:n_dim_rows]).sum()) if n_dim_rows else 0
             if miss:
                 driver_viols.append(_viol(
@@ -691,6 +833,11 @@ def _validate_broadcast(nodes, edges, dim_dir: str | list | None = None,
             _viol("mention_ref_count", [f"mentions={n_mentions} refs={n_refs}"])
         )
 
+    if os.environ.get("GRAFT_VALIDATE_TIMING"):
+        import sys as _sys
+        print(f"[validate] dim_chain={_t_dim:.2f}s edge_mat={_edge_holder.get('t', -1):.2f}s "
+              f"joined_at={_t_warm:.2f}s scan_done={_t_scan:.2f}s "
+              f"reduce={time.perf_counter() - _t0 - _t_scan:.2f}s", file=_sys.stderr)
     driver_df = pd.concat(driver_viols + [edge_results], ignore_index=True)
     return pa.Table.from_pandas(
         driver_df.reset_index(drop=True), schema=VIOLATIONS_SCHEMA, preserve_index=False
