@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dataset_split": text.dataset_split,
         "text_redact": text.redact,
         "text_tfidf": text.tfidf_top_terms,
+        "text_pack_chunks": text.pack_chunks,
+        "text_repetition": text.repetition_stats,
         "text_simhash": text.simhash64,  # keyed hash — no SQL oracle
         "text_fingerprint": text.fingerprint,  # rolling hash — no SQL oracle
         # --- training-data ops: dedup --------------------------------------
@@ -1363,6 +1365,8 @@ def _ops_sql() -> dict[str, str]:
         BIGRAM_MIN_N,
         BPE_SQL_RE,
         LANG_MARKERS,
+        PACK_BUDGET,
+        PACK_SHARDS,
         STOPWORDS,
         TFIDF_K,
         TFIDF_ROUND,
@@ -1472,6 +1476,42 @@ def _ops_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS n_docs
           FROM (SELECT (doc_id * 2654435761) % 4294967296 % 100 AS h FROM documents)
           GROUP BY 1
+        """,
+        # concat-and-chunk sequence packing: same pack order (shard =
+        # multiplicative doc_id hash, then doc_id), same whitespace token
+        # count, same all-integer offset arithmetic as text.pack_chunks;
+        # empty docs span the zero-width chunk at their offset
+        "text_pack_chunks": rf"""
+          SELECT doc_id, shard, start_tok,
+                 CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS chunk_first,
+                 CAST((start_tok + greatest(n_tok, 1) - 1) // {PACK_BUDGET}
+                      AS BIGINT) AS chunk_last
+          FROM (
+            SELECT doc_id, shard, n_tok,
+                   CAST(coalesce(sum(n_tok) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_tok
+            FROM (SELECT doc_id,
+                         (doc_id * 2654435761) % 4294967296 % {PACK_SHARDS}
+                           AS shard,
+                         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                           AS n_tok
+                  FROM documents)
+          )
+        """,
+        # within-doc duplicate-trigram counts: tokens are \S+ runs so a
+        # space-joined trigram key is injective (matches the Python tuple)
+        "text_repetition": r"""
+          SELECT doc_id,
+                 CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_trigrams,
+                 CAST(greatest(len(toks) - 2, 0) - len(list_distinct(
+                     list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                     ))) AS BIGINT) AS n_dup_trigrams
+          FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                FROM documents)
         """,
         # PII scrub: the same RE2-portable rule table as text.REDACT_RULES,
         # applied in rule order; counts taken before each replacement

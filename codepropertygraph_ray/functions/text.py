@@ -499,3 +499,88 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_K):
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+PACK_BUDGET = 512   # tokens per packed training chunk
+PACK_SHARDS = 16    # independent pack streams (per-shard loaders at scale)
+
+
+def pack_chunks(sf_dir: str, budget: int = PACK_BUDGET,
+                shards: int = PACK_SHARDS):
+    """(doc_id, shard, start_tok, chunk_first, chunk_last) — concat-and-
+    chunk sequence packing, the data-loader layout step of a training
+    pipeline: documents are concatenated in a deterministic order and the
+    token stream is cut every ``budget`` tokens; each doc records its
+    stream offset and the first/last chunk it lands in (empty docs span
+    the zero-width chunk at their offset).
+
+    Determinism + scale shape: the pack ORDER is (shard, doc_id) where
+    shard is the same multiplicative hash as :func:`dataset_split` — never
+    row/block order. Offsets are a per-shard exclusive prefix sum, so the
+    only exchange is ONE shard-keyed bucketed shuffle (a shard packs in
+    one task, exactly how per-shard loader processes pack at scale);
+    ``shards`` scales with the corpus."""
+    from .agg import hash_groupby
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tok(t: pd.DataFrame) -> pd.DataFrame:
+        did = t["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": did,
+            "shard": (did * SPLIT_MULT) % SPLIT_MOD % shards,
+            "n_tok": t["text"].str.count(_TOKEN_RE).to_numpy(np.int64),
+        })
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "doc_id"], ignore_index=True)
+        n = g["n_tok"].to_numpy(np.int64)
+        # exclusive scan restarting at each shard boundary (a bucket may
+        # hold several shards)
+        cum = np.cumsum(n) - n
+        sh = g["shard"].to_numpy(np.int64)
+        starts = np.zeros(len(g), dtype=np.int64)
+        first = np.r_[True, sh[1:] != sh[:-1]] if len(g) else np.empty(0, bool)
+        np.subtract(cum, np.maximum.accumulate(np.where(first, cum, 0)),
+                    out=starts)
+        last_tok = starts + np.maximum(n, 1) - 1
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "shard": sh,
+            "start_tok": starts,
+            "chunk_first": starts // budget,
+            "chunk_last": last_tok // budget,
+        })
+
+    return hash_groupby(ds.map_batches(tok, batch_format="pandas"),
+                        "shard", per_shard)
+
+
+def repetition_stats(sf_dir: str):
+    """(doc_id, n_trigrams, n_dup_trigrams) — within-document repetition
+    signal (the Gopher/MassiveText duplicate-n-gram quality filter, Rae et
+    al. 2021 §A1.1): how many of a document's whitespace-token trigrams
+    are repeats of an earlier trigram. Ratio consumers divide client-side;
+    integers hash stably against the SQL oracle.
+
+    Purely row-local ⇒ a stateless vectorized ``map_batches`` with no
+    shuffle at all — the ideal 100-TB operator shape."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def stats(t: pd.DataFrame) -> pd.DataFrame:
+        toks = t["text"].str.findall(_TOKEN_RE)
+
+        def dup(ws: list) -> int:
+            n3 = len(ws) - 2
+            if n3 <= 0:
+                return 0
+            return n3 - len({(ws[i], ws[i + 1], ws[i + 2]) for i in range(n3)})
+
+        n_tri = np.maximum(toks.str.len().to_numpy(np.int64) - 2, 0)
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(np.int64),
+            "n_trigrams": n_tri,
+            "n_dup_trigrams": toks.map(dup).to_numpy(np.int64),
+        })
+
+    return ds.map_batches(stats, batch_format="pandas")

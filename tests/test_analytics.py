@@ -560,3 +560,37 @@ def test_session_overlap_matches_pairscan(ray_session):
         ref[(sess["user_id"].iat[i], sess["session_idx"].iat[i])] = int(ov.sum())
     assert dict(zip(zip(got["user_id"], got["session_idx"]),
                     got["n_overlap"])) == ref
+
+
+def test_pack_chunks_stream_invariants(ray_session):
+    from codepropertygraph_ray.functions.text import (
+        PACK_BUDGET, pack_chunks,
+    )
+
+    got = pack_chunks(SF_DIR).to_pandas().sort_values(
+        ["shard", "doc_id"], ignore_index=True)
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    ntok = {d: len(t.split()) for d, t in zip(docs["doc_id"], docs["text"])}
+    assert len(got) == len(docs)
+    # per shard: offsets are the exclusive prefix sum of token counts in
+    # doc_id order, and chunk spans follow from pure offset arithmetic
+    for _, g in got.groupby("shard"):
+        pos = 0
+        for r in g.itertuples():
+            n = ntok[r.doc_id]
+            assert r.start_tok == pos
+            assert r.chunk_first == pos // PACK_BUDGET
+            assert r.chunk_last == (pos + max(n, 1) - 1) // PACK_BUDGET
+            pos += n
+
+
+def test_repetition_matches_bruteforce(ray_session):
+    from codepropertygraph_ray.functions.text import repetition_stats
+
+    got = repetition_stats(SF_DIR).to_pandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for r in got.sample(50, random_state=0).itertuples():
+        toks = docs.loc[docs["doc_id"] == r.doc_id, "text"].iat[0].split()
+        tris = list(zip(toks, toks[1:], toks[2:]))
+        assert r.n_trigrams == len(tris)
+        assert r.n_dup_trigrams == len(tris) - len(set(tris))
