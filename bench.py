@@ -81,6 +81,7 @@ def run_bench() -> dict:
     def _warm(b):
         import numpy  # noqa: F401
         import pandas  # noqa: F401
+        import polars  # noqa: F401  (validator dim task)
 
         import codepropertygraph_ray.pipelines.kg  # noqa: F401
         import codepropertygraph_ray.stages.extract  # noqa: F401

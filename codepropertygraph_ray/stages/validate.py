@@ -270,13 +270,26 @@ def _dim_state_task(dim_dir, turn_props_dir, nlabels, ent_code, req, forb,
     n_unknown = int((codes_sorted < 0).sum())
     masks = None
     if "pmask" in dim.columns:  # bit-OR is order-free: sorted rows are fine
-        valid = codes_sorted >= 0
-        c = codes_sorted[valid].astype(np.int64)
-        pm = dim["pmask"].to_numpy()[valid].astype(np.uint16)
+        # zero-violation fast path: compute each row's contribution without
+        # boolean-filter copies (req/forb fancy-index is a tiny-table
+        # gather), and only run the slow ufunc.at per-label attribution
+        # when some row actually violates — a healthy graph pays one
+        # .any() instead of 0.75 s of filtered copies at 7.3M rows
+        pm = dim["pmask"].to_numpy().astype(np.uint16, copy=False)
+        contrib_miss = req[codes_sorted] & ~pm
+        contrib_over = forb[codes_sorted] & pm
+        invalid = codes_sorted < 0
+        if invalid.any():
+            contrib_miss[invalid] = 0
+            contrib_over[invalid] = 0
         miss_or = np.zeros(nlabels, dtype=np.uint16)
         over_or = np.zeros(nlabels, dtype=np.uint16)
-        np.bitwise_or.at(miss_or, c, req[c] & ~pm)
-        np.bitwise_or.at(over_or, c, forb[c] & pm)
+        if contrib_miss.any():
+            np.bitwise_or.at(miss_or, codes_sorted[~invalid].astype(np.int64),
+                             contrib_miss[~invalid])
+        if contrib_over.any():
+            np.bitwise_or.at(over_or, codes_sorted[~invalid].astype(np.int64),
+                             contrib_over[~invalid])
         masks = (miss_or, over_or)
     nonext_packed = np.packbits((codes_sorted == ent_code) & ~ext_sorted)
     small = {"n_dim_rows": n_dim_rows, "dup_ids": dup_ids, "counts": counts,
