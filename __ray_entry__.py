@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_price_quantiles": relational.price_quantiles_by_priority,
         "rel_mode_event": relational.mode_event_per_user,
         "rel_sample_hash": relational.sample_orders_hash,
+        "rel_shuffle_rank": relational.shuffle_rank_orders,
         "rel_pivot_events": relational.pivot_event_types,
         "rel_region_nations": relational.region_nation_list,
         "rel_rollup_revenue": relational.rollup_revenue,
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf": text.tfidf_top_terms,
         "text_pack_chunks": text.pack_chunks,
         "text_repetition": text.repetition_stats,
+        "text_unigram_logprob": text.unigram_logprob,
         "text_simhash": text.simhash64,  # keyed hash — no SQL oracle
         "text_fingerprint": text.fingerprint,  # rolling hash — no SQL oracle
         # --- training-data ops: dedup --------------------------------------
@@ -1211,6 +1213,16 @@ def _rel_sql() -> dict[str, str]:
           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
           WHERE (o_orderkey * 2654435761) % 4294967296 < 42949672
         """,
+        # deterministic global shuffle: exact rank under the keyed-hash
+        # total order (h, key) — same multiplicative hash as the sampler
+        "rel_shuffle_rank": """
+          SELECT o_orderkey,
+                 CAST(row_number() OVER (ORDER BY h, o_orderkey) - 1
+                      AS BIGINT) AS shuffle_pos
+          FROM (SELECT o_orderkey,
+                       (o_orderkey * 2654435761) % 4294967296 AS h
+                FROM orders)
+        """,
         # pivot as conditional aggregation (the declared type enum is the
         # column set — one shuffled row per user)
         "rel_pivot_events": """
@@ -1499,6 +1511,37 @@ def _ops_sql() -> dict[str, str]:
                            AS n_tok
                   FROM documents)
           )
+        """,
+        # unigram LM scoring: the corpus is the model; per-VOCAB-entry
+        # log-probs round to fixed point BEFORE the per-doc sum, so both
+        # sides sum exact integers (order-free) — only ln() itself must
+        # agree, and both sides call libm log on the same double
+        "text_unigram_logprob": r"""
+          SELECT d.doc_id,
+                 CAST(coalesce(ds.n_words, 0) AS BIGINT) AS n_words,
+                 CAST(coalesce(ds.s, 0) AS BIGINT) AS logprob_units
+          FROM documents d LEFT JOIN (
+            SELECT w.doc_id, count(*) AS n_words, sum(u.units) AS s
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS term
+                  FROM documents) w
+            JOIN (
+              SELECT term,
+                     CAST(round(ln(n / (SELECT sum(n) FROM (
+                         SELECT count(*) AS n
+                         FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '[a-z]+')) AS term
+                               FROM documents)
+                         GROUP BY term))) * 1000000) AS BIGINT) AS units
+              FROM (SELECT term, count(*) AS n
+                    FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                        '[a-z]+')) AS term
+                          FROM documents)
+                    GROUP BY term)
+            ) u USING (term)
+            GROUP BY w.doc_id
+          ) ds ON d.doc_id = ds.doc_id
         """,
         # within-doc duplicate-trigram counts: tokens are \S+ runs so a
         # space-joined trigram key is injective (matches the Python tuple)

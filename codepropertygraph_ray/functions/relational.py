@@ -631,6 +631,65 @@ def sample_orders_hash(sf_dir: str):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+SHUFFLE_RANGE_BITS = 24  # 2^32 hash space → 256 ordered range buckets
+
+
+def shuffle_rank_orders(sf_dir: str):
+    """(o_orderkey, shuffle_pos) — deterministic global shuffle: every row
+    gets its exact position in the corpus ordered by (keyed hash, key).
+    The training-data global-shuffle archetype (epoch shuffling without an
+    RNG), computed WITHOUT a global sort: the multiplicative hash is
+    uniform on [0, 2^32), so its high bits are ORDERED range buckets —
+    per-bucket counts (bucket-scale, tiny) give exclusive global offsets,
+    and each bucket ranks locally in one task. Shape: one stateless count
+    pass + one bucket-keyed exchange; bucket count scales with the hash
+    space split, never with corpus bytes.
+    """
+    from .agg import hash_groupby
+    from .joins import get_broadcast
+
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def with_bucket(t: pd.DataFrame) -> pd.DataFrame:
+        h = (t["o_orderkey"].to_numpy(np.int64) * SAMPLE_MULT) % SAMPLE_MOD
+        return pd.DataFrame({
+            "o_orderkey": t["o_orderkey"].to_numpy(np.int64),
+            "h": h,
+            "rb": (h >> SHUFFLE_RANGE_BITS).astype(np.int64),
+        })
+
+    hb = ds.map_batches(with_bucket, batch_format="pandas")
+
+    def count_partial(t: pd.DataFrame) -> pd.DataFrame:
+        vc = t["rb"].value_counts()
+        return pd.DataFrame({"rb": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    from .agg import hash_agg
+
+    counts = hash_agg(
+        hb.map_batches(count_partial, batch_format="pandas"), "rb", n=("n", "sum")
+    ).to_pandas().sort_values("rb", ignore_index=True)
+    # exclusive scan over the (≤2^(32-bits)) ordered buckets → global offsets
+    base = np.cumsum(counts["n"].to_numpy(np.int64)) - counts["n"].to_numpy(np.int64)
+    offsets_ref = ray.put(dict(zip(counts["rb"].astype(int), base.tolist())))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = get_broadcast(offsets_ref)
+        outs = []
+        for rb, grp in g.groupby("rb"):
+            grp = grp.sort_values(["h", "o_orderkey"], ignore_index=True)
+            outs.append(pd.DataFrame({
+                "o_orderkey": grp["o_orderkey"].to_numpy(np.int64),
+                "shuffle_pos": off[int(rb)] + np.arange(len(grp), dtype=np.int64),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_groupby(hb, "rb", per_bucket)
+
+
 # ---------------------------------------------------------------------------
 # range join against a small interval table (banded lookup)
 # ---------------------------------------------------------------------------

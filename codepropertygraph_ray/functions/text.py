@@ -556,6 +556,63 @@ def pack_chunks(sf_dir: str, budget: int = PACK_BUDGET,
                         "shard", per_shard)
 
 
+LOGPROB_UNIT = 6  # fixed-point decimals for per-token log-probabilities
+
+
+def unigram_logprob(sf_dir: str):
+    """(doc_id, n_words, logprob_units) — unigram language-model score:
+    each document's sum of ln(count(w)/N) over its words, in int64
+    fixed-point units (``LOGPROB_UNIT`` decimals). The corpus IS the
+    model — the classic cheap perplexity proxy for quality filtering
+    (consumers divide by n_words client-side).
+
+    Scale shape: model fit = ONE term-keyed exchange of per-batch count
+    partials (vocab-scale output); per-VOCAB-entry log-probs are rounded
+    to fixed point once (libm ``math.log``, matching the oracle's ``ln``)
+    and broadcast; scoring is then a stateless vectorized pass whose sums
+    are all-integer — associative, so block order can never flip a hash.
+    """
+    from .agg import hash_agg, round_half_away
+    from .joins import build_lookup, get_broadcast, lookup_keys
+
+    import math
+
+    import ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def count_partial(t: pd.DataFrame) -> pd.DataFrame:
+        vc = t["text"].str.lower().str.findall(_WORD_RE).explode().dropna().value_counts()
+        return pd.DataFrame({"term": vc.index, "n": vc.to_numpy(np.int64)})
+
+    vocab = hash_agg(
+        ds.map_batches(count_partial, batch_format="pandas"), "term", n=("n", "sum")
+    ).to_pandas()
+    total = float(vocab["n"].sum())
+    units = np.array(
+        [int(round_half_away(math.log(c / total) * 10**LOGPROB_UNIT, 0))
+         for c in vocab["n"]],
+        dtype=np.int64,
+    )
+    ref = ray.put(build_lookup(vocab["term"], units))
+
+    def score(t: pd.DataFrame) -> pd.DataFrame:
+        words = t["text"].str.lower().str.findall(_WORD_RE)
+        ex = t[["doc_id"]].join(words.explode().rename("term")).dropna()
+        u = lookup_keys(get_broadcast(ref), ex["term"]).astype(np.int64)
+        g = pd.DataFrame({"doc_id": ex["doc_id"].to_numpy(np.int64), "u": u}) \
+            .groupby("doc_id", as_index=True)["u"].agg(["size", "sum"])
+        did = t["doc_id"].to_numpy(np.int64)
+        g = g.reindex(did, fill_value=0)  # wordless docs still emit a row
+        return pd.DataFrame({
+            "doc_id": did,
+            "n_words": g["size"].to_numpy(np.int64),
+            "logprob_units": g["sum"].to_numpy(np.int64),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def repetition_stats(sf_dir: str):
     """(doc_id, n_trigrams, n_dup_trigrams) — within-document repetition
     signal (the Gopher/MassiveText duplicate-n-gram quality filter, Rae et

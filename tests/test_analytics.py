@@ -594,3 +594,45 @@ def test_repetition_matches_bruteforce(ray_session):
         tris = list(zip(toks, toks[1:], toks[2:]))
         assert r.n_trigrams == len(tris)
         assert r.n_dup_trigrams == len(tris) - len(set(tris))
+
+
+def test_shuffle_rank_is_hash_order_permutation(ray_session):
+    from codepropertygraph_ray.functions.relational import (
+        SAMPLE_MOD, SAMPLE_MULT, shuffle_rank_orders,
+    )
+
+    got = shuffle_rank_orders(SF_DIR).to_pandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    assert sorted(got["shuffle_pos"]) == list(range(len(orders)))
+    h = (orders["o_orderkey"].to_numpy(np.int64) * SAMPLE_MULT) % SAMPLE_MOD
+    ref = orders.assign(h=h).sort_values(
+        ["h", "o_orderkey"], ignore_index=True)["o_orderkey"]
+    by_pos = got.sort_values("shuffle_pos", ignore_index=True)["o_orderkey"]
+    assert list(by_pos) == list(ref)
+
+
+def test_unigram_logprob_matches_bruteforce(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    from codepropertygraph_ray.functions.text import unigram_logprob
+
+    got = unigram_logprob(SF_DIR).to_pandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    word_re = re.compile(r"[a-z]+")
+    toks = {d: word_re.findall(t.lower())
+            for d, t in zip(docs["doc_id"], docs["text"])}
+    ctr: Counter = Counter()
+    for ws in toks.values():
+        ctr.update(ws)
+    total = sum(ctr.values())
+
+    def unit(w):
+        x = math.log(ctr[w] / total) * 1e6
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    for r in got.sample(50, random_state=0).itertuples():
+        ws = toks[r.doc_id]
+        assert r.n_words == len(ws)
+        assert r.logprob_units == sum(unit(w) for w in ws)
