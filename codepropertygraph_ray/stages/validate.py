@@ -396,6 +396,15 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
 
     _edge_holder: dict = {}
     _t0 = time.perf_counter()
+    # the side-written-dim FAST path runs the edge pipeline FUSED (read →
+    # label decode → scan in one task, no mid-pipeline materialize): scan
+    # tasks block inside get_broadcast until the dim task publishes the
+    # probe arrays — Ray releases a worker's CPU while it waits in
+    # ray.get, so the dim task schedules even on a tiny cluster — and the
+    # read/decode half of every task overlaps the dim build for free.
+    # Fallback paths keep the warm-thread materialize: their probe table
+    # is built on the DRIVER between construction and scan.
+    fast = dim_dir is not None and turn_props_dir is not None
 
     def _warm_edges():
         try:
@@ -404,8 +413,10 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
         except Exception as e:  # surfaced after join
             _edge_holder["err"] = e
 
-    _warm = threading.Thread(target=_warm_edges, daemon=True)
-    _warm.start()
+    _warm = None
+    if not fast:
+        _warm = threading.Thread(target=_warm_edges, daemon=True)
+        _warm.start()
 
     turn_code = code_of_label[schema.TURN]
 
@@ -448,7 +459,7 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
     # The fallback paths (no side dim: probe built from a full node scan)
     # keep the driver chain — they already pay a corpus scan anyway.
     ent_code = code_of_label.get(schema.ENTITY, -1)
-    if dim_dir is not None and turn_props_dir is not None:
+    if fast:
         req, forb = _prop_masks(label_names)
         # cap the slot at the cluster width: a fixed num_cpus=4 request is
         # INFEASIBLE on a 2-cpu test cluster and hangs forever
@@ -458,15 +469,8 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
         ).remote(
             dim_dir, turn_props_dir, len(label_names), ent_code, req, forb,
             nthreads=slot)
-        small = ray.get(small_ref)
-        n_dim_rows = small["n_dim_rows"]
-        dup_ids = small["dup_ids"]
-        counts = small["counts"]
-        n_unknown = small["n_unknown"]
-        key_rows = (_decode_mask_viols(label_names, *small["masks"])
-                    if small["masks"] is not None else None)
-        nonext = np.unpackbits(
-            small["nonext_packed"], count=n_dim_rows).astype(bool)
+        # small_ref is fetched AFTER the scan pipeline launches (below):
+        # nothing before the driver-side reductions needs it
     else:
         if dim_dir is not None:
             dim = _dim_dataset(dim_dir).to_table().to_pandas()
@@ -516,32 +520,36 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
         # than a Series.map(dict) probe at 10^6+ nodes
         label_of = ray.put((ids_sorted, codes_sorted))
 
-    driver_viols = [_EMPTY]
-    if n_unknown:  # exceptional path: name the unknown labels
-        bad = (
-            nodes().select_columns(["label"])
-            .map_batches(
-                lambda t: t.loc[~t["label"].isin(label_names), ["label"]].drop_duplicates(),
-                batch_format="pandas",
+    def _node_side_viols(n_unknown, dup_ids, counts, key_rows) -> list:
+        viols = [_EMPTY]
+        if n_unknown:  # exceptional path: name the unknown labels
+            bad = (
+                nodes().select_columns(["label"])
+                .map_batches(
+                    lambda t: t.loc[~t["label"].isin(label_names), ["label"]].drop_duplicates(),
+                    batch_format="pandas",
+                )
+                .to_pandas()["label"].drop_duplicates()
             )
-            .to_pandas()["label"].drop_duplicates()
-        )
-        driver_viols.append(_viol("unknown_node_label", bad))
-    if len(dup_ids):
-        driver_viols.append(_viol("duplicate_node_id", dup_ids.astype(str)))
-    if counts[code_of_label[schema.META_DATA]] != 1:
-        driver_viols.append(_viol("meta_data_count", ["expected exactly 1"]))
-    n_mentions = int(counts[code_of_label[schema.MENTION]])
+            viols.append(_viol("unknown_node_label", bad))
+        if len(dup_ids):
+            viols.append(_viol("duplicate_node_id", dup_ids.astype(str)))
+        if counts[code_of_label[schema.META_DATA]] != 1:
+            viols.append(_viol("meta_data_count", ["expected exactly 1"]))
+        # ---- KeysValidator analog: required/forbidden property keys -----
+        # the side-written dim carries a per-node property-presence bitmask
+        # (pmask); without one, a distributed bit-OR partial scan stands in
+        if key_rows is None:
+            key_rows = _keys_partial_scan(nodes(), label_names)
+        if key_rows:
+            kf = pd.DataFrame(key_rows, columns=["check", "detail"])
+            for chk, grp in kf.groupby("check"):
+                viols.append(_viol(chk, grp["detail"]))
+        return viols
 
-    # ---- KeysValidator analog: required/forbidden property keys ---------
-    # the side-written dim carries a per-node property-presence bitmask
-    # (pmask); without one, a distributed bit-OR partial scan stands in
-    if key_rows is None:
-        key_rows = _keys_partial_scan(nodes(), label_names)
-    if key_rows:
-        kf = pd.DataFrame(key_rows, columns=["check", "detail"])
-        for chk, grp in kf.groupby("check"):
-            driver_viols.append(_viol(chk, grp["detail"]))
+    if not fast:
+        driver_viols = _node_side_viols(n_unknown, dup_ids, counts, key_rows)
+        n_mentions = int(counts[code_of_label[schema.MENTION]])
 
     allowed = frozenset(schema.EDGE_FACTS)
 
@@ -744,14 +752,48 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
                     frames.append(v)
         return pd.concat(frames, ignore_index=True)
 
-    _t_dim = time.perf_counter() - _t0
-    _warm.join()
-    if "err" in _edge_holder:
-        raise _edge_holder["err"]
-    _t_warm = time.perf_counter() - _t0
-    edge_results = (
-        _edge_holder["ds"].map_batches(edge_scan, batch_format="pandas").to_pandas()
-    )
+    if fast:
+        # launch the fused scan FIRST (its tasks self-synchronize on the
+        # dim task via get_broadcast), then do the driver's node-side work
+        # while it runs — nothing here serializes against the scan
+        def _consume():
+            try:
+                _edge_holder["res"] = (
+                    _build_edge_input()
+                    .map_batches(edge_scan, batch_format="pandas")
+                    .to_pandas()
+                )
+                _edge_holder["t"] = time.perf_counter() - _t0
+            except Exception as e:  # surfaced after join
+                _edge_holder["err"] = e
+
+        _consumer = threading.Thread(target=_consume, daemon=True)
+        _consumer.start()
+        small = ray.get(small_ref)
+        n_dim_rows = small["n_dim_rows"]
+        counts = small["counts"]
+        key_rows = (_decode_mask_viols(label_names, *small["masks"])
+                    if small["masks"] is not None else None)
+        nonext = np.unpackbits(
+            small["nonext_packed"], count=n_dim_rows).astype(bool)
+        driver_viols = _node_side_viols(
+            small["n_unknown"], small["dup_ids"], counts, key_rows)
+        n_mentions = int(counts[code_of_label[schema.MENTION]])
+        _t_dim = time.perf_counter() - _t0
+        _consumer.join()
+        if "err" in _edge_holder:
+            raise _edge_holder["err"]
+        _t_warm = _edge_holder.get("t", -1.0)
+        edge_results = _edge_holder["res"]
+    else:
+        _t_dim = time.perf_counter() - _t0
+        _warm.join()
+        if "err" in _edge_holder:
+            raise _edge_holder["err"]
+        _t_warm = time.perf_counter() - _t0
+        edge_results = (
+            _edge_holder["ds"].map_batches(edge_scan, batch_format="pandas").to_pandas()
+        )
     _t_scan = time.perf_counter() - _t0
 
     ref_rows = edge_results["check"] == "_ref_partial"
