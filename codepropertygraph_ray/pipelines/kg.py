@@ -897,7 +897,14 @@ def run_materialize(ctx: PassContext) -> dict:
         .union(reaching.map_batches(reaches_graph, batch_format="pandas"))
         .union(triples.map_batches(fact_graph, batch_format="pandas"))
     )
-    summaries.count()
+    if os.environ.get("GRAFT_MATERIALIZE_STATS"):
+        # count() executes a DERIVED plan whose stats aren't visible on
+        # `summaries`; materialize (tiny — per-task summary rows only)
+        # and print the full operator breakdown instead
+        import sys as _sys
+        print(summaries.materialize().stats(), file=_sys.stderr)
+    else:
+        summaries.count()
     return {}
 
 
