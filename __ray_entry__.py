@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sample_stratified": relational.sample_stratified_events,
         "rel_hourly_active_users": relational.hourly_active_users,
         "agg_hll_users": sketch.hll_distinct_users,  # approximate — no SQL oracle
+        "agg_cms_heavy": sketch.cms_heavy_users,  # approximate — no SQL oracle
         # --- training-data ops: text analysis -----------------------------
         "text_token_stats": text.token_stats,
         "text_bpe_tokens": text.bpe_token_count,

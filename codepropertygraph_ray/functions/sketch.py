@@ -91,3 +91,86 @@ def hll_distinct_users(sf_dir: str):
     return hash_groupby(
         ds.map_batches(partial, batch_format="pandas"), "event_type", reduce_group
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — approximate per-key counts in constant state
+# ---------------------------------------------------------------------------
+
+CMS_D = 4       # hash rows → error probability ~e^-4
+CMS_W = 4096    # columns → overestimate ≤ e/W of the stream mass (w.h.p.)
+# fixed odd multipliers (splitmix64-style finalizer constants) — one
+# independent hash row each; deterministic across runs and parallelism
+_CMS_MULTS = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+     0xD6E8FEB86659FD93], dtype=np.uint64,
+)
+
+
+def _cms_rows(values: pd.Series) -> np.ndarray:
+    """(D, n) column indexes for a batch of keys (one shared SipHash,
+    D cheap integer finalizers — never D string passes)."""
+    h = hash_series([values]).astype(np.uint64)
+    idx = np.empty((CMS_D, len(h)), dtype=np.int64)
+    for i in range(CMS_D):
+        x = h * _CMS_MULTS[i]
+        x ^= x >> np.uint64(31)
+        idx[i] = (x % np.uint64(CMS_W)).astype(np.int64)
+    return idx
+
+
+def cms_sketch(values: pd.Series) -> np.ndarray:
+    """One batch → a (D, W) int64 count-min partial (128 KB, mergeable
+    by ELEMENTWISE SUM — the linear-sketch property)."""
+    idx = _cms_rows(values)
+    sk = np.empty((CMS_D, CMS_W), dtype=np.int64)
+    for i in range(CMS_D):
+        sk[i] = np.bincount(idx[i], minlength=CMS_W).astype(np.int64)
+    return sk
+
+
+def cms_estimate(sk: np.ndarray, values: pd.Series) -> np.ndarray:
+    """Point estimates for a vector of keys: min over the D rows —
+    never under the true count; over by ≤ e/W of the total mass w.h.p."""
+    idx = _cms_rows(values)
+    ests = np.stack([sk[i][idx[i]] for i in range(CMS_D)])
+    return ests.min(axis=0)
+
+
+def cms_heavy_users(sf_dir: str, k: int = 10):
+    """(user_id, approx_n) — top-k users by event count, counted by a
+    Count-Min sketch: the heavy-hitter scale path. No (key, count) pairs
+    ever shuffle — each batch contributes ONE 128 KB linear sketch
+    (summed on the driver: batch-count-scale, like the MinHash pair
+    merges) plus its distinct user ids (dimension-scale); final point
+    estimates + top-k are a vocab-sized vectorized pass. Deterministic:
+    keyed SipHash rows, integer state, (est desc, user_id asc) tie-break
+    — identical at any parallelism.
+
+    No SQL oracle (approximate by construction); pytest asserts the
+    one-sided error bound against exact counts, merge linearity, and
+    run-to-run determinism."""
+    from ..sources.tables import read_table
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        u = t["user_id"].astype("int64")
+        return pd.DataFrame({
+            "sk": [cms_sketch(u).tobytes()],
+            "users": [np.unique(u.to_numpy(np.int64)).tobytes()],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    sk = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for b in parts["sk"]:
+        sk += np.frombuffer(b, dtype=np.int64).reshape(CMS_D, CMS_W)
+    users = np.unique(np.concatenate(
+        [np.frombuffer(b, dtype=np.int64) for b in parts["users"]]
+    ))
+    est = cms_estimate(sk, pd.Series(users))
+    order = np.lexsort((users, -est))[:k]
+    return pd.DataFrame({
+        "user_id": users[order].astype("int64"),
+        "approx_n": est[order].astype("int64"),
+    })

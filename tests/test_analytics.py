@@ -636,3 +636,27 @@ def test_unigram_logprob_matches_bruteforce(ray_session):
         ws = toks[r.doc_id]
         assert r.n_words == len(ws)
         assert r.logprob_units == sum(unit(w) for w in ws)
+
+
+def test_cms_heavy_users_bounds_and_determinism(ray_session):
+    from codepropertygraph_ray.functions.sketch import (
+        CMS_D, CMS_W, cms_estimate, cms_heavy_users, cms_sketch,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    true = ev["user_id"].value_counts()
+    got = cms_heavy_users(SF_DIR)
+    n = len(ev)
+    for r in got.itertuples():
+        t = int(true.get(r.user_id, 0))
+        assert r.approx_n >= t            # CMS never underestimates
+        assert r.approx_n <= t + int(np.e / CMS_W * n) + 8  # w.h.p. bound
+    again = cms_heavy_users(SF_DIR)
+    pd.testing.assert_frame_equal(got, again)
+    # linearity: sketch(whole) == sum of split sketches
+    u = ev["user_id"].astype("int64")
+    whole = cms_sketch(u)
+    half = cms_sketch(u.iloc[: n // 2]) + cms_sketch(u.iloc[n // 2:])
+    assert (whole == half).all()
+    est = cms_estimate(whole, u.iloc[:100])
+    assert (est >= true.loc[u.iloc[:100]].to_numpy()).all()

@@ -56,6 +56,7 @@ def test_queries_and_oracles_align(entrymod):
         "dedup_simhash_pairs",  # keyed-hash fingerprint — not SQL
         "mm_media_features", "mm_frame_features",  # SipHash fake decode
         "agg_hll_users",  # sketch — approximate by construction
+        "agg_cms_heavy",  # sketch — approximate by construction
     }
 
 
