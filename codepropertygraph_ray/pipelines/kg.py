@@ -27,6 +27,7 @@ partitioned-write execution.
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -890,6 +891,24 @@ def run_materialize(ctx: PassContext) -> dict:
 
     # every branch writes its own files; the union carries only the tiny
     # per-task summaries, and ONE count() drives the whole execution
+    if os.environ.get("GRAFT_MAT_SPLIT"):
+        # experiment: run the barrier chain (turn_graph → sort →
+        # conv_or_dim_bucket) alone first, then the four map-only
+        # branches — measures whether fair-share stretching of the
+        # chain dominates the unified execution's makespan
+        import sys as _sys
+        t0 = time.perf_counter()
+        conv_graph.count()
+        t1 = time.perf_counter()
+        (
+            mlinks.map_batches(mention_graph, batch_format="pandas")
+            .union(entity_graph_ds)
+            .union(reaching.map_batches(reaches_graph, batch_format="pandas"))
+            .union(triples.map_batches(fact_graph, batch_format="pandas"))
+        ).count()
+        print(f"[mat-split] chain={t1 - t0:.2f}s "
+              f"rest={time.perf_counter() - t1:.2f}s", file=_sys.stderr)
+        return {}
     summaries = (
         conv_graph
         .union(mlinks.map_batches(mention_graph, batch_format="pandas"))
