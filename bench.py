@@ -79,8 +79,15 @@ def run_bench() -> dict:
     ray.data.read_parquet(path).count()
 
     def _warm(b):
+        import os as _os
+
         import numpy  # noqa: F401
         import pandas  # noqa: F401
+
+        # polars sizes its thread pool ONCE at first import: pin it to the
+        # validator dim task's 4-cpu slot BEFORE the warm import, else a
+        # reused worker would run a 32-thread sort inside a 4-cpu slot
+        _os.environ.setdefault("POLARS_MAX_THREADS", "4")
         import polars  # noqa: F401  (validator dim task)
 
         import codepropertygraph_ray.pipelines.kg  # noqa: F401

@@ -966,16 +966,19 @@ def run_validate(ctx: PassContext) -> dict:
         if (isinstance(vocab, dict)
                 and vocab.get("nodes") == list(schema.NODE_LABELS)
                 and vocab.get("props") == list(schema.NODE_PROP_COLS)):
-            dim_dir = [
-                d for d in (os.path.join(os.path.dirname(nd), "ndim")
-                            for nd in ctx.overlay_dirs("nodes"))
-                if os.path.isdir(d)
-            ]
-            tp_dir = [
-                d for d in (os.path.join(os.path.dirname(nd), "tprops")
-                            for nd in ctx.overlay_dirs("nodes"))
-                if os.path.isdir(d)
-            ]
+            # COMPLETENESS gate: every overlay contributing nodes must
+            # also have side-written its ndim/tprops — a partial dim list
+            # would make the fast path read every un-dimmed overlay's
+            # edges as dangling. Any gap ⇒ full fallback node scan.
+            node_dirs = list(ctx.overlay_dirs("nodes"))
+            dim_dir = [os.path.join(os.path.dirname(nd), "ndim")
+                       for nd in node_dirs]
+            tp_dir = [os.path.join(os.path.dirname(nd), "tprops")
+                      for nd in node_dirs]
+            if not all(os.path.isdir(d) for d in dim_dir):
+                dim_dir = None
+            if not all(os.path.isdir(d) for d in tp_dir):
+                tp_dir = None
     return {
         "violations": v.validate_graph(
             nodes, edges,

@@ -199,16 +199,7 @@ def _dim_dataset(src):
     import pyarrow.dataset as pads
 
     if isinstance(src, (list, tuple)):
-        files = []
-        for d in src:
-            if os.path.isdir(d):
-                files.extend(sorted(
-                    os.path.join(d, f) for f in os.listdir(d)
-                    if f.endswith(".parquet")
-                ))
-            else:
-                files.append(d)
-        return pads.dataset(files)
+        return pads.dataset(_dim_files(src))
     return pads.dataset(src)
 
 
@@ -325,12 +316,12 @@ def validate_graph(nodes, edges, num_partitions: int = 16,
     exceptional branches — a thunk defers (usually: skips) that cost, and
     the edges construction runs inside the warm thread, overlapped with
     the driver's dim chain."""
-    nodes_fn = nodes if callable(nodes) else (lambda: nodes)
+    nodes_fn = _once(nodes if callable(nodes) else (lambda: nodes))
     edges_fn = edges if callable(edges) else (lambda: edges)
-    if n_nodes is None:
+    if n_nodes is None:  # memoized: the broadcast path reuses this Dataset
         n_nodes = nodes_fn().count()
     if n_nodes <= broadcast_max_rows:
-        return _validate_broadcast(_once(nodes_fn), edges_fn, dim_dir,
+        return _validate_broadcast(nodes_fn, edges_fn, dim_dir,
                                    turn_props_dir, numeric_edges_dir)
     return _validate_sharded(nodes_fn(), edges_fn(), num_partitions)
 
@@ -404,6 +395,11 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
     # read/decode half of every task overlaps the dim build for free.
     # Fallback paths keep the warm-thread materialize: their probe table
     # is built on the DRIVER between construction and scan.
+    # TRUTHINESS, not is-not-None: callers build these as isdir-filtered
+    # list comprehensions, and an empty list must take the fallback node
+    # scan (normalized here so every downstream `is not None` agrees)
+    dim_dir = dim_dir or None
+    turn_props_dir = turn_props_dir or None
     fast = dim_dir is not None and turn_props_dir is not None
 
     def _warm_edges():
@@ -417,8 +413,6 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
     if not fast:
         _warm = threading.Thread(target=_warm_edges, daemon=True)
         _warm.start()
-
-    turn_code = code_of_label[schema.TURN]
 
     def node_dim_batch(t: pd.DataFrame) -> pd.DataFrame:
         # categorical codes (C-level) — unknown labels → -1 like the old map
@@ -461,9 +455,17 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
     ent_code = code_of_label.get(schema.ENTITY, -1)
     if fast:
         req, forb = _prop_masks(label_names)
-        # cap the slot at the cluster width: a fixed num_cpus=4 request is
-        # INFEASIBLE on a 2-cpu test cluster and hangs forever
-        slot = max(1, min(4, int(ray.cluster_resources().get("CPU", 1))))
+        # cap the slot at the LARGEST SINGLE NODE's width, not the cluster
+        # total: a num_cpus=4 request on a cluster of 2x2-cpu nodes (or a
+        # 2-cpu test cluster) is infeasible and would hang forever
+        try:
+            node_cpu = max(
+                (int(n["Resources"].get("CPU", 0))
+                 for n in ray.nodes() if n.get("Alive")), default=1,
+            )
+        except Exception:
+            node_cpu = int(ray.cluster_resources().get("CPU", 1))
+        slot = max(1, min(4, node_cpu))
         label_of, turn_props_ref, small_ref = _dim_state_task.options(
             num_cpus=slot
         ).remote(
@@ -552,15 +554,6 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
         n_mentions = int(counts[code_of_label[schema.MENTION]])
 
     allowed = frozenset(schema.EDGE_FACTS)
-
-    def _lookup(ids: np.ndarray, table) -> np.ndarray:
-        ids_s, codes = table
-        if not len(ids_s):
-            return np.full(len(ids), -1, dtype=np.int16)
-        pos = np.clip(np.searchsorted(ids_s, ids), 0, len(ids_s) - 1)
-        found = ids_s[pos] == ids
-        out = np.where(found, codes[pos], -1)
-        return out
 
     # ---- ONE edges scan does everything edge-side, NO shuffle -----------
     # Per batch: dangling + edge-fact checks, a REF-count partial, and the
@@ -769,21 +762,26 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
 
         _consumer = threading.Thread(target=_consume, daemon=True)
         _consumer.start()
-        small = ray.get(small_ref)
-        n_dim_rows = small["n_dim_rows"]
-        counts = small["counts"]
-        key_rows = (_decode_mask_viols(label_names, *small["masks"])
-                    if small["masks"] is not None else None)
-        nonext = np.unpackbits(
-            small["nonext_packed"], count=n_dim_rows).astype(bool)
-        driver_viols = _node_side_viols(
-            small["n_unknown"], small["dup_ids"], counts, key_rows)
-        n_mentions = int(counts[code_of_label[schema.MENTION]])
-        _t_dim = time.perf_counter() - _t0
-        _consumer.join()
+        try:
+            small = ray.get(small_ref)
+            n_dim_rows = small["n_dim_rows"]
+            counts = small["counts"]
+            key_rows = (_decode_mask_viols(label_names, *small["masks"])
+                        if small["masks"] is not None else None)
+            nonext = np.unpackbits(
+                small["nonext_packed"], count=n_dim_rows).astype(bool)
+            driver_viols = _node_side_viols(
+                small["n_unknown"], small["dup_ids"], counts, key_rows)
+            n_mentions = int(counts[code_of_label[schema.MENTION]])
+            _t_dim = time.perf_counter() - _t0
+        finally:
+            # never leave the scan running past an exception: if the dim
+            # task failed, the scan's own broadcast gets fail fast too,
+            # so this join is bounded either way
+            _consumer.join()
         if "err" in _edge_holder:
             raise _edge_holder["err"]
-        _t_warm = _edge_holder.get("t", -1.0)
+        _t_warm = -1.0  # fast path has no separate materialize step
         edge_results = _edge_holder["res"]
     else:
         _t_dim = time.perf_counter() - _t0
@@ -890,9 +888,16 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
 
     if os.environ.get("GRAFT_VALIDATE_TIMING"):
         import sys as _sys
-        print(f"[validate] dim_chain={_t_dim:.2f}s edge_mat={_edge_holder.get('t', -1):.2f}s "
-              f"joined_at={_t_warm:.2f}s scan_done={_t_scan:.2f}s "
-              f"reduce={time.perf_counter() - _t0 - _t_scan:.2f}s", file=_sys.stderr)
+        if fast:  # fused path: one pipeline, no separate materialize
+            print(f"[validate] dim_get={_t_dim:.2f}s scan_done={_t_scan:.2f}s "
+                  f"reduce={time.perf_counter() - _t0 - _t_scan:.2f}s",
+                  file=_sys.stderr)
+        else:
+            print(f"[validate] dim_chain={_t_dim:.2f}s "
+                  f"edge_mat={_edge_holder.get('t', -1):.2f}s "
+                  f"joined_at={_t_warm:.2f}s scan_done={_t_scan:.2f}s "
+                  f"reduce={time.perf_counter() - _t0 - _t_scan:.2f}s",
+                  file=_sys.stderr)
     driver_df = pd.concat(driver_viols + [edge_results], ignore_index=True)
     return pa.Table.from_pandas(
         driver_df.reset_index(drop=True), schema=VIOLATIONS_SCHEMA, preserve_index=False
