@@ -763,3 +763,18 @@ def test_accesspath_overtaint_chains_across_elements(ray_session):
     assert ("alpha", 1, "2->4") in got
     assert ("beta", 1, "4->6") in got
     assert not any(c in ("alpha", "beta") and d > 1 for c, d, _ in got)
+
+
+def test_validator_empty_or_partial_dim_falls_back(kg_run):
+    """An empty dim-dir list (or one missing an overlay's dims) must take
+    the fallback node scan, never the fast path — a partial dim would
+    read every un-dimmed overlay's edges as dangling."""
+    from codepropertygraph_ray.stages.validate import validate_graph
+
+    nodes = kg_run.ctx.read("materialize", "nodes")
+    edges = kg_run.ctx.read("materialize", "edges")
+    out = validate_graph(
+        nodes, edges, n_nodes=nodes.count(),
+        dim_dir=[], turn_props_dir=[],   # isdir-filtered callers produce []
+    ).to_pandas()
+    assert len(out) == 0
