@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pmi": analytics.entity_pmi,
         "kg_entity_span": analytics.entity_span,
         "kg_fuzzy_keys": analytics.fuzzy_key_pairs,
+        "kg_local_cc": analytics.entity_local_cc,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -752,6 +753,40 @@ def _kg_sql() -> dict[str, str]:
           FROM e e1
           JOIN e e2 ON e2.canon_a = e1.canon_a AND e2.canon_b > e1.canon_b
           JOIN e e3 ON e3.canon_a = e1.canon_b AND e3.canon_b = e2.canon_b
+        """,
+        # per-node triangle + wedge integers (local clustering coefficient
+        # numerator/denominator): each u<v<w triangle credits all three
+        # corners via the 3-way self-join's three projections
+        "kg_local_cc": f"""
+          WITH lcc_e AS MATERIALIZED ({cooc}),
+          lcc_deg AS (
+            SELECT canon, count(*) AS degree FROM (
+              SELECT canon_a AS canon FROM lcc_e
+              UNION ALL SELECT canon_b FROM lcc_e
+            ) GROUP BY canon
+          ),
+          lcc_tri AS (
+            SELECT node, count(*) AS n_tri FROM (
+              SELECT e1.canon_a AS node
+              FROM lcc_e e1
+              JOIN lcc_e e2 ON e2.canon_a = e1.canon_a AND e2.canon_b > e1.canon_b
+              JOIN lcc_e e3 ON e3.canon_a = e1.canon_b AND e3.canon_b = e2.canon_b
+              UNION ALL
+              SELECT e1.canon_b
+              FROM lcc_e e1
+              JOIN lcc_e e2 ON e2.canon_a = e1.canon_a AND e2.canon_b > e1.canon_b
+              JOIN lcc_e e3 ON e3.canon_a = e1.canon_b AND e3.canon_b = e2.canon_b
+              UNION ALL
+              SELECT e2.canon_b
+              FROM lcc_e e1
+              JOIN lcc_e e2 ON e2.canon_a = e1.canon_a AND e2.canon_b > e1.canon_b
+              JOIN lcc_e e3 ON e3.canon_a = e1.canon_b AND e3.canon_b = e2.canon_b
+            ) GROUP BY node
+          )
+          SELECT d.canon,
+                 CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+                 CAST(d.degree * (d.degree - 1) // 2 AS BIGINT) AS n_wedges
+          FROM lcc_deg d LEFT JOIN lcc_tri t ON t.node = d.canon
         """,
         # BFS layers from the lexicographically-first entity: recursive CTE
         # with min-distance fold, depth-capped like the Ray frontier loop.

@@ -191,6 +191,85 @@ def triangle_count(sf_dir: str):
     return pd.DataFrame({"n_triangles": [int(total or 0)]})
 
 
+def entity_local_cc(sf_dir: str):
+    """(canon, n_tri, n_wedges) — per-node triangle participation and
+    wedge capacity over the co-occurrence graph: the local-clustering-
+    coefficient integers (cc = 2·n_tri / (deg·(deg−1)) is a client-side
+    division; integers hash stably against the SQL oracle).
+
+    Same degree-ordered orientation as :func:`triangle_count`, but each
+    wedge keeps its APEX so a closed wedge can credit all three corners:
+    wedges emit from the apex's bucket, an (x, y)-bucketed tag join
+    restricts to actual edges, matched wedges fan out 3 corner partials,
+    and one vocab-scale aggregation sums per node. Degrees broadcast."""
+    edges = _cooc_edges(sf_dir)
+
+    deg_df = hash_agg(
+        edges.map_batches(
+            lambda t: pd.DataFrame(
+                {"canon": pd.concat([t["a"], t["b"]], ignore_index=True)}
+            ),
+            batch_format="pandas",
+        ),
+        "canon",
+        degree=("canon", "size"),
+    ).to_pandas()
+    dref = ray.put(build_lookup(deg_df["canon"], deg_df["degree"]))
+
+    def orient(t: pd.DataFrame) -> pd.DataFrame:
+        tbl = get_broadcast(dref)
+        da = lookup_keys(tbl, t["a"]).astype(np.int64)
+        db = lookup_keys(tbl, t["b"]).astype(np.int64)
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        swap = (db < da) | ((db == da) & (b < a))
+        return pd.DataFrame(
+            {"src": np.where(swap, b, a), "dst": np.where(swap, a, b)}
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        tbl = get_broadcast(dref)
+        m = g.merge(g, on="src")
+        dx = lookup_keys(tbl, m["dst_x"]).astype(np.int64)
+        dy = lookup_keys(tbl, m["dst_y"]).astype(np.int64)
+        x = m["dst_x"].to_numpy()
+        y = m["dst_y"].to_numpy()
+        keep = (dx < dy) | ((dx == dy) & (x < y))
+        return pd.DataFrame({"apex": m["src"].to_numpy()[keep],
+                             "x": x[keep], "y": y[keep], "kind": "w"})
+
+    w = hash_groupby(oriented, "src", wedges)
+    e_tagged = oriented.map_batches(
+        lambda t: pd.DataFrame(
+            {"apex": "", "x": t["src"], "y": t["dst"], "kind": "e"}
+        ),
+        batch_format="pandas",
+    )
+
+    def corners(g: pd.DataFrame) -> pd.DataFrame:
+        es = g.loc[g["kind"] == "e", ["x", "y"]]
+        ws = g[g["kind"] == "w"]
+        m = ws.merge(es, on=["x", "y"])
+        nodes = pd.concat([m["apex"], m["x"], m["y"]], ignore_index=True)
+        vc = nodes.value_counts()
+        return pd.DataFrame({"canon": vc.index.to_numpy(),
+                             "n": vc.to_numpy(np.int64)})
+
+    tri = hash_agg(
+        hash_groupby(w.union(e_tagged), ["x", "y"], corners),
+        "canon", n_tri=("n", "sum"),
+    ).to_pandas()
+    out = deg_df.merge(tri, on="canon", how="left")
+    deg = out["degree"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "canon": out["canon"].to_numpy(),
+        "n_tri": out["n_tri"].fillna(0).to_numpy(np.int64),
+        "n_wedges": deg * (deg - 1) // 2,
+    })
+
+
 def entity_bfs(sf_dir: str, max_depth: int = BFS_MAX_DEPTH):
     """(canon, dist) — BFS layers from the lexicographically-first entity
     of the co-occurrence graph, depth-capped (the MemberAccessLinker cap

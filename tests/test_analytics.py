@@ -660,3 +660,25 @@ def test_cms_heavy_users_bounds_and_determinism(ray_session):
     assert (whole == half).all()
     est = cms_estimate(whole, u.iloc[:100])
     assert (est >= true.loc[u.iloc[:100]].to_numpy()).all()
+
+
+def test_local_cc_matches_bruteforce(ray_session, cooc_edges):
+    from codepropertygraph_ray.pipelines.analytics import entity_local_cc
+
+    got = entity_local_cc(SF_DIR)
+    adj: dict = defaultdict(set)
+    for a, b in zip(cooc_edges["a"], cooc_edges["b"]):
+        adj[a].add(b)
+        adj[b].add(a)
+    for r in got.sample(60, random_state=0).itertuples():
+        nbrs = sorted(adj[r.canon])
+        tri = sum(
+            1
+            for i, x in enumerate(nbrs)
+            for y in nbrs[i + 1:]
+            if y in adj[x]
+        )
+        assert r.n_tri == tri
+        assert r.n_wedges == len(nbrs) * (len(nbrs) - 1) // 2
+    # every triangle credits exactly three corners
+    assert got["n_tri"].sum() % 3 == 0
