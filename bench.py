@@ -35,6 +35,8 @@ TIMED_QUERIES = [
     "rel_rolling_avg",
     "rel_pivot_events",
     "text_bigrams",
+    "text_pack_chunks",
+    "rel_shuffle_rank",
 ]
 
 
