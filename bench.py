@@ -80,16 +80,19 @@ def run_bench() -> dict:
     path = ensure_transcripts(SF_DIR)
     ray.data.read_parquet(path).count()
 
+    # polars sizes its thread pool ONCE at first import: pin it to the
+    # validator dim task's slot (a quarter of the node, 2..8 — mirrors
+    # stages/validate slot policy) BEFORE the warm import, else a reused
+    # worker would run a full-width sort inside a small task slot
+    _polars_pin = str(max(2, min(8, NUM_CPUS // 4)))
+
     def _warm(b):
         import os as _os
 
         import numpy  # noqa: F401
         import pandas  # noqa: F401
 
-        # polars sizes its thread pool ONCE at first import: pin it to the
-        # validator dim task's 4-cpu slot BEFORE the warm import, else a
-        # reused worker would run a 32-thread sort inside a 4-cpu slot
-        _os.environ.setdefault("POLARS_MAX_THREADS", "4")
+        _os.environ.setdefault("POLARS_MAX_THREADS", _polars_pin)
         import polars  # noqa: F401  (validator dim task)
 
         import codepropertygraph_ray.pipelines.kg  # noqa: F401

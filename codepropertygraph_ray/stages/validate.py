@@ -465,7 +465,11 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
             )
         except Exception:
             node_cpu = int(ray.cluster_resources().get("CPU", 1))
-        slot = max(1, min(4, node_cpu))
+        # the dim task is the ONE serial stage of the fast path (a single
+        # multi-threaded read+sort); on wide nodes give it a quarter of
+        # the node so the sort doesn't bottleneck the whole validate —
+        # the fused scan's read half keeps the remaining cores busy
+        slot = max(1, min(8, node_cpu if node_cpu < 8 else node_cpu // 4))
         label_of, turn_props_ref, small_ref = _dim_state_task.options(
             num_cpus=slot
         ).remote(
