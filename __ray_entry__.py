@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_mode_event": relational.mode_event_per_user,
         "rel_sample_hash": relational.sample_orders_hash,
         "rel_shuffle_rank": relational.shuffle_rank_orders,
+        "rel_bloom_antijoin": sketch.customers_without_events,
         "rel_pivot_events": relational.pivot_event_types,
         "rel_region_nations": relational.region_nation_list,
         "rel_rollup_revenue": relational.rollup_revenue,
@@ -1248,6 +1249,13 @@ def _rel_sql() -> dict[str, str]:
         "rel_sample_hash": """
           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
           WHERE (o_orderkey * 2654435761) % 4294967296 < 42949672
+        """,
+        # Bloom-prefilter + exact-verify anti-join — the Bloom only
+        # shrinks the exact pass's input, so the result is plain NOT EXISTS
+        "rel_bloom_antijoin": """
+          SELECT c_custkey, c_name FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM events e
+                            WHERE e.user_id = c.c_custkey)
         """,
         # deterministic global shuffle: exact rank under the keyed-hash
         # total order (h, key) — same multiplicative hash as the sampler

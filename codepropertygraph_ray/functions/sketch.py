@@ -174,3 +174,114 @@ def cms_heavy_users(sf_dir: str, k: int = 10):
         "user_id": users[order].astype("int64"),
         "approx_n": est[order].astype("int64"),
     })
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — constant-state join prefilter
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 20   # 128 KB bitmap
+BLOOM_K = 4            # hash rows → FP ≈ (1 - e^(-kn/m))^k
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(K, n) bit positions — one SipHash, K integer finalizers (the CMS
+    multiplier family)."""
+    h = hash_series([pd.Series(keys)]).astype(np.uint64)
+    pos = np.empty((BLOOM_K, len(h)), dtype=np.int64)
+    for i in range(BLOOM_K):
+        x = h * _CMS_MULTS[i]
+        x ^= x >> np.uint64(29)
+        pos[i] = (x % np.uint64(BLOOM_BITS)).astype(np.int64)
+    return pos
+
+
+def bloom_partial(keys: np.ndarray) -> bytes:
+    """One batch of keys → a packed 128 KB bitmap (mergeable by OR)."""
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
+    pos = _bloom_positions(keys)
+    for i in range(BLOOM_K):
+        bits[pos[i]] = True
+    return np.packbits(bits).tobytes()
+
+
+def bloom_might_contain(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Membership test against an UNPACKED bool bitmap: False is
+    definitive (no false negatives), True means 'verify exactly'."""
+    pos = _bloom_positions(keys)
+    out = np.ones(len(keys), dtype=bool)
+    for i in range(BLOOM_K):
+        out &= bits[pos[i]]
+    return out
+
+
+def customers_without_events(sf_dir: str):
+    """(c_custkey, c_name) — customers with NO events, EXACT, via the
+    Bloom-prefilter + exact-verify anti-join: the constant-state shape
+    for an anti join whose build side's distinct-key set is too large to
+    broadcast at corpus scale.
+
+    Phases: (1) each events batch contributes ONE 128 KB Bloom partial
+    (OR-merged — batch-count-scale, like the CMS/MinHash merges);
+    (2) the probe side keeps every definitely-absent key immediately (a
+    Bloom False has no false negatives) and routes only maybe-present
+    keys — |true matches| + FP·|probe| — to (3) ONE exact semi pass over
+    the build side against the broadcast candidate set. Result is exact
+    (SQL-oracled via NOT EXISTS); the Bloom only shrinks the exact join's
+    input, never changes its answer."""
+    import ray
+
+    from ..sources.tables import read_table
+    from .joins import get_broadcast
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    parts = ev.map_batches(
+        lambda t: pd.DataFrame(
+            {"bits": [bloom_partial(t["user_id"].to_numpy(np.int64))]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for b in parts["bits"]:
+        bits |= np.frombuffer(b, dtype=np.uint8)
+    bref = ray.put(np.unpackbits(bits).astype(bool))
+
+    cust = read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_name"])
+
+    def tag(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["maybe"] = bloom_might_contain(
+            get_broadcast(bref), t["c_custkey"].to_numpy(np.int64))
+        return t
+
+    tagged = cust.map_batches(tag, batch_format="pandas").materialize()
+    cand = tagged.filter(lambda r: r["maybe"]).to_pandas()
+    cand_keys = np.sort(cand["c_custkey"].to_numpy(np.int64))
+    cref = ray.put(cand_keys)
+
+    def seen_partial(t: pd.DataFrame) -> pd.DataFrame:
+        ck = get_broadcast(cref)
+        u = np.unique(t["user_id"].to_numpy(np.int64))
+        pos = np.searchsorted(ck, u)
+        pos = np.clip(pos, 0, max(len(ck) - 1, 0))
+        hit = u[(len(ck) > 0) & (ck[pos] == u)] if len(ck) else u[:0]
+        return pd.DataFrame({"k": hit})
+
+    seen = np.unique(
+        ev.map_batches(seen_partial, batch_format="pandas").to_pandas()["k"]
+        .to_numpy(np.int64)
+    )
+    sref = ray.put(seen)
+
+    def keep(t: pd.DataFrame) -> pd.DataFrame:
+        from .agg import empty_safe
+
+        s = get_broadcast(sref)
+        k = t["c_custkey"].to_numpy(np.int64)
+        pos = np.clip(np.searchsorted(s, k), 0, max(len(s) - 1, 0))
+        in_seen = (s[pos] == k) if len(s) else np.zeros(len(k), dtype=bool)
+        out = t[~t["maybe"].to_numpy() | ~in_seen]
+        return empty_safe(out[["c_custkey", "c_name"]])
+
+    return tagged.map_batches(keep, batch_format="pandas")

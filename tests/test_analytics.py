@@ -682,3 +682,25 @@ def test_local_cc_matches_bruteforce(ray_session, cooc_edges):
         assert r.n_wedges == len(nbrs) * (len(nbrs) - 1) // 2
     # every triangle credits exactly three corners
     assert got["n_tri"].sum() % 3 == 0
+
+
+def test_bloom_antijoin_exact_and_prefilter_works(ray_session):
+    from codepropertygraph_ray.functions.sketch import (
+        bloom_might_contain, bloom_partial, customers_without_events,
+    )
+
+    got = customers_without_events(SF_DIR).to_pandas()
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    have = set(ev["user_id"])
+    ref = set(cust.loc[~cust["c_custkey"].isin(have), "c_custkey"])
+    assert set(got["c_custkey"]) == ref  # exact despite the Bloom
+    # the filter itself: no false negatives, bounded false positives
+    bits = np.unpackbits(np.frombuffer(
+        bloom_partial(ev["user_id"].to_numpy(np.int64)), dtype=np.uint8
+    )).astype(bool)
+    keys = cust["c_custkey"].to_numpy(np.int64)
+    maybe = bloom_might_contain(bits, keys)
+    assert all(maybe[i] for i, k in enumerate(keys) if k in have)
+    fp = sum(1 for i, k in enumerate(keys) if maybe[i] and k not in have)
+    assert fp <= max(5, len(keys) * 0.01)
