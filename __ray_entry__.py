@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
+        "rel_q3_unshipped": relational.q3_unshipped,
         "rel_parts_without_lineitems": relational.parts_without_lineitems,
         "rel_customers_with_orders": relational.customers_with_orders,
         "rel_distinct_part_types": relational.distinct_part_types,
@@ -1249,6 +1250,24 @@ def _rel_sql() -> dict[str, str]:
         "rel_sample_hash": """
           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
           WHERE (o_orderkey * 2654435761) % 4294967296 < 42949672
+        """,
+        # TPC-H Q3 archetype: same int-cent revenue units, same
+        # (revenue desc, date, key) top-k tie-break on both sides
+        "rel_q3_unshipped": """
+          SELECT l_orderkey,
+                 round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                               AS BIGINT)) / 100.0, 2) AS revenue,
+                 o_orderdate
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1996-06-15'
+            AND l_shipdate  > TIMESTAMP '1996-06-15'
+          GROUP BY l_orderkey, o_orderdate
+          ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) DESC, o_orderdate, l_orderkey
+          LIMIT 10
         """,
         # Bloom-prefilter + exact-verify anti-join — the Bloom only
         # shrinks the exact pass's input, so the result is plain NOT EXISTS

@@ -631,6 +631,82 @@ def sample_orders_hash(sf_dir: str):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1996-06-15"
+
+
+def q3_unshipped(sf_dir: str, k: int = 10):
+    """(l_orderkey, revenue, o_orderdate) — top-k unshipped-order revenue
+    in one market segment: the TPC-H Q3 archetype (selective dim semi
+    filter → date-pruned fact ⋈ fact → grouped revenue → top-k).
+
+    Scale shape: the segment's customer keys broadcast (dim-scale semi
+    filter — Bloom at extreme scale, functions/sketch.py); lineitem
+    pre-aggregates revenue per order INSIDE map_batches before the one
+    order-keyed exchange; the date-bounded orders side rides join_auto
+    (broadcast under the budget, shuffle join beyond); top-k is local
+    partials + a k-row sort — never a full sort. Revenue sums in exact
+    int64 cents on both sides (to_units discipline)."""
+    from .agg import empty_safe, hash_agg
+
+    cutoff = pd.Timestamp(Q3_CUTOFF)
+    seg_keys = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.loc[t["c_mktsegment"] == Q3_SEGMENT, ["c_custkey"]],
+            batch_format="pandas",
+        )
+        .unique("c_custkey")
+    )
+    orders_f = broadcast_semi_filter(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(lambda t: t[t["o_orderdate"] < cutoff],
+                     batch_format="pandas"),
+        seg_keys, on="o_custkey",
+    ).drop_columns(["o_custkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def rev_partial(t: pd.DataFrame) -> pd.DataFrame:
+        t = t[t["l_shipdate"] > cutoff]
+        u = to_units(t["l_extendedprice"] * (1.0 - t["l_discount"]), 100)
+        g = pd.DataFrame(
+            {"l_orderkey": t["l_orderkey"].to_numpy(np.int64), "rev_u": u}
+        ).groupby("l_orderkey", as_index=False).sum()
+        return empty_safe(g)
+
+    rev = hash_agg(
+        li.map_batches(rev_partial, batch_format="pandas"),
+        "l_orderkey", rev_u=("rev_u", "sum"),
+    )
+    from .joins import join_auto
+
+    joined = join_auto(rev, orders_f, on="l_orderkey",
+                       right_on="o_orderkey", how="inner")
+
+    def local_topk(t: pd.DataFrame) -> pd.DataFrame:
+        return empty_safe(t.sort_values(
+            ["rev_u", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+        ).head(k))
+
+    top = (
+        joined.map_batches(local_topk, batch_format="pandas")
+        .sort(["rev_u", "o_orderdate", "l_orderkey"],
+              descending=[True, False, False])
+        .limit(k)
+    )
+    return top.map_batches(
+        lambda t: pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(np.int64),
+            "revenue": round_half_away(t["rev_u"].to_numpy() / 100.0, 2),
+            "o_orderdate": t["o_orderdate"],
+        }),
+        batch_format="pandas",
+    )
+
+
 SHUFFLE_RANGE_BITS = 24  # 2^32 hash space → 256 ordered range buckets
 
 

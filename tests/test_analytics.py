@@ -704,3 +704,27 @@ def test_bloom_antijoin_exact_and_prefilter_works(ray_session):
     assert all(maybe[i] for i, k in enumerate(keys) if k in have)
     fp = sum(1 for i, k in enumerate(keys) if maybe[i] and k not in have)
     assert fp <= max(5, len(keys) * 0.01)
+
+
+def test_q3_matches_pandas_reference(ray_session):
+    from codepropertygraph_ray.functions.relational import (
+        Q3_CUTOFF, Q3_SEGMENT, q3_unshipped,
+    )
+
+    got = q3_unshipped(SF_DIR).to_pandas()
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    cut = pd.Timestamp(Q3_CUTOFF)
+    seg = cust.loc[cust["c_mktsegment"] == Q3_SEGMENT, "c_custkey"]
+    of = orders[(orders["o_orderdate"] < cut) & orders["o_custkey"].isin(seg)]
+    lf = li[li["l_shipdate"] > cut].copy()
+    lf["rev_u"] = np.floor(
+        np.abs(lf["l_extendedprice"] * (1 - lf["l_discount"])) * 100 + 0.5
+    ).astype("int64")
+    m = lf.merge(of, left_on="l_orderkey", right_on="o_orderkey")
+    g = m.groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev_u"].sum()
+    g = g.sort_values(["rev_u", "o_orderdate", "l_orderkey"],
+                      ascending=[False, True, True]).head(10)
+    assert list(got["l_orderkey"]) == list(g["l_orderkey"])
+    assert np.allclose(got["revenue"], g["rev_u"] / 100.0)
