@@ -162,3 +162,67 @@ def test_resolve_functional_matches_naive(fmap):
                 break
             cur = f[cur]
         assert got[s] == cur
+
+
+# -- sketches: CMS never underestimates; Bloom never false-negatives ---------
+
+stream_st = st.lists(st.integers(min_value=0, max_value=200),
+                     min_size=1, max_size=300)
+
+
+@given(stream_st, st.integers(min_value=1, max_value=299))
+@settings(max_examples=50, deadline=None)
+def test_cms_one_sided_and_linear(stream, cut):
+    from collections import Counter
+
+    from codepropertygraph_ray.functions.sketch import (
+        cms_estimate, cms_sketch,
+    )
+
+    s = pd.Series(stream)
+    sk = cms_sketch(s)
+    true = Counter(stream)
+    qs = pd.Series(sorted(true))
+    est = cms_estimate(sk, qs)
+    assert (est >= np.array([true[q] for q in qs])).all()
+    cut = min(cut, len(stream))
+    split = cms_sketch(s.iloc[:cut]) + cms_sketch(s.iloc[cut:]) \
+        if cut < len(stream) else cms_sketch(s)
+    assert (sk == split).all()
+
+
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=1, max_size=200),
+       st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=1, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_bloom_no_false_negatives_and_or_merge(build, probe):
+    from codepropertygraph_ray.functions.sketch import (
+        bloom_might_contain, bloom_partial,
+    )
+
+    b = np.array(build, dtype=np.int64)
+    bits = np.unpackbits(
+        np.frombuffer(bloom_partial(b), dtype=np.uint8)).astype(bool)
+    assert bloom_might_contain(bits, b).all()  # no false negatives
+    half = len(b) // 2 or 1
+    merged = np.unpackbits(
+        np.frombuffer(bloom_partial(b[:half]), dtype=np.uint8)
+        | np.frombuffer(bloom_partial(b[half:]), dtype=np.uint8)
+        if half < len(b)
+        else np.frombuffer(bloom_partial(b), dtype=np.uint8)
+    ).astype(bool)
+    assert (merged == bits).all()  # OR-merge == whole-stream build
+
+
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                min_size=0, max_size=5000),
+       st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                min_size=1, max_size=100))
+@settings(max_examples=50, deadline=None)
+def test_probe_sorted_equals_searchsorted(table, queries):
+    from codepropertygraph_ray.stages.validate import _probe_sorted
+
+    tbl = np.sort(np.array(table, dtype=np.int64))
+    q = np.array(queries * 50, dtype=np.int64)  # push past the 4096 gate
+    assert (np.searchsorted(tbl, q) == _probe_sorted(tbl, q)).all()
