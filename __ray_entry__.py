@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_above_avg": relational.orders_above_customer_avg,
         "rel_sample_stratified": relational.sample_stratified_events,
         "rel_hourly_active_users": relational.hourly_active_users,
+        "rel_cumulative_users": relational.cumulative_new_users,
         "agg_hll_users": sketch.hll_distinct_users,  # approximate — no SQL oracle
         "agg_cms_heavy": sketch.cms_heavy_users,  # approximate — no SQL oracle
         # --- training-data ops: text analysis -----------------------------
@@ -1409,6 +1410,21 @@ def _rel_sql() -> dict[str, str]:
           SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
           FROM events GROUP BY date_trunc('hour', ts)
+        """,
+        # running DISTINCT reduced to first-occurrence + prefix sum on
+        # both sides (a windowed count(distinct) is not SQL-window-native)
+        "rel_cumulative_users": """
+          SELECT h AS hour_epoch,
+                 CAST(new_users AS BIGINT) AS new_users,
+                 CAST(sum(new_users) OVER (ORDER BY h) AS BIGINT)
+                   AS cum_users
+          FROM (
+            SELECT h, count(*) AS new_users FROM (
+              SELECT user_id,
+                     min(CAST(epoch(date_trunc('hour', ts)) AS BIGINT)) AS h
+              FROM events GROUP BY user_id
+            ) GROUP BY h
+          )
         """,
         # genuine range join against the literal interval table (the Ray
         # path broadcasts the same bands and probes with searchsorted)

@@ -995,6 +995,48 @@ def hourly_active_users(sf_dir: str):
     )
 
 
+def cumulative_new_users(sf_dir: str):
+    """(hour_epoch, new_users, cum_users) — user-acquisition curve: how
+    many users appear for the FIRST time in each hour, plus the running
+    total. The running-DISTINCT archetype: a windowed count(distinct) is
+    not directly SQL-window-expressible either — both sides reduce it to
+    first-occurrence extraction + an ordinary prefix sum.
+
+    Scale shape: per-batch (user, min-hour) partials → ONE user-keyed
+    min exchange (user-dimension volume) → per-batch hour histograms →
+    a tiny hour-keyed sum; the prefix scan runs on the HOURS table
+    (date-scale, driver-held like the skyline frontier)."""
+    from .agg import hash_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def first_partial(t: pd.DataFrame) -> pd.DataFrame:
+        hour = t["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        return pd.DataFrame({"user_id": t["user_id"], "h": hour}).groupby(
+            "user_id", as_index=False
+        ).min()
+
+    firsts = hash_agg(
+        ds.map_batches(first_partial, batch_format="pandas"),
+        "user_id", h=("h", "min"),
+    )
+
+    def hour_partial(t: pd.DataFrame) -> pd.DataFrame:
+        vc = t["h"].value_counts()
+        return pd.DataFrame({"h": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    hours = hash_agg(
+        firsts.map_batches(hour_partial, batch_format="pandas"),
+        "h", new_users=("n", "sum"),
+    ).to_pandas().sort_values("h", ignore_index=True)
+    return pd.DataFrame({
+        "hour_epoch": hours["h"].to_numpy(np.int64),
+        "new_users": hours["new_users"].to_numpy(np.int64),
+        "cum_users": np.cumsum(hours["new_users"].to_numpy(np.int64)),
+    })
+
+
 def orders_above_customer_avg(sf_dir: str):
     """(o_orderkey, o_custkey, o_totalprice) — orders strictly above their
     OWN customer's average order value: the correlated-subquery archetype

@@ -728,3 +728,18 @@ def test_q3_matches_pandas_reference(ray_session):
                       ascending=[False, True, True]).head(10)
     assert list(got["l_orderkey"]) == list(g["l_orderkey"])
     assert np.allclose(got["revenue"], g["rev_u"] / 100.0)
+
+
+def test_cumulative_users_matches_first_seen(ray_session):
+    from codepropertygraph_ray.functions.relational import cumulative_new_users
+
+    got = cumulative_new_users(SF_DIR)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    first = ev.assign(
+        h=ev["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+    ).groupby("user_id")["h"].min()
+    ref = first.value_counts().sort_index()
+    assert list(got["hour_epoch"]) == list(ref.index)
+    assert list(got["new_users"]) == list(ref.values)
+    assert list(got["cum_users"]) == list(ref.cumsum().values)
+    assert got["cum_users"].iloc[-1] == ev["user_id"].nunique()
