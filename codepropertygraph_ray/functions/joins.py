@@ -37,6 +37,32 @@ def get_broadcast(ref):
     return _BROADCAST_CACHE[key]
 
 
+def _parquet_lookup(source, key_col: str, val_col: str):
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(source).to_table(columns=[key_col, val_col])
+    return build_lookup(t.column(key_col).to_pandas(), t.column(val_col).to_pandas())
+
+
+_parquet_lookup_task = ray.remote(_parquet_lookup)
+
+
+def lookup_task(source, key_col: str = "node", val_col: str = "component"):
+    """Build a :func:`build_lookup` probe INSIDE a Ray task; returns the
+    ObjectRef of the probe table (lands in plasma as the task output —
+    zero driver copies, zero driver hash/sort time).
+
+    The driver-side ``read_table(...).to_pandas()`` + ``build_lookup`` it
+    replaces was the link pass's largest width-independent serial term
+    (~4 s at sf0.4 — BASELINE.md 'Quantified serial attribution'); as a
+    task it overlaps the consuming stage's read startup, and consumers
+    that ``get_broadcast(ref)`` inside map tasks block on the ref exactly
+    as they would on a ``ray.put`` ref (Ray releases a blocked worker's
+    CPU, the same self-synchronization the validator's dim task uses —
+    stages/validate.py:_dim_state_task)."""
+    return _parquet_lookup_task.remote(source, key_col, val_col)
+
+
 def build_lookup(keys, values):
     """(keys, values) → broadcastable sorted-hash probe table.
 

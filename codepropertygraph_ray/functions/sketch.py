@@ -256,8 +256,18 @@ def customers_without_events(sf_dir: str):
         return t
 
     tagged = cust.map_batches(tag, batch_format="pandas").materialize()
-    cand = tagged.filter(lambda r: r["maybe"]).to_pandas()
-    cand_keys = np.sort(cand["c_custkey"].to_numpy(np.int64))
+    # vectorized per-batch mask (a row-lambda Dataset.filter evaluates
+    # Python per ROW); the driver collects only the candidate keys
+    from .agg import empty_safe
+
+    cand = tagged.map_batches(
+        lambda t: empty_safe(t.loc[t["maybe"], ["c_custkey"]]),
+        batch_format="pandas",
+    ).to_pandas()
+    cand_keys = (
+        np.sort(cand["c_custkey"].to_numpy(np.int64))
+        if "c_custkey" in cand.columns else np.empty(0, np.int64)
+    )
     cref = ray.put(cand_keys)
 
     def seen_partial(t: pd.DataFrame) -> pd.DataFrame:

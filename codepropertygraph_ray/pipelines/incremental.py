@@ -42,10 +42,11 @@ the DiffGraph "property update packed as data" discipline
 
 At 100 TB this is the shape that matters: daily increments re-extract and
 re-link ONLY the new conversations (corpus-scale work proportional to the
-increment) plus ONE pruned 3-column scan of the existing triples for the
-distributed anti-join; the vocab-scale dimension work (canon check,
-new-entity detection) stays driver-cheap, and nothing corpus-scale is
-ever driver-materialized.
+increment) plus pruned 3-column scans of the existing triples (distributed
+anti-join) and entity_keys (alias-pair collection + broadcast-candidate
+membership probes). Driver state is PAIR- or increment-scale throughout —
+neither the corpus nor the mention-key vocabulary (which grows with the
+corpus) is ever driver-materialized.
 """
 
 from __future__ import annotations
@@ -153,24 +154,63 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
         extract_sorted, batch_format="pandas", batch_size=16384
     ).materialize()
 
-    # ---- canon check + extension (vocab-scale driver work) ----------------
+    # ---- canon check + extension (PAIR-scale driver work only) ------------
     # "old" = LOGICAL union: base entities pass + every applied increment's
     # entity_keys/canon_map (each increment emits its alias pairs + new
-    # canon rows under the same table names).
-    old_keys_tbl = ctx.read_logical_table(
-        "entity_keys", columns=["key", "obj_key", "is_alias"]
-    ).to_pandas()
-    old_pairs = old_keys_tbl.loc[old_keys_tbl["is_alias"], ["key", "obj_key"]]
+    # canon rows under the same table names). The driver touches only
+    # pair-scale tables (VERDICT r4 item 2): alias pairs collected from a
+    # pruned DISTRIBUTED scan of entity_keys, and the canon map (pair-scale
+    # by construction — canonical_map emits rows for alias participants
+    # only). The vocab-scale key universe is never driver-materialized;
+    # membership questions against it run as broadcast-candidate probes.
+    old_pairs = (
+        ctx.read_logical("entity_keys", columns=["key", "obj_key", "is_alias"])
+        .map_batches(
+            lambda t: empty_safe(
+                t.loc[t["is_alias"], ["key", "obj_key"]].drop_duplicates()
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas().drop_duplicates()
+    )
+    if "key" not in old_pairs.columns:  # all-empty read may drop columns
+        old_pairs = pd.DataFrame({"key": pd.Series(dtype="object"),
+                                  "obj_key": pd.Series(dtype="object")})
     old_map = ctx.read_logical_table("canon_map").to_pandas()
     old_lookup = build_lookup(old_map["node"], old_map["component"])
-    # frozen-canon universe: every key seen, every alias endpoint, every
-    # canon-map node (an alias TARGET never mentioned still roots a chain)
-    old_keys = pd.Series(pd.unique(pd.concat([
-        old_keys_tbl["key"],
-        old_keys_tbl.loc[old_keys_tbl["is_alias"], "obj_key"],
-        old_map["node"],
-    ], ignore_index=True).dropna()))
-    old_keys = old_keys[old_keys != ""].reset_index(drop=True)
+
+    def _probe_existing_keys(cands) -> set:
+        """Which of ``cands`` exist in the OLD key universe (every mention
+        key, alias endpoint, or canon-map node across base + prior
+        increments)? Broadcast the sorted candidate array (increment-scale)
+        and stream the vocab-scale entity_keys union through a distributed
+        membership probe — the same shape as the dup-conversation guard.
+        Canon-map nodes are alias-pair endpoints, so the entity_keys scan
+        (key ∪ alias obj_key) covers the whole universe."""
+        cands_arr = np.asarray(sorted(set(cands)), dtype=object)
+        if not len(cands_arr):
+            return set()
+        cands_ref = ray.put(cands_arr)
+
+        def probe(t: pd.DataFrame) -> pd.DataFrame:
+            cs = get_broadcast(cands_ref)
+            ks = pd.unique(pd.concat(
+                [t["key"], t.loc[t["is_alias"], "obj_key"]], ignore_index=True
+            ).dropna())
+            if len(ks):
+                ks = ks[ks != ""]
+            if not len(ks):
+                return empty_safe(pd.DataFrame({"key": pd.Series(dtype="object")}))
+            pos = np.clip(np.searchsorted(cs, ks), 0, len(cs) - 1)
+            return empty_safe(pd.DataFrame({"key": ks[cs[pos] == ks]}))
+
+        found = (
+            ctx.read_logical("entity_keys", columns=["key", "obj_key", "is_alias"])
+            .map_batches(probe, batch_format="pandas")
+            .to_pandas()
+        )
+        # an all-empty Dataset.to_pandas() can drop columns — treat as no hits
+        return set(found["key"]) if "key" in found.columns else set()
 
     inc_partials = records.map_batches(
         lambda t: empty_safe(
@@ -186,12 +226,19 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
     ).drop_duplicates()
     new_map = canonical_map(all_pairs)
     new_lookup = build_lookup(new_map["node"], new_map["component"])
-    # vectorized frozen-canon check (no per-key Python loop)
-    old_c = lookup_keys(old_lookup, old_keys, default="self")
-    new_c = lookup_keys(new_lookup, old_keys, default="self")
-    changed_mask = old_c != new_c
-    if changed_mask.any():
-        changed = sorted(old_keys[changed_mask])
+    # frozen-canon check, CANDIDATE-scale: a key's canon can only change
+    # for a node in the NEW map's domain (all_pairs ⊇ old pairs, so the
+    # domain only grows; keys outside both domains canon to themselves in
+    # both). A differing candidate violates the additive contract IFF the
+    # key already exists in the old universe — a NEW key attaching to an
+    # existing component (self → root) is the allowed additive case.
+    old_c = lookup_keys(old_lookup, new_map["node"], default="self")
+    cand_mask = old_c != new_map["component"].to_numpy(object)
+    changed = (
+        sorted(_probe_existing_keys(new_map.loc[cand_mask, "node"]))
+        if cand_mask.any() else []
+    )
+    if changed:
         raise IncrementalMergeError(
             "increment would re-canonicalize existing keys (additive "
             f"contract): {changed[:5]}{'...' if len(changed) > 5 else ''}"
@@ -438,10 +485,7 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
 
     mention_graph_ds = linked.map_batches(mention_graph, batch_format="pandas")
 
-    # ---- NEW entity nodes + dim nodes (vocab-scale, driver) ---------------
-    # old canon universe = canon of every old key (union incl. prior incs)
-    old_canons = set(lookup_keys(old_lookup, old_keys, default="self"))
-    old_canons |= set(old_keys)
+    # ---- NEW entity nodes + dim nodes (increment-scale, driver) -----------
     inc_mentions = linked.map_batches(
         lambda t: empty_safe(
             t.loc[t["kind"] == "mention", ["canon"]].drop_duplicates()
@@ -460,7 +504,11 @@ def _run_increment(ctx, inc_path: str, name: str) -> dict:
          pd.Series(new_map["component"].unique(), dtype="object")],
         ignore_index=True,
     ))
-    new_entity_canons = sorted(set(inc_canons) - old_canons)
+    # old canon universe = old keys ∪ old components; every component is
+    # itself an alias-pair endpoint, so ONE distributed membership probe of
+    # the key universe answers both (the old driver shape materialized the
+    # whole vocab to build this set)
+    new_entity_canons = sorted(set(inc_canons) - _probe_existing_keys(inc_canons))
     # base-build is_external semantics: linked ⟺ triple endpoint ∪ canon-map
     # component root (new canons can't appear in OLD triples, so increment
     # linkage + new roots is exactly the full-rebuild answer for them)

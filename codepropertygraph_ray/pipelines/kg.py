@@ -50,6 +50,35 @@ def _p(ctx: PassContext, key: str):
     return ctx.params.get(key, DEFAULT_PARAMS[key])
 
 
+# lazily-decorated remote handles (ray is imported inside functions here)
+_REMOTE_HANDLES: dict = {}
+
+
+def _remote(fn):
+    import ray
+
+    if fn.__name__ not in _REMOTE_HANDLES:
+        _REMOTE_HANDLES[fn.__name__] = ray.remote(fn)
+    return _REMOTE_HANDLES[fn.__name__]
+
+
+def _linked_canons_union(canons_dir: str, cmap_dir: str):
+    """Sorted union of the link pass's side-written triple-endpoint canons
+    and every canon-map component — the 'linked' membership probe for the
+    is_external flag. Runs as a Ray task (output lands in plasma,
+    overlapped with the conv exchange — no driver union/sort)."""
+    import pyarrow.dataset as pads
+
+    l = pads.dataset(canons_dir).to_table().column("canon").to_pandas()
+    c = (
+        pads.dataset(cmap_dir)
+        .to_table(columns=["component"])
+        .column("component")
+        .to_pandas()
+    )
+    return np.union1d(pd.unique(l), pd.unique(c))
+
+
 def _corpus_buckets(ctx: PassContext) -> int:
     """Width of the corpus-scale exchanges (triple dedup, conv buckets).
 
@@ -267,12 +296,12 @@ def run_link(ctx: PassContext) -> dict:
       SIDE-WRITES the reaching pairs and the linked-canon partials —
       three deltas, one barrier.
     """
-    import ray
+    from ..functions.joins import get_broadcast, lookup_keys, lookup_task
 
-    from ..functions.joins import build_lookup, get_broadcast, lookup_keys
-
-    cmap = ctx.read_table("entities", "canon_map").to_pandas()
-    canon_ref = ray.put(build_lookup(cmap["node"], cmap["component"]))
+    # probe built OFF-driver: a Ray task reads the canon delta and its
+    # output (the sorted-hash probe) lands in plasma, overlapped with the
+    # base-records scan startup — scan tasks self-synchronize on the ref
+    canon_ref = lookup_task(ctx.delta_dir("entities", "canon_map"))
 
     def link_records(t: pd.DataFrame) -> pd.DataFrame:
         table = get_broadcast(canon_ref)
@@ -493,8 +522,6 @@ def run_materialize(ctx: PassContext) -> dict:
     """
     import pyarrow as pa
     import pyarrow.parquet as pqt
-    import ray
-    import ray.data
 
     overlay = "materialize"
     ndir = os.path.join(ctx._side_root, "nodes")
@@ -736,10 +763,11 @@ def run_materialize(ctx: PassContext) -> dict:
     # canon is a pure broadcast-lookup function of the base records, so the
     # scan re-derives it per batch instead of re-reading a second
     # corpus-scale delta (the largest write after the graph itself).
-    from ..functions.joins import build_lookup, get_broadcast, lookup_keys
+    from ..functions.joins import get_broadcast, lookup_keys, lookup_task
 
-    cmap = ctx.read_table("entities", "canon_map").to_pandas()
-    cmap_ref = ray.put(build_lookup(cmap["node"], cmap["component"]))
+    # both broadcast sides built OFF-driver (probe + linked-canon union
+    # land in plasma as task outputs, overlapped with the conv exchange)
+    cmap_ref = lookup_task(ctx.delta_dir("entities", "canon_map"))
 
     def mention_rows(t: pd.DataFrame) -> pd.DataFrame:
         m = t[t["kind"] == "mention"].drop(columns=["kind"]).copy()
@@ -786,15 +814,10 @@ def run_materialize(ctx: PassContext) -> dict:
     # canon map and the linked-canon set (both vocab-dimension) broadcast.
     from ..functions.agg import hash_groupby
 
-    import pyarrow.dataset as pads
-
-    linked_partials = (
-        pads.dataset(ctx.delta_dir("link", "linked_canons")).to_table().column("canon")
+    linked_ref = _remote(_linked_canons_union).remote(
+        ctx.delta_dir("link", "linked_canons"),
+        ctx.delta_dir("entities", "canon_map"),
     )
-    linked_arr = np.union1d(
-        pd.unique(linked_partials.to_pandas()), cmap["component"].to_numpy()
-    )
-    linked_ref = ray.put(linked_arr)
 
     entity_keys = ctx.read(
         "entities", "entity_keys", columns=["key", "n_mentions", "is_alias"]

@@ -208,15 +208,19 @@ def test_two_increments_equal_full_rebuild(ray_session, tmp_path):
 def test_increment_never_driver_materializes_corpus_tables(
     ray_session, tmp_path, monkeypatch
 ):
-    """The old-triple anti-join and the dup-conversation guard must stay
-    distributed: no corpus-scale table may reach the driver during ingest
-    (VERDICT r3 item 1)."""
+    """The old-triple anti-join, the dup-conversation guard AND the
+    frozen-canon chain must stay distributed: neither a corpus-scale table
+    nor the vocab-scale entity_keys (which grows with the corpus) may be
+    driver-materialized during ingest (VERDICT r3 item 1 + r4 item 2 —
+    alias pairs are collected via a pruned distributed scan and the key
+    universe is only probed with broadcast candidates)."""
     from codepropertygraph_ray.pipelines.incremental import ingest_increment
     from codepropertygraph_ray.pipelines.passes import PassContext
 
     base = _build(tmp_path, "nbase", BASE_ROWS)
 
-    CORPUS = {"triples", "records", "nodes", "edges", "reaching", "ndim", "tprops"}
+    CORPUS = {"triples", "records", "nodes", "edges", "reaching", "ndim",
+              "tprops", "entity_keys"}
     real_rt = PassContext.read_table
     real_rlt = PassContext.read_logical_table
 
