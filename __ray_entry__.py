@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dot_cfg": kgq.dot_export_cfg,
         "kg_dot_cdg": kgq.dot_export_cdg,
         "kg_dot_ddg": kgq.dot_export_ddg,
+        "kg_dot_pdg": kgq.dot_export_pdg,
         # --- KG graph analytics (whole-graph query surface) ----------------
         "kg_entity_cooccurrence": analytics.entity_cooccurrence,
         "kg_entity_degree": analytics.entity_degree,
@@ -1033,6 +1034,67 @@ def _kg_sql() -> dict[str, str]:
                  'digraph "' || n.conv_id || '" {{' || chr(10) || n.ns
                  || coalesce(chr(10) || e.es, '') || chr(10) || '}}' AS dot
           FROM ddg_nodes n LEFT JOIN ddg_es e ON e.conv_id = n.conv_id
+        """,
+        # PDG flavor: the CDG ∪ DDG union view, one digraph per
+        # conversation with edges labeled 'CDG' / 'DDG: <variable>' —
+        # DotPdgGenerator.scala analog (DumpPdgTests.scala test shape).
+        # CDG derivation identical to kg_dot_cdg; DDG derivation identical
+        # to kg_dot_ddg; union sorted (a, b, lbl) like the Python side.
+        "kg_dot_pdg": f"""
+          WITH pdg_tt AS (SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn, role FROM {t}),
+          pdg_sk AS (SELECT conv_id, turn AS a,
+                            lead(turn) OVER (PARTITION BY conv_id ORDER BY turn) AS b
+                     FROM pdg_tt WHERE role = 'user'),
+          pdg_skips AS (SELECT conv_id, a, b FROM pdg_sk WHERE b IS NOT NULL AND b > a + 1),
+          pdg_chain AS (SELECT conv_id, turn AS a,
+                               lead(turn) OVER (PARTITION BY conv_id ORDER BY turn) AS b
+                        FROM pdg_tt),
+          pdg_e AS (SELECT conv_id, a, b FROM pdg_chain WHERE b IS NOT NULL
+                    UNION SELECT conv_id, a, b FROM pdg_skips),
+          pdg_cdg AS (
+            SELECT DISTINCT e.conv_id, e.a, d.turn AS b
+            FROM pdg_e e JOIN pdg_tt d ON d.conv_id = e.conv_id AND d.turn >= e.b
+            WHERE NOT EXISTS (SELECT 1 FROM pdg_skips k
+                              WHERE k.conv_id = e.conv_id AND k.a >= e.b
+                                AND k.a < d.turn AND k.b > d.turn)
+              AND EXISTS (SELECT 1 FROM pdg_skips k2
+                          WHERE k2.conv_id = e.conv_id AND k2.a >= e.a
+                            AND k2.a < d.turn AND k2.b > d.turn)
+          ),
+          pdg_rp AS (
+            SELECT conv_id, src_turn_idx, dst_turn_idx, variable FROM (
+              SELECT conv_id, turn_idx AS src_turn_idx,
+                     CAST(lead(turn_idx) OVER (
+                       PARTITION BY conv_id, key ORDER BY turn_idx
+                     ) AS INTEGER) AS dst_turn_idx,
+                     key AS variable
+              FROM (SELECT DISTINCT conv_id, turn_idx, key FROM ({mentions_keyed}))
+            ) WHERE dst_turn_idx IS NOT NULL
+          ),
+          pdg_edges AS (
+            SELECT conv_id, a, b, 'CDG' AS lbl FROM pdg_cdg
+            UNION ALL
+            SELECT conv_id, CAST(src_turn_idx AS INTEGER) AS a,
+                   dst_turn_idx AS b, 'DDG: ' || variable AS lbl
+            FROM pdg_rp
+          ),
+          pdg_nodes AS (
+            SELECT conv_id,
+                   string_agg('  t' || turn || ' [label="' || turn || ':' || role || '"];',
+                              chr(10) ORDER BY turn) AS ns
+            FROM pdg_tt GROUP BY conv_id
+          ),
+          pdg_es AS (
+            SELECT conv_id,
+                   string_agg('  t' || a || ' -> t' || b
+                              || ' [label="' || lbl || '"];', chr(10)
+                              ORDER BY a, b, lbl) AS es
+            FROM pdg_edges GROUP BY conv_id
+          )
+          SELECT n.conv_id,
+                 'digraph "' || n.conv_id || '" {{' || chr(10) || n.ns
+                 || coalesce(chr(10) || e.es, '') || chr(10) || '}}' AS dot
+          FROM pdg_nodes n LEFT JOIN pdg_es e ON e.conv_id = n.conv_id
         """,
     }
 

@@ -49,6 +49,43 @@ def _consume(res) -> int:
     return len(res)
 
 
+def steal_frac() -> float:
+    """CPU-steal fraction since boot (co-tenant noise indicator): this
+    box's 8→32 ratio collapses to ~0.55-0.65 whenever instantaneous
+    steal/core-speed spread is high (BASELINE.md 'Scaling'), so every
+    measurement records the conditions it ran under."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:9]))
+    return round(v[7] / max(sum(v), 1), 4)
+
+
+def core_speed_spread(nproc: int = 32, dur: float = 1.5) -> float:
+    """min/max per-process busy-loop rate under full-width load — the
+    direct probe for uneven core speeds (co-tenant pinning). Quiet box
+    ≈ 0.8+; ratios below ~0.6 mean a full-width barrier stage inherits a
+    slow core every stage and the 8→32 comparison is noise-dominated."""
+    import multiprocessing as mp
+
+    def burn(q):
+        end = time.perf_counter() + dur
+        n = 0
+        while time.perf_counter() < end:
+            for _ in range(10000):
+                pass
+            n += 1
+        q.put(n)
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=burn, args=(q,)) for _ in range(nproc)]
+    for p in procs:
+        p.start()
+    rates = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    return round(min(rates) / max(max(rates), 1), 3)
+
+
 def run_bench() -> dict:
     import logging
 
@@ -105,11 +142,16 @@ def run_bench() -> dict:
     ).count()
     os.sync()  # flush the warm-up's dirty pages out of the timed window
 
-    # headline: full pipeline, fresh
+    # headline: full pipeline, fresh — with its own measured conditions
+    # (VERDICT r4 item 3: a regression artifact must carry its own
+    # exoneration; the scaling JSONs already did, the bench JSON did not)
+    spread0 = core_speed_spread()
+    steal0 = steal_frac()
     shutil.rmtree(BENCH_OUT, ignore_errors=True)
     t0 = time.perf_counter()
     runner = build_kg(SF_DIR, BENCH_OUT)
     pipeline_sec = time.perf_counter() - t0
+    steal1 = steal_frac()
     led = runner.ledger()
     n_triples = led["metrics"]["link"]["tables"]["triples"]["rows"]
     n_turns = ray.data.read_parquet(path).count()
@@ -137,6 +179,8 @@ def run_bench() -> dict:
         "n_turns": n_turns,
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / pipeline_sec, 1),
+        "core_speed_spread": spread0,
+        "steal_frac_window": [steal0, steal1],
     }
 
 
@@ -147,15 +191,6 @@ def run_scaling() -> dict:
     across repeats); each level runs SCALING_REPS times (default 2) and
     reports the minimum — the standard noisy-machine protocol.
     """
-    def steal_frac() -> float:
-        """CPU-steal fraction since boot (co-tenant noise indicator): this
-        box's 8→32 ratio collapses to ~0.55-0.65 whenever instantaneous
-        steal/core-speed spread is high (BASELINE.md 'Scaling'), so every
-        measurement records the conditions it ran under."""
-        with open("/proc/stat") as f:
-            v = list(map(int, f.readline().split()[1:9]))
-        return round(v[7] / max(sum(v), 1), 4)
-
     reps = int(os.environ.get("SCALING_REPS", "2"))
     # default the scaling corpus to sf0.4 (~2M turns, synthesized on
     # demand): at sf0.1 the whole job finishes in ~30 s and the
@@ -164,6 +199,7 @@ def run_scaling() -> dict:
     # (BASELINE.md 'Scaling' discussion). Override with GRAFT_SF_DIR.
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.4")
     results = {}
+    spread0 = core_speed_spread()
     steal0 = steal_frac()
     for ncpu in (8, 32):
         best = None
@@ -192,6 +228,7 @@ def run_scaling() -> dict:
         "per_pass_8": results[8]["queries"],
         "per_pass_32": results[32]["queries"],
         "steal_frac_window": [steal0, steal1],
+        "core_speed_spread": spread0,
         "sf": sf_dir,
     }
 

@@ -1002,6 +1002,16 @@ def dot_export_ddg(sf_dir: str):
     return conversation_dot_ddg(sf_dir, r.ctx.read_logical("reaching"))
 
 
+def dot_export_pdg(sf_dir: str):
+    """(conv_id, dot) — the program-dependence-graph union view: CDG ∪
+    DDG edges in one digraph, each labeled with its flavor — the
+    `DotPdgGenerator.scala` flavor (`DumpPdgTests.scala` shape)."""
+    from ..stages.export import conversation_dot_pdg
+
+    r = kg_runner(sf_dir)
+    return conversation_dot_pdg(sf_dir, r.ctx.read_logical("reaching"))
+
+
 AP_ELEMENT_RE = r"^(.*) (\d+)$"  # base tokens + numeric element suffix
 
 

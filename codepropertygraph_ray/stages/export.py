@@ -117,14 +117,10 @@ def conversation_dot_cdg(sf_dir: str):
     return hash_groupby(ds, "conv_id", to_dot)
 
 
-def conversation_dot_ddg(sf_dir: str, reaching_ds):
-    """→ Dataset (conv_id, dot): per-conversation REACHES (dataflow) edges
-    labeled with their variable — the `DdgGenerator.scala:1-100` analog
-    (edges carry the def'd variable like the reference's DDG edge labels).
-
-    ``reaching_ds`` is the pipeline's reaching overlay (conv_id,
-    src_turn_idx, dst_turn_idx, variable); it joins the transcript turns
-    in ONE conv_id-bucketed exchange (tagged union, no broadcast)."""
+def _turns_reaching_union(sf_dir: str, reaching_ds):
+    """Tagged union of transcript turns ('t' rows) and reaching-overlay
+    edges ('r' rows) — ONE conv_id-keyed exchange feeds the DDG/PDG
+    flavors, no broadcast of either side."""
     from ..sources.transcripts import read_transcripts
 
     import numpy as np
@@ -155,6 +151,17 @@ def conversation_dot_ddg(sf_dir: str, reaching_ds):
         ),
         batch_format="pandas",
     )
+    return turns.union(redges)
+
+
+def conversation_dot_ddg(sf_dir: str, reaching_ds):
+    """→ Dataset (conv_id, dot): per-conversation REACHES (dataflow) edges
+    labeled with their variable — the `DdgGenerator.scala:1-100` analog
+    (edges carry the def'd variable like the reference's DDG edge labels).
+
+    ``reaching_ds`` is the pipeline's reaching overlay (conv_id,
+    src_turn_idx, dst_turn_idx, variable); it joins the transcript turns
+    in ONE conv_id-bucketed exchange (tagged union, no broadcast)."""
 
     def to_dot(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -172,7 +179,57 @@ def conversation_dot_ddg(sf_dir: str, reaching_ds):
             ))
         return pd.DataFrame(rows, columns=["conv_id", "dot"])
 
-    return hash_groupby(turns.union(redges), "conv_id", to_dot)
+    return hash_groupby(_turns_reaching_union(sf_dir, reaching_ds),
+                        "conv_id", to_dot)
+
+
+def conversation_dot_pdg(sf_dir: str, reaching_ds):
+    """→ Dataset (conv_id, dot): the PROGRAM-DEPENDENCE-GRAPH union view —
+    control-dependence (CDG) edges ∪ dataflow (DDG) edges in ONE digraph,
+    each edge labeled with its flavor (`dataflowengineoss/.../dotgenerator/
+    DotPdgGenerator.scala`, test shape `DumpPdgTests.scala`; the flavor a
+    user debugging dataflow dumps first). CDG edges recompute in-bucket
+    from the turn rows (the closed form property-tested equal to the CHK
+    dominance-frontier run, functions/graph.py); DDG edges come from the
+    pipeline's reaching overlay via the same tagged conv-keyed union as
+    the DDG flavor — ONE exchange, no broadcast. Edge lines sort by
+    (src, dst, label) so 'CDG' edges precede 'DDG: var' labels at equal
+    endpoints, matching the SQL oracle's string_agg order."""
+    from ..functions.graph import conv_dominators_frame
+
+    def to_dot(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        t_all = g[g["kind"] == "t"]
+        dom = conv_dominators_frame(
+            t_all[["conv_id", "turn_idx", "role"]].astype({"turn_idx": "int64"})
+        )
+        cdg_all = dom[dom["kind"] == "cdg"]
+        for conv_id, grp in g.groupby("conv_id"):
+            t = grp[grp["kind"] == "t"]
+            c = cdg_all[cdg_all["conv_id"] == conv_id]
+            e = grp.loc[grp["kind"] == "r",
+                        ["src_turn_idx", "dst_turn_idx", "variable"]]
+            lines = pd.DataFrame({
+                "a": pd.concat([c["a"].astype("int64"),
+                                e["src_turn_idx"].astype("int64")],
+                               ignore_index=True),
+                "b": pd.concat([c["b"].astype("int64"),
+                                e["dst_turn_idx"].astype("int64")],
+                               ignore_index=True),
+                "lbl": pd.concat([pd.Series(["CDG"] * len(c), dtype=object),
+                                  ("DDG: " + e["variable"].astype(object))
+                                  .astype(object)],
+                                 ignore_index=True),
+            }).sort_values(["a", "b", "lbl"])
+            rows.append(_dot_rows(
+                conv_id, t,
+                [f'  t{a} -> t{b} [label="{_esc(l)}"];'
+                 for a, b, l in zip(lines["a"], lines["b"], lines["lbl"])],
+            ))
+        return pd.DataFrame(rows, columns=["conv_id", "dot"])
+
+    return hash_groupby(_turns_reaching_union(sf_dir, reaching_ds),
+                        "conv_id", to_dot)
 
 
 def dump_context(sf_dir: str, targets: pd.DataFrame, around: int = 1):
