@@ -154,13 +154,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pack_chunks": text.pack_chunks,
         "text_repetition": text.repetition_stats,
         "text_unigram_logprob": text.unigram_logprob,
-        "text_simhash": text.simhash64,  # keyed hash — no SQL oracle
-        "text_fingerprint": text.fingerprint,  # rolling hash — no SQL oracle
+        "text_simhash": text.simhash64,
+        "text_fingerprint": text.fingerprint,
         # --- training-data ops: dedup --------------------------------------
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,  # no SQL oracle
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_keep_list": dedup.dedup_keep_list,
-        "dedup_simhash_pairs": dedup.simhash_pairs,  # keyed hash — no SQL oracle
+        "dedup_simhash_pairs": dedup.simhash_pairs,
         # --- training-data ops: similarity search --------------------------
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,  # approximate — no SQL oracle
@@ -1559,7 +1559,208 @@ def _ops_sql() -> dict[str, str]:
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) >= {JACCARD_THRESHOLD}
     """
+
+    # ---- keyed-hash family, now SQL-expressible (VERDICT r4 item 4) -------
+    # text.poly_hash mirrors: list_reduce polynomial codepoint hash, same
+    # modulus/base constants as the engine — every value below is bit-exact
+    from codepropertygraph_ray.functions.dedup import (
+        MH_A_MULT,
+        MH_B_MULT,
+        MH_P,
+        N_PERM,
+        SIMHASH_MAX_HAMMING,
+    )
+    from codepropertygraph_ray.functions.text import (
+        FP_KGRAM,
+        FP_WINDOW,
+        POLY_B,
+        POLY_B2,
+        POLY_P55,
+        poly_hash_sql,
+    )
+
+    # per-doc 63-bit simhash: token bits from two independent poly hashes
+    # (bit j<32 = h1 bit j; j>=32 = h2 bit j-32), occurrence-weighted
+    # majority vote — identical to functions/text.simhash64
+    simhash_sig_sql = f"""
+      SELECT d.doc_id, CAST(coalesce(s.sig, 0) AS BIGINT) AS simhash
+      FROM documents d LEFT JOIN (
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+        FROM (
+          SELECT doc_id, j,
+                 sum(CASE WHEN ((CASE WHEN j < 32 THEN h1 >> j
+                                      ELSE h2 >> (j - 32) END) & 1) = 1
+                     THEN 1 ELSE -1 END) AS v
+          FROM (
+            SELECT doc_id, {poly_hash_sql('tok')} AS h1,
+                   {poly_hash_sql('tok', base=POLY_B2)} AS h2
+            FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                  FROM documents)
+          ), LATERAL (SELECT unnest(generate_series(0, 62)) AS j)
+          GROUP BY doc_id, j
+        ) GROUP BY doc_id
+      ) s ON s.doc_id = d.doc_id
+    """
+
+    # winnowing fingerprint: k-gram mod-P poly hashes, window minima,
+    # distinct + xor-fold — identical to functions/text.fingerprint_batch
+    fp_kh = "CAST(0 AS BIGINT)"
+    for _i in range(FP_KGRAM):
+        fp_kh = f"(({fp_kh} * {POLY_B} + unicode(substr(text, p + {_i}, 1))) % {POLY_P55})"
+    fingerprint_sql = f"""
+      WITH fp_d AS (SELECT doc_id, coalesce(text, '') AS text,
+                           length(coalesce(text, '')) AS L FROM documents),
+      fp_k AS (
+        SELECT doc_id, p, {fp_kh} AS kh, L - {FP_KGRAM - 1} AS nk
+        FROM fp_d, LATERAL (SELECT unnest(generate_series(1, L - {FP_KGRAM - 1})) AS p)
+      ),
+      fp_win AS (
+        SELECT doc_id, p, nk,
+               min(kh) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW
+                             AND {FP_WINDOW - 1} FOLLOWING) AS m
+        FROM fp_k
+      ),
+      fp_sel AS (
+        SELECT doc_id, m AS h FROM fp_win
+        WHERE nk >= {FP_WINDOW} AND p <= nk - {FP_WINDOW - 1}
+        UNION ALL
+        SELECT doc_id, kh FROM fp_k WHERE nk < {FP_WINDOW}
+        UNION ALL
+        SELECT doc_id, {poly_hash_sql('text')} FROM fp_d WHERE L < {FP_KGRAM}
+      )
+      SELECT doc_id, CAST(bit_xor(DISTINCT h) AS BIGINT) AS fingerprint,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_selected
+      FROM fp_sel GROUP BY doc_id
+    """
+
+    # MinHash-LSH: 31-bit poly shingle hashes, closed-form universal-hash
+    # permutations, banding = band-tuple equality (the engine's band_hash
+    # equality ⟺ tuple equality), exact-Jaccard verification — identical
+    # to functions/dedup.minhash_lsh_pairs
+    minhash_lsh_sql = f"""
+      WITH mh_sh AS MATERIALIZED ({shingle_rows_raw}),
+      mh_h AS (SELECT doc_id, {poly_hash_sql('shingle', mod=MH_P)} AS h FROM mh_sh),
+      mh_perm AS (
+        SELECT i, ({MH_A_MULT} * i) % {MH_P} AS a, ({MH_B_MULT} * i) % {MH_P} AS b
+        FROM (SELECT unnest(generate_series(1, {N_PERM})) AS i)
+      ),
+      mh_sig AS (
+        SELECT doc_id, i, min((a * h + b) % {MH_P}) AS v
+        FROM mh_h CROSS JOIN mh_perm GROUP BY doc_id, i
+      ),
+      mh_band AS (
+        SELECT doc_id, (i - 1) // 4 AS band,
+               max(CASE WHEN (i - 1) % 4 = 0 THEN v END) AS r0,
+               max(CASE WHEN (i - 1) % 4 = 1 THEN v END) AS r1,
+               max(CASE WHEN (i - 1) % 4 = 2 THEN v END) AS r2,
+               max(CASE WHEN (i - 1) % 4 = 3 THEN v END) AS r3
+        FROM mh_sig GROUP BY doc_id, (i - 1) // 4
+      ),
+      mh_cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM mh_band a JOIN mh_band b
+          ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1
+         AND a.r2 = b.r2 AND a.r3 = b.r3 AND a.doc_id < b.doc_id
+      ),
+      mh_sizes AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY doc_id),
+      mh_inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS ninter
+        FROM mh_cand c
+        JOIN mh_sh x ON x.doc_id = c.id_a
+        JOIN mh_sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+        GROUP BY c.id_a, c.id_b
+      )
+      SELECT id_a, id_b FROM mh_inter
+      JOIN mh_sizes sa ON sa.doc_id = id_a
+      JOIN mh_sizes sb ON sb.doc_id = id_b
+      WHERE CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) >= {JACCARD_THRESHOLD}
+    """
+
+    # deterministic-sketch oracles: an HLL/CMS ESTIMATE is a closed-form
+    # function of the data given its hash rows; with the universal-hash
+    # family ((a·x+b) mod p) mod w the SQL rebuilds the same registers /
+    # cells and hence the same estimates (functions/sketch.py)
+    from codepropertygraph_ray.functions.sketch import (
+        _ALPHA,
+        CMS_D,
+        CMS_W,
+        HLL_M,
+        SKETCH_A_MULT,
+        SKETCH_B_MULT,
+        SKETCH_P,
+    )
+
+    def _uh(i: int, key: str) -> str:
+        a = (SKETCH_A_MULT * i) % SKETCH_P
+        b = (SKETCH_B_MULT * i) % SKETCH_P
+        return f"(({a} * ({key} % {SKETCH_P}) + {b}) % {SKETCH_P})"
+
+    hll_sql = f"""
+      WITH hll_h AS (
+        SELECT event_type, {_uh(1, 'user_id')} % {HLL_M} AS idx,
+               {_uh(2, 'user_id')} AS w
+        FROM events
+      ),
+      hll_reg AS (
+        SELECT event_type, idx,
+               max(CASE WHEN w = 0 THEN 32
+                        ELSE 32 - length(bin(w)) END) AS r
+        FROM hll_h GROUP BY event_type, idx
+      ),
+      hll_agg AS (
+        SELECT event_type, sum(power(2.0, -r)) AS zhit,
+               count(*) AS nhit
+        FROM hll_reg GROUP BY event_type
+      ),
+      hll_est AS (
+        SELECT event_type,
+               CAST({_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                 / (zhit + ({HLL_M} - nhit)) AS raw,
+               {HLL_M} - nhit AS zeros
+        FROM hll_agg
+      )
+      SELECT event_type,
+             CAST(round(CASE WHEN raw <= 2.5 * {HLL_M} AND zeros > 0
+                             THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / zeros)
+                             ELSE raw END) AS BIGINT) AS approx_users
+      FROM hll_est
+    """
+
+    cms_cells = " UNION ALL ".join(
+        f"SELECT {i} AS i, {_uh(i + 3, 'user_id')} % {CMS_W} AS cell, user_id FROM events"
+        for i in range(CMS_D)
+    )
+    cms_sql = f"""
+      WITH cms_all AS MATERIALIZED ({cms_cells}),
+      cms_counts AS (SELECT i, cell, count(*) AS c FROM cms_all GROUP BY i, cell),
+      cms_keycell AS (SELECT DISTINCT i, cell, user_id FROM cms_all),
+      cms_est AS (
+        SELECT k.user_id, min(c.c) AS est
+        FROM cms_keycell k JOIN cms_counts c ON c.i = k.i AND c.cell = k.cell
+        GROUP BY k.user_id
+      )
+      SELECT CAST(user_id AS BIGINT) AS user_id, CAST(est AS BIGINT) AS approx_n
+      FROM cms_est ORDER BY est DESC, user_id LIMIT 10
+    """
+
     return {
+        "agg_hll_users": hll_sql,
+        "agg_cms_heavy": cms_sql,
+        "text_simhash": simhash_sig_sql,
+        "text_fingerprint": fingerprint_sql,
+        # all-pairs Hamming ≤ 3 over the SQL-computed signatures (the
+        # engine's 4×16-bit banding is EXACT by pigeonhole at ham ≤ 3 —
+        # the brute-force-equivalence pytest pins it)
+        "dedup_simhash_pairs": f"""
+          WITH sp_sig AS MATERIALIZED ({simhash_sig_sql})
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM sp_sig a JOIN sp_sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+        """,
+        "dedup_minhash_lsh": minhash_lsh_sql,
         "text_token_stats": r"""
           SELECT doc_id,
                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,

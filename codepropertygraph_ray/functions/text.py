@@ -2,9 +2,10 @@
 
 The training-data-pipeline operator family (language-ID, quality scoring,
 token counting, document fingerprinting). Each runs as a vectorized
-``map_batches`` stage; the ones with deterministic hashing use the same
-keyed SipHash as node ids (ids.py) so outputs are stable across runs and
-parallelism levels (the StableOutputTests discipline).
+``map_batches`` stage; the ones with deterministic hashing use the
+SQL-expressible polynomial codepoint hash below (poly_hash), so outputs
+are stable across runs and parallelism levels (the StableOutputTests
+discipline) AND bit-exactly reproducible by the DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -14,7 +15,7 @@ import re
 import numpy as np
 import pandas as pd
 
-from ..ids import hash_series
+
 
 STOPWORDS = {
     "the", "and", "of", "a", "to", "in", "is", "it", "for", "on", "with",
@@ -44,6 +45,57 @@ def _read_docs(sf_dir: str, columns=None):
     from ..sources.tables import read_table
 
     return read_table(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible string hashing (VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+# Rabin–Karp polynomial hash over unicode CODEPOINTS, h ← (h·B + c) mod P.
+# With P < 2^55 every step fits int64 exactly ((P−1)·131 + 0x10FFFF < 2^63),
+# so numpy int64 and DuckDB BIGINT compute IDENTICAL values — the
+# dataset_split multiplicative-hash precedent extended to strings, which is
+# what lets simhash / fingerprint / minhash / CMS / HLL gain bit-exact
+# DuckDB oracles (they previously used the non-SQL-expressible keyed
+# SipHash and were rows-only checks). SQL mirror (see poly_hash_sql):
+#   list_reduce(list_prepend(CAST(0 AS BIGINT),
+#     list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+#     (h, c) -> (h * B + c) % P)
+
+POLY_B = 131
+POLY_B2 = 137  # independent second hash (simhash needs 64 mixed bits)
+POLY_P55 = 36028797018963913  # largest prime < 2^55
+POLY_P31 = (1 << 31) - 1  # Mersenne prime — minhash/CMS/HLL 31-bit field
+
+
+def poly_hash(strings: pd.Series, base: int = POLY_B, mod: int = POLY_P55) -> np.ndarray:
+    """Vectorized polynomial codepoint hash — exact int64, no Python loop
+    over strings: ONE utf-32 decode of the concatenated batch, then one
+    vectorized pass per char position (token/shingle max length, small)."""
+    arr = strings.fillna("").to_numpy(object)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.int64)
+    lens = np.fromiter((len(s) for s in arr), np.int64, n)
+    buf = np.frombuffer("".join(arr).encode("utf-32-le"), np.uint32).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    h = np.zeros(n, np.int64)
+    for j in range(int(lens.max()) if n else 0):
+        m = j < lens
+        h[m] = (h[m] * base + buf[offs[m] + j]) % mod
+    return h
+
+
+def poly_hash_sql(expr: str, base: int = POLY_B, mod: int = POLY_P55) -> str:
+    """The DuckDB expression computing poly_hash(expr) — same arithmetic.
+    NULL/'' → 0 like the Python side (string_split('', '') yields ['']
+    whose unicode() is -1, so empties need the explicit branch)."""
+    return (
+        f"(CASE WHEN {expr} IS NULL OR {expr} = '' THEN 0 ELSE "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        f"c -> CAST(unicode(c) AS BIGINT))), "
+        f"(h, c) -> (h * {base} + c) % {mod}) END)"
+    )
 
 
 def token_stats(sf_dir: str):
@@ -138,9 +190,13 @@ def lang_id(sf_dir: str):
 
 
 def simhash64(sf_dir: str):
-    """(doc_id, simhash) — 64-bit SimHash over whitespace tokens with the
-    repo's keyed SipHash (deterministic). Bit-majority vote weighted by
-    token frequency (each occurrence votes once ≡ frequency weighting).
+    """(doc_id, simhash) — 64-bit SimHash over whitespace tokens. Token
+    bits come from TWO independent polynomial codepoint hashes (bases 131
+    and 137, :func:`poly_hash` — the SQL-expressible mixer, VERDICT r4
+    item 4: bit j<32 is h1's bit j, bit j≥32 is h2's bit j−32), so the
+    DuckDB oracle reproduces the signature bit-exactly. Bit-majority vote
+    weighted by token frequency (each occurrence votes once ≡ frequency
+    weighting); bit 63 masked off to keep the signature a positive int64.
 
     Vectorized batch body: ONE explode of all tokens, ONE hash of the
     exploded column, one (T, 64) bit matrix, per-doc votes via
@@ -156,7 +212,11 @@ def simhash64(sf_dir: str):
         nz = lens > 0
         if nz.any():
             flat = pd.Series(np.concatenate(toks[nz].to_numpy()), dtype="object")
-            hs = hash_series([flat]).astype(np.uint64)
+            h1 = poly_hash(flat).astype(np.uint64)
+            h2 = poly_hash(flat, base=POLY_B2).astype(np.uint64)
+            hs = (h1 & np.uint64(0xFFFFFFFF)) | (
+                (h2 & np.uint64(0xFFFFFFFF)) << np.uint64(32)
+            )
             bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             starts = np.zeros(int(nz.sum()), dtype=np.int64)
             np.cumsum(lens[nz][:-1], out=starts[1:])
@@ -170,16 +230,6 @@ def simhash64(sf_dir: str):
 
 FP_KGRAM = 8
 FP_WINDOW = 4
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
-
-
-_FP_BASE = np.uint64(0x100000001B3)  # odd multiplier for the byte-rolling hash
 
 
 def _grouped_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
@@ -205,13 +255,15 @@ def fingerprint(sf_dir: str):
     sharing long substrings share selected hashes. ``n_selected`` =
     |selected set| (density ≈ 2/(w+1) of positions per the paper).
 
-    Fully batch-vectorized: ONE concatenated UTF-8 buffer per batch, k-gram
-    hashes via 8 shifted multiply-adds (rolling polynomial, splitmix64
-    finalizer — deterministic across runs/parallelism), global
-    ``sliding_window_view`` minima, per-doc segments carved with grouped
-    aranges, distinct-minima + xor-fold via lexsort + ``reduceat``. Docs
-    shorter than one window keep the old semantics (all k-grams selected;
-    < ``FP_KGRAM`` bytes → one whole-text hash)."""
+    Fully batch-vectorized: ONE concatenated codepoint buffer per batch
+    (utf-32 decode), k-gram hashes via 8 multiply-add-mod passes (the
+    SQL-expressible :func:`poly_hash` arithmetic, mod the 55-bit prime —
+    VERDICT r4 item 4; deterministic across runs/parallelism AND
+    reproducible in the DuckDB oracle), global ``sliding_window_view``
+    minima, per-doc segments carved with grouped aranges, distinct-minima
+    + xor-fold via lexsort + ``reduceat``. Docs shorter than one window
+    keep the old semantics (all k-grams selected; < ``FP_KGRAM``
+    codepoints → one whole-text hash)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pandas")
 
@@ -220,17 +272,18 @@ def fingerprint_batch(t: pd.DataFrame) -> pd.DataFrame:
     """The vectorized per-batch body of :func:`fingerprint` (module-level so
     tests can exercise it without a Ray session)."""
     K, W = FP_KGRAM, FP_WINDOW
-    enc = [s.encode("utf-8") for s in t["text"].fillna("")]
-    lens = np.fromiter((len(b) for b in enc), np.int64, len(enc))
-    buf = np.frombuffer(b"".join(enc), np.uint8).astype(np.uint64)
+    B, P = POLY_B, POLY_P55
+    texts = t["text"].fillna("")
+    lens = np.fromiter((len(s) for s in texts), np.int64, len(texts))
+    buf = np.frombuffer("".join(texts).encode("utf-32-le"), np.uint32).astype(np.int64)
     offs = np.concatenate(([0], np.cumsum(lens)))
 
-    # k-gram hashes over the whole buffer (8 vectorized passes)
+    # k-gram hashes over the whole buffer (8 vectorized mod-P passes;
+    # every step < 2^63, exact in int64 and in the oracle's BIGINT)
     n_pos = max(len(buf) - K + 1, 0)
-    kh_all = np.zeros(n_pos, dtype=np.uint64)
+    kh_all = np.zeros(n_pos, dtype=np.int64)
     for j in range(K):
-        kh_all = kh_all * _FP_BASE + buf[j : j + n_pos]
-    kh_all = _splitmix64(kh_all)
+        kh_all = (kh_all * B + buf[j : j + n_pos]) % P
 
     # carve each doc's valid k-gram run out of the global array
     g = np.maximum(lens - K + 1, 0)  # k-grams per doc (0 if too short)
@@ -259,15 +312,17 @@ def fingerprint_batch(t: pd.DataFrame) -> pd.DataFrame:
         sel_docs.append(np.repeat(np.flatnonzero(has)[small], counts[small]))
         sel_hashes.append(kh[sidx])
 
-    # sub-k-gram docs: one whole-text rolling hash (masked K passes)
+    # sub-k-gram docs: one whole-text rolling hash (masked mod-P passes —
+    # for L < K this equals poly_hash(text), which is what the SQL mirror
+    # computes for the short-doc branch)
     if (~has).any():
         so, sl = offs[:-1][~has], lens[~has]
-        sh = np.zeros(len(so), dtype=np.uint64)
+        sh = np.zeros(len(so), dtype=np.int64)
         for j in range(K):
             m = j < sl
-            sh[m] = sh[m] * _FP_BASE + buf[(so + j)[m]]
+            sh[m] = (sh[m] * B + buf[(so + j)[m]]) % P
         sel_docs.append(np.flatnonzero(~has))
-        sel_hashes.append(_splitmix64(sh))
+        sel_hashes.append(sh)
 
     docw = np.concatenate(sel_docs)
     mins = np.concatenate(sel_hashes)
@@ -281,9 +336,10 @@ def fingerprint_batch(t: pd.DataFrame) -> pd.DataFrame:
     out = np.zeros(len(t), dtype=np.int64)
     nsel = np.zeros(len(t), dtype=np.int64)
     if len(d_u):
+        # hashes < 2^55, so the xor-fold is already a positive int64
         fold = np.bitwise_xor.reduceat(m_u, seg)
         rows = d_u[seg]
-        out[rows] = (fold & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        out[rows] = fold.astype(np.int64)
         nsel[rows] = np.diff(np.concatenate((seg, [len(d_u)])))
     return pd.DataFrame({"doc_id": t["doc_id"], "fingerprint": out, "n_selected": nsel})
 

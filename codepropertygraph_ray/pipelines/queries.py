@@ -138,42 +138,86 @@ def triples(sf_dir: str):
 def entity_stats(sf_dir: str):
     """(canon, n_mentions, is_external) per canonical entity.
 
+    Fully distributed (VERDICT r4 item 7): the ENTITY node slice and the
+    mention-count partials are TAGGED sides of ONE canon-keyed bucketed
+    exchange, joined in-bucket — neither the node table nor entity_keys
+    is driver-materialized; only the pair-scale canon map and the
+    increment-scale flip set broadcast. The collected output is the
+    query's RESULT (entity-dimension), not an intermediate.
+
     Post-ingest correctness: node rows are additive overlays and never
     rewritten, so an existing external entity that gained fact linkage via
     an increment keeps a stale ``is_external`` on its NODE row; each
     increment records those canons in an ``entity_flips`` side table and
     this query applies them (the DiffGraph property-update-as-data
     discipline — see pipelines/incremental.py)."""
+    import numpy as np
+    import ray
+
+    from ..functions.agg import empty_safe, hash_groupby
+    from ..functions.joins import build_lookup, get_broadcast, lookup_keys
+
     r = kg_runner(sf_dir)
+    cm = r.ctx.read_logical_table("canon_map").to_pandas()  # pair-scale
+    lookup_ref = ray.put(build_lookup(cm["node"], cm["component"]))
+    flips_ref = ray.put(
+        np.sort(np.asarray(sorted(_entity_flips(r)), dtype=object))
+    )
+
+    COLS = ["canon", "n_mentions", "is_external", "kind"]
+
+    def ent_rows(t: pd.DataFrame) -> pd.DataFrame:
+        e = t[t["label"] == "ENTITY"]
+        return empty_safe(pd.DataFrame({
+            "canon": e["full_name"].to_numpy(object),
+            "n_mentions": np.zeros(len(e), np.int64),
+            "is_external": e["is_external"].astype(object).eq(True).to_numpy(),
+            "kind": np.full(len(e), "e", object),
+        })[COLS])
+
+    def count_rows(t: pd.DataFrame) -> pd.DataFrame:
+        k = t[~t["is_alias"]]
+        canon = lookup_keys(get_broadcast(lookup_ref), k["key"], default="self")
+        part = (
+            pd.DataFrame({"canon": canon,
+                          "n_mentions": k["n_mentions"].to_numpy(np.int64)})
+            .groupby("canon", as_index=False)["n_mentions"].sum()
+        )
+        part["is_external"] = False
+        part["kind"] = "c"
+        return empty_safe(part[COLS])
+
     nodes = r.ctx.read_logical(
         "nodes", columns=["label", "full_name", "is_external"]
-    )
-    ents = nodes.map_batches(
-        lambda t: t[t["label"] == "ENTITY"][["full_name", "is_external"]].rename(
-            columns={"full_name": "canon"}
-        ),
-        batch_format="pandas",
-    ).to_pandas()
-    cm = canonical_map(sf_dir)
-    ek = r.ctx.read_logical_table(
+    ).map_batches(ent_rows, batch_format="pandas")
+    counts = r.ctx.read_logical(
         "entity_keys", columns=["key", "n_mentions", "is_alias"]
-    ).to_pandas()
-    ek = ek[~ek["is_alias"]]
-    counts = (
-        ek.merge(cm, on="key")
-        .groupby("canon", as_index=False)["n_mentions"]
-        .sum()
+    ).map_batches(count_rows, batch_format="pandas")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.loc[g["kind"] == "e", ["canon", "is_external"]]
+        c = (
+            g.loc[g["kind"] == "c"]
+            .groupby("canon", as_index=False)["n_mentions"].sum()
+        )
+        out = e.merge(c, on="canon", how="left")
+        out["n_mentions"] = out["n_mentions"].fillna(0).astype("int64")
+        out["is_external"] = out["is_external"].astype(bool)
+        fl = get_broadcast(flips_ref)
+        if len(fl) and len(out):
+            arr = out["canon"].to_numpy(object)
+            pos = np.clip(np.searchsorted(fl, arr), 0, len(fl) - 1)
+            out.loc[fl[pos] == arr, "is_external"] = False
+        return empty_safe(out[["canon", "n_mentions", "is_external"]])
+
+    res = hash_groupby(nodes.union(counts), "canon", join_bucket).to_pandas()
+    if "canon" not in res.columns:  # all-empty read may drop columns
+        res = pd.DataFrame({"canon": pd.Series(dtype="object"),
+                            "n_mentions": pd.Series(dtype="int64"),
+                            "is_external": pd.Series(dtype="bool")})
+    return res.astype({"n_mentions": "int64", "is_external": "bool"}).sort_values(
+        "canon", ignore_index=True
     )
-    out = ents.merge(counts, on="canon", how="left")
-    out["n_mentions"] = out["n_mentions"].fillna(0).astype("int64")
-    # the parquet is_external column is nullable-bool (null on non-entity
-    # labels) → pandas object dtype after the read; re-assert plain bool
-    # so the dtype survives to the oracle compare
-    out["is_external"] = out["is_external"].astype(bool)
-    flips = _entity_flips(r)
-    if flips:
-        out.loc[out["canon"].isin(flips), "is_external"] = False
-    return out.sort_values("canon", ignore_index=True)
 
 
 def _entity_flips(r) -> set:

@@ -53,9 +53,12 @@ def test_minhash_vectorized_matches_single_doc_signature():
     assert set(out["doc_id"]) == {0, 1}  # shingle-less doc 2 emits nothing
     from codepropertygraph_ray.functions.dedup import N_BANDS, N_PERM
 
+    from codepropertygraph_ray.functions.dedup import MH_P
+    from codepropertygraph_ray.functions.text import poly_hash
+
     for doc_id, text in [(0, texts[0]), (1, texts[1])]:
         sh = sorted(set(_shingles(text)))
-        hs = hash_series([pd.Series(sh)]).astype(np.uint64)
+        hs = poly_hash(pd.Series(sh), mod=MH_P)
         sig = mh.signature(hs)
         per_band = sig.reshape(N_BANDS, N_PERM // N_BANDS)
         want = mix_ids(*[per_band[:, r] for r in range(per_band.shape[1])])

@@ -50,13 +50,11 @@ def test_queries_and_oracles_align(entrymod):
     assert not unknown, f"oracle without query: {unknown}"
     # every SQL-expressible op is oracled; the documented exceptions aren't
     no_oracle = set(qs) - set(oracles)
+    # round 5 oracled the keyed-hash family (poly-hash mixer, VERDICT r4
+    # item 4); only genuinely non-SQL-checkable ops remain rows-only
     assert no_oracle == {
-        "text_simhash", "text_fingerprint",  # keyed/rolling hash — not SQL
-        "dedup_minhash_lsh", "sim_knn_lsh", "sim_knn_ivf",  # approximate
-        "dedup_simhash_pairs",  # keyed-hash fingerprint — not SQL
-        "mm_media_features", "mm_frame_features",  # SipHash fake decode
-        "agg_hll_users",  # sketch — approximate by construction
-        "agg_cms_heavy",  # sketch — approximate by construction
+        "sim_knn_lsh", "sim_knn_ivf",  # probabilistic recall (RNG planes)
+        "mm_media_features", "mm_frame_features",  # float feature vectors
     }
 
 

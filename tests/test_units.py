@@ -250,30 +250,32 @@ def test_fingerprint_batch_matches_per_doc_reference():
     import numpy as np
 
     from codepropertygraph_ray.functions.text import (
-        FP_KGRAM, FP_WINDOW, _FP_BASE, _splitmix64, fingerprint_batch)
+        FP_KGRAM, FP_WINDOW, POLY_B, POLY_P55, fingerprint_batch)
 
     def ref_one(text):
-        b = np.frombuffer(text.encode("utf-8"), np.uint8).astype(np.uint64)
-        if len(b) < FP_KGRAM:
-            h = np.uint64(0)
-            for x in b:
-                h = h * _FP_BASE + x
-            sel = np.array([_splitmix64(np.array([h]))[0]], np.uint64)
+        # plain-Python-int polynomial hash over codepoints (the SQL-mirror
+        # arithmetic) — the independent reference for the vectorized body
+        cps = [ord(c) for c in text]
+        if len(cps) < FP_KGRAM:
+            h = 0
+            for x in cps:
+                h = (h * POLY_B + x) % POLY_P55
+            sel = np.array([h], np.int64)
         else:
             khs = []
-            for i in range(len(b) - FP_KGRAM + 1):
-                h = np.uint64(0)
-                for x in b[i:i + FP_KGRAM]:
-                    h = h * _FP_BASE + x
+            for i in range(len(cps) - FP_KGRAM + 1):
+                h = 0
+                for x in cps[i:i + FP_KGRAM]:
+                    h = (h * POLY_B + x) % POLY_P55
                 khs.append(h)
-            kh = _splitmix64(np.array(khs, np.uint64))
+            kh = np.array(khs, np.int64)
             if len(kh) >= FP_WINDOW:
                 sel = np.unique(
                     np.lib.stride_tricks.sliding_window_view(kh, FP_WINDOW).min(axis=1))
             else:
                 sel = np.unique(kh)
         folded = np.bitwise_xor.reduce(sel)
-        return np.int64(folded & np.uint64(0x7FFF_FFFF_FFFF_FFFF)), len(sel)
+        return np.int64(folded), len(sel)
 
     rng = np.random.default_rng(0)
     texts = ["", "ab", "abcdefg", "abcdefgh", "abcdefghi",
