@@ -210,6 +210,9 @@ class Pass:
 
 
 def _file_metrics(table_dir: str) -> list[dict]:
+    # serial on purpose: footers are page-cache-warm right after the pass
+    # writes them (measured 0.23 s for the whole sf0.1 output; a thread
+    # pool per call was 6× WORSE from pool-spawn overhead)
     out = []
     if not os.path.isdir(table_dir):  # empty delta → writer may skip the dir
         return out
