@@ -186,12 +186,17 @@ def ensure_transcripts(sf_dir: str, force: bool = False) -> str:
     USER CORPORA: if ``sf_dir`` itself contains a ``transcripts/``
     directory of parquet files, that corpus is used verbatim — the path
     real pipelines take (the synthetic generator only backs the sf
-    testdata dirs)."""
+    testdata dirs). A ``transcripts/`` directory of ``.jsonl``/``.json``
+    (NDJSON) files is converted ONCE to a cached parquet corpus — the
+    payload-reader analog of the reference's JSON AST ingestion
+    (`FuzzyC2Cpg.scala:1701-1712`, SURVEY.md S9)."""
     user_corpus = os.path.join(sf_dir, "transcripts")
-    if os.path.isdir(user_corpus) and any(
-        f.endswith(".parquet") for f in os.listdir(user_corpus)
-    ):
-        return user_corpus
+    if os.path.isdir(user_corpus):
+        names = os.listdir(user_corpus)
+        if any(f.endswith(".parquet") for f in names):
+            return user_corpus
+        if any(f.endswith((".jsonl", ".json")) for f in names):
+            return _ensure_jsonl_converted(user_corpus, sf_dir)
     path = transcripts_path(sf_dir)
     if os.path.isdir(path) and not force:
         return path
@@ -213,6 +218,89 @@ def ensure_transcripts(sf_dir: str, force: bool = False) -> str:
             row_group_size=16_384,
         )
     if os.path.isdir(path):  # concurrent creator won the race
+        import shutil
+
+        shutil.rmtree(tmp)
+        return path
+    os.replace(tmp, path)
+    return path
+
+
+def _cast_transcripts_frame(df: pd.DataFrame) -> pa.Table:
+    """NDJSON rows → one typed Arrow block of the transcripts schema.
+    Tolerant like the reference's payload decode (`ProtoToCpg.scala:23-31`
+    interns/coerces; missing tool → ''; ts accepts ISO strings or epoch
+    µs integers)."""
+    def col(name, default=""):
+        if name in df.columns:
+            return df[name]
+        return pd.Series([default] * len(df), index=df.index)
+
+    out = pd.DataFrame(index=df.index)
+    out["conv_id"] = col("conv_id").fillna("").astype(object)
+    out["turn_idx"] = pd.to_numeric(
+        col("turn_idx", 0), errors="coerce"
+    ).fillna(0).astype("int32")
+    out["role"] = col("role").fillna("").astype(object)
+    out["text"] = col("text").fillna("").astype(object)
+    out["tool"] = col("tool").fillna("").astype(object)
+    ts = col("ts", 0)
+    if pd.api.types.is_numeric_dtype(ts):
+        out["ts"] = pd.to_datetime(ts, unit="us")
+    elif pd.api.types.is_datetime64_any_dtype(ts):
+        out["ts"] = pd.to_datetime(ts)
+    else:
+        out["ts"] = pd.to_datetime(ts, format="ISO8601", errors="coerce")
+    return pa.Table.from_pandas(
+        out, schema=TRANSCRIPTS_SCHEMA, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+def _ensure_jsonl_converted(src_dir: str, sf_dir: str) -> str:
+    """NDJSON transcripts → cached parquet corpus (converted once,
+    fingerprint-keyed so an updated source re-converts). Distributed when
+    a Ray session exists (`ray.data.read_json` → typed cast → per-task
+    parquet sink — the 100-TB path); falls back to a per-file pyarrow
+    conversion for sessionless callers."""
+    import hashlib
+    import json as _json
+
+    files = sorted(
+        f for f in os.listdir(src_dir) if f.endswith((".jsonl", ".json"))
+    )
+    fp = hashlib.sha1(_json.dumps(
+        [(f, os.path.getsize(os.path.join(src_dir, f)),
+          int(os.path.getmtime(os.path.join(src_dir, f)))) for f in files]
+    ).encode()).hexdigest()[:12]
+    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = os.path.join(CACHE_ROOT, f"{name}-jsonl-{fp}", "transcripts")
+    if os.path.isdir(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    import ray
+
+    if ray.is_initialized():
+        import ray.data
+
+        from ..functions.sink import sink_parquet
+
+        ds = ray.data.read_json(
+            [os.path.join(src_dir, f) for f in files]
+        ).map_batches(_cast_transcripts_frame, batch_format="pandas")
+        sink_parquet(ds, tmp)
+    else:
+        for i, f in enumerate(files):
+            df = pd.read_json(
+                os.path.join(src_dir, f), lines=f.endswith(".jsonl")
+            )
+            pq.write_table(
+                _cast_transcripts_frame(df),
+                os.path.join(tmp, f"part-{i:04d}.parquet"),
+                compression="zstd",
+            )
+    if os.path.isdir(path):  # concurrent converter won the race
         import shutil
 
         shutil.rmtree(tmp)

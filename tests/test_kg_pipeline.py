@@ -110,3 +110,59 @@ def test_ledger_metrics_and_resume(kg_run):
     t0 = time.perf_counter()
     kg_run.run()
     assert time.perf_counter() - t0 < 2.0  # no pass re-executed
+
+
+def test_jsonl_source_equals_parquet_source(ray_session, tmp_path):
+    """An NDJSON transcripts corpus (the S9 payload-reader analog —
+    `FuzzyC2Cpg.scala:1701-1712` ingests JSON) must build the identical
+    KG as the same rows delivered as parquet."""
+    import json
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from codepropertygraph_ray.pipelines.kg import build_kg
+
+    rows = [
+        {"conv_id": "c-1", "turn_idx": 0, "role": "user",
+         "text": "note @[B] <alias_of> @[A] .", "tool": "",
+         "ts": "2024-01-01T00:00:00"},
+        {"conv_id": "c-1", "turn_idx": 1, "role": "assistant",
+         "text": "fyi @[A] <uses> @[D] .", "tool": "",
+         "ts": "2024-01-01T00:01:00"},
+        {"conv_id": "c-2", "turn_idx": 0, "role": "tool",
+         "text": "ran @[Q] <located_in> @[D] .", "tool": "search",
+         "ts": "2024-01-01T01:00:00"},
+    ]
+
+    jdir = tmp_path / "jsonl_sf" / "transcripts"
+    jdir.mkdir(parents=True)
+    with open(jdir / "part-0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    pdir = tmp_path / "parq_sf" / "transcripts"
+    pdir.mkdir(parents=True)
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df.to_parquet(pdir / "part-0.parquet")
+
+    rj = build_kg(str(tmp_path / "jsonl_sf"), str(tmp_path / "jsonl_out"))
+    rp = build_kg(str(tmp_path / "parq_sf"), str(tmp_path / "parq_out"))
+
+    def table_set(r, table, cols):
+        t = pads.dataset(r.ctx.delta_dir("link", table)).to_table(columns=cols)
+        return set(map(tuple, t.to_pandas().values))
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    got = table_set(rj, "triples", cols)
+    assert got == table_set(rp, "triples", cols) and got
+    for r in (rj, rp):
+        nodes = pads.dataset(r.ctx.delta_dir("materialize", "nodes")).to_table(
+            columns=["id"]
+        )
+        assert nodes.num_rows > 0
+    a = pads.dataset(rj.ctx.delta_dir("materialize", "nodes")).to_table(columns=["id"])
+    b = pads.dataset(rp.ctx.delta_dir("materialize", "nodes")).to_table(columns=["id"])
+    assert set(a.column("id").to_pylist()) == set(b.column("id").to_pylist())
