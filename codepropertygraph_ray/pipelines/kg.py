@@ -204,7 +204,9 @@ def run_entities(ctx: PassContext) -> dict:
                 "is_alias": np.ones(len(a), dtype=bool),
             }
         )
-        return pd.concat([ment[_EK_COLS], ali[_EK_COLS]], ignore_index=True)
+        return _empty_safe(
+            pd.concat([ment[_EK_COLS], ali[_EK_COLS]], ignore_index=True)
+        )
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ments = (
