@@ -226,3 +226,34 @@ def test_probe_sorted_equals_searchsorted(table, queries):
     tbl = np.sort(np.array(table, dtype=np.int64))
     q = np.array(queries * 50, dtype=np.int64)  # push past the 4096 gate
     assert (np.searchsorted(tbl, q) == _probe_sorted(tbl, q)).all()
+
+
+# -- poly_hash: the SQL-expressible mixer must equal DuckDB exactly ----------
+
+_poly_str = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\x00"),
+    min_size=0, max_size=16,
+)
+
+
+@given(st.lists(_poly_str, min_size=1, max_size=25))
+@settings(max_examples=40, deadline=None)
+def test_poly_hash_matches_duckdb(strs):
+    """Every oracle of the keyed-hash family (simhash / fingerprint /
+    minhash / HLL / CMS) rests on poly_hash(py) == poly_hash(SQL); pin the
+    equality on arbitrary unicode, both moduli and both bases."""
+    import duckdb
+
+    from codepropertygraph_ray.functions.text import (
+        POLY_B2, POLY_P31, poly_hash, poly_hash_sql,
+    )
+
+    s = pd.Series(strs, dtype=object)
+    for kw in ({}, {"mod": POLY_P31}, {"base": POLY_B2}):
+        py = list(poly_hash(s, **kw))
+        got = [r[0] for r in duckdb.sql(
+            f"SELECT {poly_hash_sql('s', **kw)} FROM (SELECT unnest(?) AS s)",
+            params=[strs],
+        ).fetchall()]
+        assert py == got
