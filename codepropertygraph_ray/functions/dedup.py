@@ -100,20 +100,6 @@ def _hot_shingles(shingled, max_df: int) -> frozenset:
     return frozenset(hot["shingle"])
 
 
-def _doc_sizes(docs_ds, hot: frozenset = frozenset()) -> dict:
-    """{doc_id: n distinct shingles not in ``hot``} — shuffle-free: each
-    document's text is one row, so the count is exact per batch; the
-    result is dimension-sized (one int per doc) and broadcasts."""
-    def count(t: pd.DataFrame) -> pd.DataFrame:
-        ns = t["text"].map(
-            lambda x, h=hot: sum(1 for s in set(_shingles(x)) if s not in h)
-        )
-        return pd.DataFrame({"doc_id": t["doc_id"], "n": ns.astype("int64")})
-
-    sizes = docs_ds.map_batches(count, batch_format="pandas").to_pandas()
-    return dict(zip(sizes["doc_id"], sizes["n"]))
-
-
 def ngram_jaccard_pairs(sf_dir: str, max_df: int = MAX_DF):
     """(id_a, id_b): document pairs with word-3-gram Jaccard ≥ 0.5, the
     Jaccard computed over shingles with DF ≤ ``max_df`` (the stop-shingle
