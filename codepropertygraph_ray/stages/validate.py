@@ -232,6 +232,187 @@ def _dim_files(src) -> list:
     return files
 
 
+_SIGN64 = np.uint64(1) << np.uint64(63)
+
+
+def _shard_of(ids: np.ndarray, k: int) -> np.ndarray:
+    """Shard index (0..2^k-1) from an id's TOP bits in int64 sort order:
+    biasing through uint64 makes the shards RANGE-CONTIGUOUS, so the
+    concatenation of per-shard sorted runs IS the globally sorted array —
+    no merge step, and positions stay global after an offset add."""
+    u = np.ascontiguousarray(ids, dtype=np.int64).view(np.uint64) ^ _SIGN64
+    return (u >> np.uint64(64 - k)).astype(np.int64)
+
+
+@ray.remote
+def _dim_read_shards(files: list, k: int):
+    """Read a file subset of a numeric dim and split its rows into 2^k
+    shard pieces (returned as separate task outputs → each sorter fetches
+    only its shard). Column-agnostic: works for ndim (id, code, ext,
+    pmask) and tprops (id, conv, tidx) alike."""
+    import pyarrow.parquet as pqt
+
+    R = 1 << k
+    tabs = [pqt.read_table(f) for f in files]
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return tuple({} for _ in range(R)) if R > 1 else ({},)
+    t = pa.concat_tables(tabs, promote_options="default")
+    cols = {c: np.asarray(t.column(c).to_numpy(zero_copy_only=False))
+            for c in t.column_names}
+    sh = _shard_of(cols["id"].astype(np.int64, copy=False), k)
+    order = np.argsort(sh, kind="stable")
+    bounds = np.searchsorted(sh[order], np.arange(R + 1))
+    out = []
+    for s in range(R):
+        sel = order[bounds[s]:bounds[s + 1]]
+        out.append({c: v[sel] for c, v in cols.items()} if len(sel) else {})
+    return tuple(out) if R > 1 else (out[0],)
+
+
+def _masks_from(codes, pm, req, forb, nlabels):
+    """KeysValidator bit-OR reductions with the zero-violation fast path
+    (shared by the single-task and sharded dim builders)."""
+    contrib_miss = req[codes] & ~pm
+    contrib_over = forb[codes] & pm
+    invalid = codes < 0
+    if invalid.any():
+        contrib_miss[invalid] = 0
+        contrib_over[invalid] = 0
+    miss_or = np.zeros(nlabels, dtype=np.uint16)
+    over_or = np.zeros(nlabels, dtype=np.uint16)
+    if contrib_miss.any():
+        np.bitwise_or.at(miss_or, codes[~invalid].astype(np.int64),
+                         contrib_miss[~invalid])
+    if contrib_over.any():
+        np.bitwise_or.at(over_or, codes[~invalid].astype(np.int64),
+                         contrib_over[~invalid])
+    return miss_or, over_or
+
+
+@ray.remote
+def _ndim_sort_shard(nlabels, ent_code, req, forb, *parts):
+    """Sort ONE id shard of the node dim and reduce its node-side checks.
+    Input: this shard's piece from every reader task."""
+    parts = [p for p in parts if p]
+    if not parts:
+        return ((np.empty(0, np.int64), np.empty(0, np.int16)),
+                {"n": 0, "dup_ids": np.empty(0, np.int64),
+                 "counts": np.zeros(nlabels, np.int64), "n_unknown": 0,
+                 "has_pmask": True,
+                 "masks": (np.zeros(nlabels, np.uint16),
+                           np.zeros(nlabels, np.uint16)),
+                 "nonext": np.empty(0, bool)})
+    ids = np.concatenate([p["id"].astype(np.int64, copy=False) for p in parts])
+    codes = np.concatenate([p["code"].astype(np.int16, copy=False) for p in parts])
+    ext = np.concatenate([p["ext"].astype(bool, copy=False) for p in parts])
+    has_pmask = all("pmask" in p for p in parts)
+    o = np.argsort(ids)
+    ids, codes, ext = ids[o], codes[o], ext[o]
+    dup_ids = (np.unique(ids[1:][ids[1:] == ids[:-1]])
+               if len(ids) > 1 else np.empty(0, np.int64))
+    counts = np.bincount(codes[codes >= 0], minlength=nlabels)
+    masks = None
+    if has_pmask:
+        pm = np.concatenate(
+            [p["pmask"].astype(np.uint16, copy=False) for p in parts])[o]
+        masks = _masks_from(codes, pm, req, forb, nlabels)
+    return ((ids, codes),
+            {"n": len(ids), "dup_ids": dup_ids, "counts": counts,
+             "n_unknown": int((codes < 0).sum()), "has_pmask": has_pmask,
+             "masks": masks, "nonext": (codes == ent_code) & ~ext})
+
+
+@ray.remote
+def _tprops_sort_shard(*parts):
+    parts = [p for p in parts if p]
+    if not parts:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int32))
+    ids = np.concatenate([p["id"].astype(np.int64, copy=False) for p in parts])
+    conv = np.concatenate([p["conv"].astype(np.int64, copy=False) for p in parts])
+    tidx = np.concatenate([p["tidx"].astype(np.int32, copy=False) for p in parts])
+    o = np.argsort(ids)
+    return ids[o], conv[o], tidx[o]
+
+
+@ray.remote(num_returns=3)
+def _dim_concat_task(nlabels, R, *outs):
+    """Stitch the per-shard sorted runs (range-contiguous by construction)
+    into the same three outputs `_dim_state_task` produces. Pure memcpy —
+    the sorts already happened shard-parallel."""
+    nd = outs[:R]
+    tp = outs[R:]
+    ids = np.concatenate([d[0][0] for d in nd]) if nd else np.empty(0, np.int64)
+    codes = (np.concatenate([d[0][1] for d in nd])
+             if nd else np.empty(0, np.int16))
+    smalls = [d[1] for d in nd]
+    has_pmask = all(s["has_pmask"] for s in smalls) if smalls else True
+    masks = None
+    if has_pmask and smalls:
+        miss_or = np.zeros(nlabels, dtype=np.uint16)
+        over_or = np.zeros(nlabels, dtype=np.uint16)
+        for s in smalls:
+            if s["masks"] is not None:
+                miss_or |= s["masks"][0]
+                over_or |= s["masks"][1]
+        masks = (miss_or, over_or)
+    small = {
+        "n_dim_rows": int(sum(s["n"] for s in smalls)),
+        "dup_ids": (np.concatenate([s["dup_ids"] for s in smalls])
+                    if smalls else np.empty(0, np.int64)),
+        "counts": (np.sum([s["counts"] for s in smalls], axis=0)
+                   if smalls else np.zeros(nlabels, np.int64)),
+        "n_unknown": int(sum(s["n_unknown"] for s in smalls)),
+        "masks": masks,
+        "nonext_packed": np.packbits(
+            np.concatenate([s["nonext"] for s in smalls])
+            if smalls else np.empty(0, bool)),
+    }
+    tid = np.concatenate([t[0] for t in tp]) if tp else np.empty(0, np.int64)
+    tconv = np.concatenate([t[1] for t in tp]) if tp else np.empty(0, np.int64)
+    ttidx = np.concatenate([t[2] for t in tp]) if tp else np.empty(0, np.int32)
+    return (ids, codes), (tid, tconv, ttidx), small
+
+
+def _dim_state_sharded(dim_dir, turn_props_dir, nlabels, ent_code, req, forb,
+                       node_cpu: int):
+    """Shard-parallel replacement for the single `_dim_state_task`: the
+    read+sort of the numeric dim was the validator's one remaining
+    width-INDEPENDENT stage (a lone task capped at a quarter-node of
+    threads — 1.5 s at sf0.4/32 cpus, ~4 s at 8 cpus where its slot
+    shrinks to 2 threads, worse at larger sf). File-parallel readers
+    split rows by the id's top bits; per-shard sorters run across the
+    whole cluster; a memcpy concat emits the identical broadcast arrays.
+    Same (label_ref, tprops_ref, small_ref) contract as the single task."""
+    nd_files = _dim_files(dim_dir)
+    tp_files = _dim_files(turn_props_dir)
+    k = max(2, min(5, max(node_cpu, 2).bit_length() - 1))
+    R = 1 << k
+
+    def groups(files, g):
+        g = max(1, min(g, len(files)))
+        return [files[i::g] for i in range(g)]
+
+    nd_parts = [
+        _dim_read_shards.options(num_returns=R).remote(fs, k)
+        for fs in groups(nd_files, 16)
+    ]
+    tp_parts = [
+        _dim_read_shards.options(num_returns=R).remote(fs, k)
+        for fs in groups(tp_files, 8)
+    ]
+    nd_sorted = [
+        _ndim_sort_shard.remote(nlabels, ent_code, req, forb,
+                                *[p[s] for p in nd_parts])
+        for s in range(R)
+    ]
+    tp_sorted = [
+        _tprops_sort_shard.remote(*[p[s] for p in tp_parts]) for s in range(R)
+    ]
+    return _dim_concat_task.remote(nlabels, R, *nd_sorted, *tp_sorted)
+
+
 @ray.remote(num_returns=3)
 def _dim_state_task(dim_dir, turn_props_dir, nlabels, ent_code, req, forb,
                     nthreads=4):
@@ -465,16 +646,19 @@ def _validate_broadcast(nodes, edges_fn, dim_dir: str | list | None = None,
             )
         except Exception:
             node_cpu = int(ray.cluster_resources().get("CPU", 1))
-        # the dim task is the ONE serial stage of the fast path (a single
-        # multi-threaded read+sort); on wide nodes give it a quarter of
-        # the node so the sort doesn't bottleneck the whole validate —
-        # the fused scan's read half keeps the remaining cores busy
-        slot = max(1, min(8, node_cpu if node_cpu < 8 else node_cpu // 4))
-        label_of, turn_props_ref, small_ref = _dim_state_task.options(
-            num_cpus=slot
-        ).remote(
-            dim_dir, turn_props_dir, len(label_names), ent_code, req, forb,
-            nthreads=slot)
+        if os.environ.get("GRAFT_DIM_SINGLE"):
+            # legacy A/B path: ONE multi-threaded read+sort task on a
+            # quarter-node slot (the round-4 shape; width-independent)
+            slot = max(1, min(8, node_cpu if node_cpu < 8 else node_cpu // 4))
+            label_of, turn_props_ref, small_ref = _dim_state_task.options(
+                num_cpus=slot
+            ).remote(
+                dim_dir, turn_props_dir, len(label_names), ent_code, req,
+                forb, nthreads=slot)
+        else:
+            label_of, turn_props_ref, small_ref = _dim_state_sharded(
+                dim_dir, turn_props_dir, len(label_names), ent_code, req,
+                forb, node_cpu)
         # small_ref is fetched AFTER the scan pipeline launches (below):
         # nothing before the driver-side reductions needs it
     else:
