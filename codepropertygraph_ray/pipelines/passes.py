@@ -39,6 +39,11 @@ LEDGER = "ledger.json"
 SUCCESS = "_SUCCESS"
 INVERSE = "inverse.json"
 
+# at/above this many part files, Dataset reads switch from the native
+# read_parquet (driver-serial per-file metadata prefetch at construction)
+# to sources.fastread's in-task group reader
+_FAST_READ_MIN_FILES = 32
+
 
 def blocks_per_cpu() -> int:
     """Task granularity knob: blocks per CPU for delta reads (and the base
@@ -130,6 +135,16 @@ class PassContext:
         # blocks — len(files) tasks (one per written part) measured +2.4 s
         # on the validate pass at sf0.1 from dispatch overhead alone
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        if len(files) >= _FAST_READ_MIN_FILES:
+            # native read_parquet prefetches per-file metadata on the
+            # driver at CONSTRUCTION time — 4.5 s for the 408-part edges
+            # delta at sf0.4, O(file count), width-independent. The
+            # manual group-read defers all IO to the tasks.
+            from ..sources.fastread import fast_read_parquet
+
+            return fast_read_parquet(
+                files, columns=columns, num_tasks=ncpu * blocks_per_cpu()
+            )
         return ray.data.read_parquet(
             files, columns=columns,
             override_num_blocks=ncpu * blocks_per_cpu(),
@@ -182,8 +197,18 @@ class PassContext:
         # set GRAFT_BLOCKS_PER_CPU=2 there (measured trade-off in
         # BASELINE.md 'Scaling').
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        d = self.delta_dir(pass_name, table)
+        nfiles = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        if nfiles >= _FAST_READ_MIN_FILES:
+            # see read_logical: skip the driver-serial per-file metadata
+            # prefetch for many-part deltas
+            from ..sources.fastread import fast_read_parquet
+
+            return fast_read_parquet(
+                d, columns=columns, num_tasks=ncpu * blocks_per_cpu()
+            )
         return ray.data.read_parquet(
-            self.delta_dir(pass_name, table),
+            d,
             columns=columns,
             override_num_blocks=ncpu * blocks_per_cpu(),
         )

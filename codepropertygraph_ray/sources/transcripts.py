@@ -321,8 +321,16 @@ def read_transcripts(sf_dir: str, columns: list[str] | None = None):
     # per task, so task count is a fixed cost that GROWS with cluster width
     # — at 32 cpus the 2× sizing measurably flattened the 8→32 scaling
     # curve (hash-bucketed loads balance well enough without the slack)
+    path = ensure_transcripts(sf_dir)
+    nfiles = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    if nfiles >= 32:
+        # skip the native read's driver-serial per-file metadata prefetch
+        # (O(file count) at construction; the sf1.6 corpus has 254 parts)
+        from .fastread import fast_read_parquet
+
+        return fast_read_parquet(path, columns=columns, num_tasks=ncpu)
     return ray.data.read_parquet(
-        ensure_transcripts(sf_dir),
+        path,
         columns=columns,
         override_num_blocks=ncpu,
     )
