@@ -175,9 +175,11 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             nodes_dir, edges_dir = f"{mat}/nodes", f"{mat}/edges"
             n_nodes = pads.dataset(nodes_dir).count_rows()
+            from .sources.fastread import fast_read_parquet
+
             viols = validate_graph(
-                ray.data.read_parquet(nodes_dir),
-                ray.data.read_parquet(edges_dir),
+                lambda: fast_read_parquet(nodes_dir),
+                lambda: fast_read_parquet(edges_dir),
                 n_nodes=n_nodes,
             )
             print(json.dumps({"n_nodes": n_nodes, "violations": viols.num_rows}))

@@ -139,8 +139,13 @@ def run_base(ctx: PassContext) -> dict:
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nblocks = max(ncpu * blocks_per_cpu(), nbytes // (32 << 20))
-    ds = ray.data.read_parquet(
-        path, columns=["conv_id", "turn_idx", "text"], override_num_blocks=nblocks
+    from ..sources.fastread import fast_read_parquet
+
+    # fast path: the corpus is many-part by construction (sf1.6 = 254
+    # files) and the native read's driver-serial metadata prefetch is
+    # O(files) — see sources/fastread.py
+    ds = fast_read_parquet(
+        path, columns=["conv_id", "turn_idx", "text"], num_tasks=nblocks
     )
 
     def extract_sorted(g: pd.DataFrame) -> pd.DataFrame:

@@ -17,7 +17,7 @@ import pandas as pd
 
 from ..functions.agg import hash_groupby
 from ..functions.joins import broadcast_join
-from ..sources.transcripts import ensure_transcripts
+
 
 
 def _esc(s: str) -> str:
@@ -251,9 +251,9 @@ def dump_context(sf_dir: str, targets: pd.DataFrame, around: int = 1):
     ref = ray.put(frozenset(wanted))
     from ..functions.joins import get_broadcast
 
-    ds = ray.data.read_parquet(
-        ensure_transcripts(sf_dir), columns=["conv_id", "turn_idx", "role", "text"]
-    )
+    from ..sources.transcripts import read_transcripts
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role", "text"])
 
     def pick(t: pd.DataFrame) -> pd.DataFrame:
         w = get_broadcast(ref)

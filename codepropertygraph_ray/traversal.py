@@ -77,7 +77,7 @@ class GraphView:
         # traversal frame
         if columns is None:
             columns = [f.name for f in schema.NODES_SCHEMA]
-        return ray.data.read_parquet(self._expand(self.nodes_dirs), columns=columns)
+        return self._read(self._expand(self.nodes_dirs), columns)
 
     def _edges(self, columns=None):
         import ray.data
@@ -86,7 +86,17 @@ class GraphView:
 
         if columns is None:
             columns = [f.name for f in schema.EDGES_SCHEMA]
-        return ray.data.read_parquet(self._expand(self.edges_dirs), columns=columns)
+        return self._read(self._expand(self.edges_dirs), columns)
+
+    @staticmethod
+    def _read(files, columns):
+        import ray.data
+
+        if len(files) >= 32:  # skip the driver-serial metadata prefetch
+            from .sources.fastread import fast_read_parquet
+
+            return fast_read_parquet(files, columns=columns)
+        return ray.data.read_parquet(files, columns=columns)
 
     # --- starters (NodeTypeStarters analog) ------------------------------
     def all(self) -> "Traversal":
