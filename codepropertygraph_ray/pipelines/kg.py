@@ -143,9 +143,12 @@ def run_base(ctx: PassContext) -> dict:
 
     # fast path: the corpus is many-part by construction (sf1.6 = 254
     # files) and the native read's driver-serial metadata prefetch is
-    # O(files) — see sources/fastread.py
+    # O(files) — see sources/fastread.py. Batch sizing happens IN the
+    # reader (batch_rows): a batch_size on the fused extract would make
+    # Ray bundle the reader's 1-row item blocks into one giant task.
     ds = fast_read_parquet(
-        path, columns=["conv_id", "turn_idx", "text"], num_tasks=nblocks
+        path, columns=["conv_id", "turn_idx", "text"], num_tasks=nblocks,
+        batch_rows=16384,
     )
 
     def extract_sorted(g: pd.DataFrame) -> pd.DataFrame:
@@ -159,9 +162,7 @@ def run_base(ctx: PassContext) -> dict:
             ds, "conv_id", extract_sorted, num_buckets=max(32, 4 * ncpu)
         )
     else:
-        records = ds.map_batches(
-            extract_sorted, batch_format="pandas", batch_size=16384
-        )
+        records = ds.map_batches(extract_sorted, batch_format="pandas")
     return {"records": records}
 
 
