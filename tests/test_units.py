@@ -544,3 +544,54 @@ def test_range_count_halfopen_window(ray_session, tmp_path):
     )
     assert out["event_id"].tolist() == [1, 7]
     assert out["n_views"].tolist() == [2, 0]
+
+
+def test_fast_read_parquet_equals_native(ray_session, tmp_path):
+    """sources/fastread must return the same rows/columns as the native
+    read over a many-part table, honor column pruning, and slice output
+    to batch_rows (the base-pass regression guard: a batch_size on the
+    first fused consumer once serialized the whole scan)."""
+    import os
+
+    import numpy as np
+    import ray.data
+
+    from codepropertygraph_ray.sources.fastread import fast_read_parquet
+
+    rng = np.random.default_rng(7)
+    d = os.path.join(str(tmp_path), "many")
+    os.makedirs(d)
+    total = 0
+    for i in range(40):  # above the 32-file fast-path threshold
+        n = int(rng.integers(1, 400))
+        pd.DataFrame(
+            {"a": rng.integers(0, 1_000_000, n),
+             "b": rng.integers(0, 9, n).astype(str),
+             "c": rng.random(n)}
+        ).to_parquet(os.path.join(d, f"p{i:02d}.parquet"))
+        total += n
+    fast = fast_read_parquet(d, columns=["a", "b"], num_tasks=7).to_pandas()
+    native = ray.data.read_parquet(d, columns=["a", "b"]).to_pandas()
+    key = ["a", "b"]
+    assert sorted(fast.columns) == sorted(native.columns) == key
+    pd.testing.assert_frame_equal(
+        fast.sort_values(key, ignore_index=True),
+        native.sort_values(key, ignore_index=True),
+    )
+    # the bundling-collapse guard (commit 5351c7e): a consumer fused
+    # onto the read WITHOUT an explicit batch_size must run one task per
+    # file group — an explicit batch_size makes Ray's bundler count the
+    # reader's 1-row item blocks and serialize the scan into ONE task
+    import re
+
+    mat = (
+        fast_read_parquet(d, num_tasks=5, batch_rows=100)
+        .map_batches(lambda t: t, batch_format="pandas")
+        .materialize()
+    )
+    assert len(mat.to_pandas()) == total
+    op_line = next(
+        ln for ln in mat.stats().splitlines() if "_read_group" in ln
+    )
+    n_tasks = int(re.search(r"(\d+) tasks executed", op_line).group(1))
+    assert n_tasks == 5, f"fused scan collapsed to {n_tasks} task(s)"
