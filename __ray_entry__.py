@@ -170,8 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_dbscan": similarity.dbscan_embeddings,
         "sim_quantize_int8": similarity.quantize_int8,
         # --- multimodal plumbing (decode stub) -----------------------------
-        "mm_media_features": multimodal.media_features,  # no SQL oracle
-        "mm_frame_features": multimodal.frame_features,  # no SQL oracle
+        "mm_media_features": multimodal.media_features,
+        "mm_frame_features": multimodal.frame_features,
         "mm_media_stats": multimodal.media_stats,
         "mm_payload_dups": multimodal.payload_dup_groups,
     }
@@ -1570,13 +1570,28 @@ def _ops_sql() -> dict[str, str]:
         N_PERM,
         SIMHASH_MAX_HAMMING,
     )
+    from codepropertygraph_ray.functions.multimodal import (
+        _DIM_A_MULT,
+        _DIM_B_MULT,
+        FEATURE_DIM as MM_DIM,
+        FRAME_EVERY_MS as MM_EVERY_MS,
+    )
     from codepropertygraph_ray.functions.text import (
         FP_KGRAM,
         FP_WINDOW,
         POLY_B,
         POLY_B2,
+        POLY_P31 as MM_P,
         POLY_P55,
         poly_hash_sql,
+    )
+
+    # ((a_d·h + b_d) mod P31) mod 2^24, as an exact double — the SQL twin of
+    # multimodal._mix_dims (column h from the *_base CTE, dim from dd.d)
+    _mm_value_sql = (
+        f"CAST((((({_DIM_A_MULT} * dd.d + 1) % {MM_P}) * h"
+        f" + (({_DIM_B_MULT} * dd.d + 7) % {MM_P})) % {MM_P})"
+        f" % {1 << 24} AS DOUBLE) / {float(1 << 24)} AS value"
     )
 
     # per-doc 63-bit simhash: token bits from two independent poly hashes
@@ -1912,6 +1927,58 @@ def _ops_sql() -> dict[str, str]:
           SELECT 'image' AS kind, CAST(count(*) AS BIGINT) AS n_items,
                  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
           FROM documents
+        """,
+        # decode-stub features, bit-exact: payload = utf-8 text bytes, hash =
+        # poly_hash over the lowercase hex string (multimodal._fake_features),
+        # per-dim universal-hash mix mod 2^24 → k/2^24 is an exact dyadic
+        # rational in float32 AND double, so the float compare is bit-exact
+        "mm_media_features": f"""
+          WITH mf_pay AS (
+            SELECT doc_id AS media_id, 'image' AS kind,
+                   lower(hex(encode(coalesce(text, '')))) AS hx,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+            FROM documents
+          ),
+          mf_base AS (
+            SELECT media_id, kind, n_bytes,
+                   {poly_hash_sql('hx', mod=MM_P)} AS h
+            FROM mf_pay
+          )
+          SELECT media_id, kind, n_bytes, CAST(dd.d AS BIGINT) AS dim,
+                 {_mm_value_sql}
+          FROM mf_base, (SELECT unnest(range({MM_DIM})) AS d) dd
+        """,
+        # frame sampling (multimodal.sample_frames): payload byte-slices are
+        # 2×-width slices of the hex string; duration/step arithmetic is the
+        # same integer math as the Python side
+        "mm_frame_features": f"""
+          WITH ff_pay AS (
+            SELECT doc_id AS media_id,
+                   lower(hex(encode(coalesce(text, '')))) AS hx,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS plen
+            FROM documents
+          ),
+          ff_vid AS (
+            SELECT media_id, hx, plen,
+                   greatest((1000 + (plen % 5000)) // {MM_EVERY_MS}, 1) AS nf
+            FROM ff_pay
+          ),
+          ff_fr AS (
+            SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+                   CAST(i * {MM_EVERY_MS} AS BIGINT) AS ts_ms,
+                   substring(hx, CAST(i * greatest(plen // nf, 1) * 2 + 1 AS BIGINT),
+                             CAST(greatest(plen // nf, 1) * 2 AS BIGINT)) AS fhx
+            FROM (SELECT media_id, hx, plen, nf, unnest(range(nf)) AS i
+                  FROM ff_vid)
+          ),
+          ff_base AS (
+            SELECT media_id, frame_idx, ts_ms,
+                   {poly_hash_sql('fhx', mod=MM_P)} AS h
+            FROM ff_fr
+          )
+          SELECT media_id, frame_idx, ts_ms, CAST(dd.d AS BIGINT) AS dim,
+                 {_mm_value_sql}
+          FROM ff_base, (SELECT unnest(range({MM_DIM})) AS d) dd
         """,
         # TF-IDF top-k: rank on the ROUNDED score (both sides), term tiebreak
         "text_tfidf": f"""

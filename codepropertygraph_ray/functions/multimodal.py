@@ -19,8 +19,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..ids import hash_series
-
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -35,6 +33,26 @@ MEDIA_SCHEMA = pa.schema(
 
 FEATURE_DIM = 16
 
+# per-dim universal-hash rows ((a_i·h + b_i) mod P31) mod 2^24 — every
+# constant < 2^31 so a_i·h < 2^62 stays int64/BIGINT-exact, making the
+# fake features SQL-expressible (the poly-hash oracle precedent,
+# functions/text.py POLY_*; oracle in __ray_entry__.oracle_sql)
+_DIM_A_MULT = 2654435761
+_DIM_B_MULT = 40503
+
+
+def _mix_dims(base: np.ndarray) -> np.ndarray:
+    """(n,) int64 hashes → (n, FEATURE_DIM) float32 in [0, 1). Each value
+    is k/2^24 with k < 2^24, so float32 (and any float64 cast) is EXACT —
+    the property the DuckDB oracle's bit-exact compare relies on."""
+    from .text import POLY_P31
+
+    dims = np.arange(FEATURE_DIM, dtype=np.int64)
+    a = (dims * _DIM_A_MULT + 1) % POLY_P31
+    b = (dims * _DIM_B_MULT + 7) % POLY_P31
+    v = (a[None, :] * base[:, None] + b[None, :]) % POLY_P31
+    return (v % (1 << 24)).astype(np.float32) / np.float32(1 << 24)
+
 
 class MediaDecoder:
     """Actor-pool stage: media batch → fixed-dim feature vectors.
@@ -45,8 +63,9 @@ class MediaDecoder:
 
     * ``strict=True``  → raises NotImplementedError at decode time;
     * ``strict=False`` → deterministic fake features derived from the
-      payload bytes via the repo's keyed SipHash — stable across runs and
-      parallelism, so downstream stages (similarity, dedup) are testable.
+      payload bytes via the repo's polynomial codepoint hash over the hex
+      string — stable across runs and parallelism AND BIGINT-expressible,
+      so the feature queries carry bit-exact DuckDB oracles.
     """
 
     def __init__(self, strict: bool = False):
@@ -56,13 +75,12 @@ class MediaDecoder:
     def _fake_features(self, payloads: list[bytes | None]) -> np.ndarray:
         import pandas as pd
 
-        base = hash_series(
-            [pd.Series([(p or b"").hex() for p in payloads])]
-        ).astype(np.uint64)
-        # expand one hash into FEATURE_DIM deterministic floats in [0, 1)
-        mults = (np.arange(FEATURE_DIM, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) + np.uint64(1)
-        vals = (base[:, None] * mults[None, :]) >> np.uint64(11)
-        return (vals % np.uint64(1 << 24)).astype(np.float32) / np.float32(1 << 24)
+        from .text import POLY_P31, poly_hash
+
+        base = poly_hash(
+            pd.Series([(p or b"").hex() for p in payloads]), mod=POLY_P31
+        )
+        return _mix_dims(base)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.strict:
@@ -128,11 +146,42 @@ def synthetic_media(sf_dir: str, kind: str = "image"):
     return ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
 
 
+def explode_features(ds, key_cols: list[str]):
+    """vector rows → scalar rows (key_cols…, dim, value): the comparable
+    surface for the feature queries — list columns can't be sorted/hashed
+    by the oracle compare, exploded scalars can (and the poly-hash fakes
+    are exact dyadic rationals, so float compare is bit-exact)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        vals = (
+            batch.column("features").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        cols = {
+            c: pa.array(
+                np.repeat(
+                    batch.column(c).to_numpy(zero_copy_only=False), FEATURE_DIM
+                )
+            )
+            for c in key_cols
+        }
+        cols["dim"] = pa.array(
+            np.tile(np.arange(FEATURE_DIM, dtype=np.int32), n)
+        )
+        cols["value"] = pa.array(vals, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def media_features(sf_dir: str):
-    """queries() surface: synthetic media → decode stub → (media_id, kind,
-    n_bytes, features). Rows-only check (no SQL oracle: feature fakes are
-    keyed-hash-derived)."""
-    return decode_media(synthetic_media(sf_dir))
+    """queries() surface: synthetic media → decode stub → exploded
+    (media_id, kind, n_bytes, dim, value) — bit-exact DuckDB oracle via
+    the poly-hash fake (oracle in __ray_entry__)."""
+    return explode_features(
+        decode_media(synthetic_media(sf_dir)), ["media_id", "kind", "n_bytes"]
+    )
 
 
 FRAME_EVERY_MS = 500
@@ -228,18 +277,25 @@ class FrameFeaturizer(MediaDecoder):
         )
 
 
-def frame_features(sf_dir: str):
-    """queries() surface: synthetic video → frame sampling → per-frame
-    features. Rows-only (keyed-hash fakes); pytest asserts the frame
-    fan-out equals the duration-derived count and is run-deterministic."""
-    frames = sample_frames(synthetic_video(sf_dir))
-    return frames.map_batches(
+def featurize_frames(frames_ds):
+    """frame rows → per-frame feature VECTORS (the operator surface the
+    ANN/dedup stages consume; pytest asserts fan-out + determinism)."""
+    return frames_ds.map_batches(
         FrameFeaturizer,
         fn_constructor_kwargs={"strict": False},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=2,
     )
+
+
+def frame_features(sf_dir: str):
+    """queries() surface: synthetic video → frame sampling → per-frame
+    features, exploded to (media_id, frame_idx, ts_ms, dim, value) —
+    bit-exact DuckDB oracle via the poly-hash fake (oracle in
+    __ray_entry__)."""
+    frames = featurize_frames(sample_frames(synthetic_video(sf_dir)))
+    return explode_features(frames, ["media_id", "frame_idx", "ts_ms"])
 
 
 def payload_dup_groups(sf_dir: str):

@@ -296,7 +296,8 @@ def test_stratified_sample_matches_reference(ray_session):
 def test_frame_sampling_fanout_and_determinism(ray_session):
     from codepropertygraph_ray.functions.multimodal import (
         FRAME_EVERY_MS,
-        frame_features,
+        featurize_frames,
+        sample_frames,
         synthetic_video,
     )
 
@@ -304,14 +305,12 @@ def test_frame_sampling_fanout_and_determinism(ray_session):
     expected = sum(
         max(int(d) // FRAME_EVERY_MS, 1) for d in media["duration_ms"]
     )
-    a = frame_features(SF_DIR).to_pandas().sort_values(
-        ["media_id", "frame_idx"], ignore_index=True
-    )
+    a = featurize_frames(sample_frames(synthetic_video(SF_DIR))).to_pandas()
+    a = a.sort_values(["media_id", "frame_idx"], ignore_index=True)
     assert len(a) == expected
     assert (a["ts_ms"] == a["frame_idx"] * FRAME_EVERY_MS).all()
-    b = frame_features(SF_DIR).to_pandas().sort_values(
-        ["media_id", "frame_idx"], ignore_index=True
-    )
+    b = featurize_frames(sample_frames(synthetic_video(SF_DIR))).to_pandas()
+    b = b.sort_values(["media_id", "frame_idx"], ignore_index=True)
     assert a[["media_id", "frame_idx", "ts_ms"]].equals(
         b[["media_id", "frame_idx", "ts_ms"]]
     )

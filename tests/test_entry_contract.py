@@ -51,10 +51,10 @@ def test_queries_and_oracles_align(entrymod):
     # every SQL-expressible op is oracled; the documented exceptions aren't
     no_oracle = set(qs) - set(oracles)
     # round 5 oracled the keyed-hash family (poly-hash mixer, VERDICT r4
-    # item 4); only genuinely non-SQL-checkable ops remain rows-only
+    # item 4) and the multimodal feature fakes (poly-hash + exact dyadic
+    # values); only genuinely non-SQL-checkable ops remain rows-only
     assert no_oracle == {
         "sim_knn_lsh", "sim_knn_ivf",  # probabilistic recall (RNG planes)
-        "mm_media_features", "mm_frame_features",  # float feature vectors
     }
 
 

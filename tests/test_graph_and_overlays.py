@@ -241,19 +241,34 @@ def test_dump_context(ray_session):
 
 def test_multimodal_decode_stub(ray_session):
     from codepropertygraph_ray.functions.multimodal import (
+        FEATURE_DIM,
         MediaDecoder,
+        decode_media,
         media_features,
         synthetic_media,
     )
 
-    feats = media_features("/root/testdata/sf0.001").to_pandas()
+    # operator surface: fixed-dim feature VECTORS
+    feats = decode_media(synthetic_media("/root/testdata/sf0.001")).to_pandas()
     assert len(feats) == 500
-    assert len(feats.iloc[0]["features"]) == 16
+    assert len(feats.iloc[0]["features"]) == FEATURE_DIM
     # determinism: same payload → same features
-    f2 = media_features("/root/testdata/sf0.001").to_pandas()
+    f2 = decode_media(synthetic_media("/root/testdata/sf0.001")).to_pandas()
     pd.testing.assert_frame_equal(
         feats.sort_values("media_id", ignore_index=True),
         f2.sort_values("media_id", ignore_index=True),
+    )
+    # queries() surface: exploded scalars, values in [0, 1), consistent
+    # with the vector surface
+    ex = media_features("/root/testdata/sf0.001").to_pandas()
+    assert len(ex) == 500 * FEATURE_DIM
+    assert ((ex["value"] >= 0) & (ex["value"] < 1)).all()
+    one = ex[ex["media_id"] == feats.iloc[0]["media_id"]].sort_values("dim")
+    import numpy as np
+
+    assert np.array_equal(
+        one["value"].to_numpy(),
+        np.asarray(feats.iloc[0]["features"], dtype=np.float64),
     )
     # strict mode raises (the honest not-implemented path)
     import pyarrow as pa
