@@ -142,15 +142,23 @@ def run_bench() -> dict:
     ).count()
     os.sync()  # flush the warm-up's dirty pages out of the timed window
 
-    # headline: full pipeline, fresh — with its own measured conditions
-    # (VERDICT r4 item 3: a regression artifact must carry its own
-    # exoneration; the scaling JSONs already did, the bench JSON did not)
+    # headline: full pipeline, fresh output dir per rep — with its own
+    # measured conditions (VERDICT r4 item 3: a regression artifact must
+    # carry its own exoneration). BENCH_REPS (default 2) reps, report the
+    # MINIMUM — the same noisy-machine protocol run_scaling() already
+    # uses (same-box run-to-run spread is 1.5-2x; the min is the stable
+    # estimator of the code's cost).
+    bench_reps = int(os.environ.get("BENCH_REPS", "2"))
     spread0 = core_speed_spread()
     steal0 = steal_frac()
-    shutil.rmtree(BENCH_OUT, ignore_errors=True)
-    t0 = time.perf_counter()
-    runner = build_kg(SF_DIR, BENCH_OUT)
-    pipeline_sec = time.perf_counter() - t0
+    pipeline_sec, runner = None, None
+    for _ in range(bench_reps):
+        shutil.rmtree(BENCH_OUT, ignore_errors=True)
+        t0 = time.perf_counter()
+        r = build_kg(SF_DIR, BENCH_OUT)
+        sec = time.perf_counter() - t0
+        if pipeline_sec is None or sec < pipeline_sec:
+            pipeline_sec, runner = sec, r
     steal1 = steal_frac()
     led = runner.ledger()
     n_triples = led["metrics"]["link"]["tables"]["triples"]["rows"]
@@ -181,6 +189,8 @@ def run_bench() -> dict:
         "triples_per_sec": round(n_triples / pipeline_sec, 1),
         "core_speed_spread": spread0,
         "steal_frac_window": [steal0, steal1],
+        "protocol": f"headline = min of {bench_reps} in-process reps "
+                    "(fresh output dir per rep); operator queries single-shot",
     }
 
 

@@ -446,6 +446,16 @@ def reaches_closure(sf_dir: str):
     return out.sort_values("turn_idx", ignore_index=True)
 
 
+# Depth budgets for the dataflow closures. The reference engine explores
+# call chains to ARBITRARY depth with a driver-local memoized ResultTable
+# (queryengine/Engine.scala:16-127, ResultTable.scala:1-76) — fine on one
+# JVM heap, but a shared mutable memo is exactly what a distributed
+# engine cannot have: each extra depth level is another all-to-all
+# self-join of the edge table, and an unbounded loop over those joins has
+# no termination bound the scheduler can plan for. Fixed small budgets
+# (expansions converge in <=depth rounds, each a bounded bucketed join)
+# are the deliberate distributed-first trade; callers can raise
+# max_depth per query when a deeper closure is worth the shuffles.
 REACHES_PATH_DEPTH = 3
 SEM_TOP_K = 5  # default semantics: kill the K most frequent reaching keys
 CROSS_DEPTH = 2  # boundary-expansion budget for reaches_cross
