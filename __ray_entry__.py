@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_keep_list": dedup.dedup_keep_list,
         "dedup_simhash_pairs": dedup.simhash_pairs,
+        "dedup_exact_spans": dedup.exact_span_stats,
         # --- training-data ops: similarity search --------------------------
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,  # approximate — no SQL oracle
@@ -1503,7 +1504,12 @@ def _rel_sql() -> dict[str, str]:
 
 
 def _ops_sql() -> dict[str, str]:
-    from codepropertygraph_ray.functions.dedup import JACCARD_THRESHOLD, MAX_DF, SHINGLE_W
+    from codepropertygraph_ray.functions.dedup import (
+        JACCARD_THRESHOLD,
+        MAX_DF,
+        SHINGLE_W,
+        SPAN_K,
+    )
     from codepropertygraph_ray.functions.similarity import (
         DBSCAN_COS,
         DBSCAN_MIN_PTS,
@@ -2029,6 +2035,32 @@ def _ops_sql() -> dict[str, str]:
           dk_comp AS (SELECT n, min(m) AS comp FROM dk_reach GROUP BY n)
           SELECT d.doc_id, (c.n IS NULL OR c.comp = d.doc_id) AS keep
           FROM documents d LEFT JOIN dk_comp c ON c.n = d.doc_id
+        """,
+        # position-level exact-substring duplication (Lee et al. 2022
+        # ExactSubstr signal): per doc, how many word-K-gram positions
+        # carry a gram occurring in >=2 distinct docs — same polynomial
+        # gram hash as the engine, so counts are bit-exact
+        "dedup_exact_spans": f"""
+          WITH es_toks AS (
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+            FROM documents
+          ),
+          es_grams AS (
+            SELECT doc_id,
+                   {poly_hash_sql(f"list_aggregate(w[i:i + {SPAN_K - 1}], 'string_agg', ' ')")} AS h
+            FROM es_toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(w) - {SPAN_K - 1})) AS i)
+          ),
+          es_hc AS (SELECT doc_id, h, count(*) AS cnt FROM es_grams GROUP BY 1, 2),
+          es_dph AS (SELECT h, count(*) AS n_docs FROM es_hc GROUP BY h),
+          es_dup AS (
+            SELECT doc_id, sum(cnt) AS dup_grams
+            FROM es_hc JOIN es_dph USING (h) WHERE n_docs >= 2 GROUP BY doc_id
+          )
+          SELECT t.doc_id,
+                 CAST(greatest(len(w) - {SPAN_K - 1}, 0) AS BIGINT) AS n_grams,
+                 CAST(coalesce(dup_grams, 0) AS BIGINT) AS dup_grams
+          FROM es_toks t LEFT JOIN es_dup USING (doc_id)
         """,
         "sim_knn_bruteforce": f"""
           WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

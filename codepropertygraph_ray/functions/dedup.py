@@ -488,3 +488,103 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
                               "hamming": pd.Series(dtype="int64")})
     return from_pandas(pairs.astype({"id_a": "int64", "id_b": "int64",
                                      "hamming": "int64"}))
+
+
+# ---------------------------------------------------------------------------
+# Exact substring duplication (position-level, Lee et al. 2022 style)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 5  # word k-gram width for duplicated-span detection
+
+
+def _span_gram_rows(t: pd.DataFrame):
+    """(doc_id, h, cnt): per-document POSITION counts of each word
+    ``SPAN_K``-gram's polynomial hash. Unlike :func:`_shingle_rows` this
+    keeps multiplicity — the metric is the fraction of token positions
+    sitting inside a cross-document duplicated span, so every position
+    counts. Each document lives in exactly one input row, so the
+    per-(doc, h) rows this batch emits are globally unique — downstream
+    aggregations never need a doc-level combine."""
+    from .agg import empty_safe
+    from .text import poly_hash
+
+    k = SPAN_K
+
+    def grams(x):
+        toks = (x or "").split(" ")
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    ex = (
+        pd.DataFrame({"doc_id": t["doc_id"], "gram": t["text"].map(grams)})
+        .explode("gram")
+        .dropna()
+    )
+    if not len(ex):
+        return empty_safe(
+            pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "h": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            })
+        )
+    ex = ex.reset_index(drop=True)
+    ex["h"] = poly_hash(ex["gram"])
+    out = (
+        ex.groupby(["doc_id", "h"], as_index=False)
+        .size()
+        .rename(columns={"size": "cnt"})
+    )
+    return out.astype({"doc_id": "int64", "h": "int64", "cnt": "int64"})
+
+
+def exact_span_stats(sf_dir: str, k: int = SPAN_K):
+    """(doc_id, n_grams, dup_grams): per-document duplicated-span signal —
+    of the ``n_grams`` word-``k``-gram positions in the document, how many
+    (``dup_grams``) have a k-gram that also occurs in at least one OTHER
+    document. dup_grams/n_grams is the memorization-risk fraction of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022, ExactSubstr) — the sub-document EXACT mode the rest of the
+    dedup family (doc-level exact, MinHash/SimHash/Jaccard near-dup)
+    doesn't cover.
+
+    Scale shape: gram rows are token-scale but carry only (int64 doc,
+    int64 hash, int64 cnt); ONE gram-hash-keyed bucket exchange computes
+    cross-doc document frequency and folds it to per-(bucket, doc)
+    partials in the same task (no pair enumeration — work is linear in
+    gram rows even for stop-grams shared by millions of docs). The
+    n_grams side needs no exchange at all (each doc is in exactly one
+    batch), so its rows UNION with the dup partials — same 3-column
+    schema, n_grams/dup_grams zero on the other side — and ONE doc-keyed
+    combine sums both facets (no join; a typed-empty partial stream is
+    just absorbed). Counts stay integers end-to-end so the DuckDB oracle
+    is bit-exact."""
+    from .agg import empty_safe, hash_agg, hash_groupby
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    grams = ds.map_batches(_span_gram_rows, batch_format="pandas")
+
+    def dup_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")["doc_id"].transform("nunique")
+        d = g[nd.ge(2)]
+        out = d.groupby("doc_id", as_index=False).agg(dup_grams=("cnt", "sum"))
+        out.insert(1, "n_grams", np.int64(0))
+        return empty_safe(
+            out.astype({"doc_id": "int64", "n_grams": "int64", "dup_grams": "int64"})
+        )
+
+    dup_partials = hash_groupby(grams, "h", dup_in_bucket)
+
+    def totals(t: pd.DataFrame) -> pd.DataFrame:
+        n = (t["text"].fillna("").str.split(" ").str.len() - k + 1).clip(lower=0)
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(np.int64),
+            "n_grams": n.to_numpy(np.int64),
+            "dup_grams": np.zeros(len(t), np.int64),
+        })
+
+    return hash_agg(
+        ds.map_batches(totals, batch_format="pandas").union(dup_partials),
+        "doc_id",
+        n_grams=("n_grams", "sum"),
+        dup_grams=("dup_grams", "sum"),
+    )

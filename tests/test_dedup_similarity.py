@@ -249,3 +249,60 @@ def test_simhash_pairs_equals_bruteforce(ray_session, tmp_path):
     assert got_set == want
     # the exact dup is found at hamming 0
     assert (0, 30, 0) in got_set
+
+
+def _brute_span_stats(texts, k):
+    """Pure-Python reference: per doc, positions whose k-gram string also
+    occurs (as a string, not a hash) in some other document."""
+    grams = [
+        [" ".join(t.split(" ")[i : i + k])
+         for i in range(len(t.split(" ")) - k + 1)]
+        for t in texts
+    ]
+    docs_of = {}
+    for d, gs in enumerate(grams):
+        for g in set(gs):
+            docs_of.setdefault(g, set()).add(d)
+    return [
+        (d, len(gs), sum(1 for g in gs if len(docs_of[g]) >= 2))
+        for d, gs in enumerate(grams)
+    ]
+
+
+def test_exact_span_stats_matches_bruteforce(ray_session, tmp_path):
+    from codepropertygraph_ray.functions.dedup import SPAN_K, exact_span_stats
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    texts = [
+        shared + " alpha beta gamma",                  # shares a long span with 1
+        "prefix words here " + shared,                 # shares with 0
+        "totally unrelated content with unique words only here",
+        "short doc",                                   # < SPAN_K tokens → 0 grams
+        "the quick brown fox jumps",                   # exactly one gram, shared
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = (
+        exact_span_stats(sf)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = _brute_span_stats(texts, SPAN_K)
+    assert list(map(tuple, got.to_numpy())) == want
+    # the shared sentence makes every position of doc 4 duplicated
+    row4 = got.loc[got["doc_id"] == 4].iloc[0]
+    assert row4["n_grams"] == 1 and row4["dup_grams"] == 1
+    # doc 3 has no grams at all
+    row3 = got.loc[got["doc_id"] == 3].iloc[0]
+    assert row3["n_grams"] == 0 and row3["dup_grams"] == 0
+
+
+def test_exact_span_stats_within_doc_repeat_not_dup(ray_session, tmp_path):
+    """A k-gram repeated INSIDE one document only is not cross-doc
+    duplication (distinct-doc count is 1)."""
+    from codepropertygraph_ray.functions.dedup import exact_span_stats
+
+    rep = "a b c d e"
+    texts = [rep + " " + rep, "x y z w v u t s"]  # doc 0 self-repeats
+    sf = _write_docs(tmp_path, texts)
+    got = exact_span_stats(sf).to_pandas().sort_values("doc_id")
+    assert got["dup_grams"].tolist() == [0, 0]
