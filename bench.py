@@ -37,6 +37,7 @@ TIMED_QUERIES = [
     "text_bigrams",
     "text_pack_chunks",
     "rel_shuffle_rank",
+    "dedup_exact_spans",
 ]
 
 

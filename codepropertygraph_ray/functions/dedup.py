@@ -572,7 +572,14 @@ def exact_span_stats(sf_dir: str, k: int = SPAN_K):
             out.astype({"doc_id": "int64", "n_grams": "int64", "dup_grams": "int64"})
         )
 
-    dup_partials = hash_groupby(grams, "h", dup_in_bucket)
+    # materialize the doc-scale partials: unioning a stream that CONTAINS
+    # its own Sort into a second Sort makes Ray chain both all-to-alls in
+    # one DAG (measured 14.3 s vs 5.7 s at sf0.1, ds.stats() pins the
+    # fused Sort at 13.97 s); the partials are aggregate-scale (≤ buckets
+    # × docs rows of 3 int64s — the ngram_jaccard `shingled.materialize()`
+    # precedent is token-scale, far larger), the docs read itself stays
+    # streaming
+    dup_partials = hash_groupby(grams, "h", dup_in_bucket).materialize()
 
     def totals(t: pd.DataFrame) -> pd.DataFrame:
         n = (t["text"].fillna("").str.split(" ").str.len() - k + 1).clip(lower=0)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from collections import defaultdict, deque
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -257,3 +258,43 @@ def test_poly_hash_matches_duckdb(strs):
             params=[strs],
         ).fetchall()]
         assert py == got
+
+
+# -- exact_span_stats batch kernel vs pure-Python reference ------------------
+
+_span_word = st.text(alphabet="abcde", min_size=1, max_size=3)
+_span_text = st.lists(_span_word, min_size=0, max_size=14).map(" ".join)
+
+
+@given(st.lists(_span_text, min_size=1, max_size=12))
+@settings(max_examples=40, deadline=None)
+def test_span_gram_rows_matches_reference(texts):
+    """The vectorized gram-position kernel (explode + poly_hash + groupby)
+    must equal the obvious per-doc Python enumeration: same (doc, gram)
+    hash multiset, positions counted with multiplicity. The tiny alphabet
+    forces heavy cross- and within-doc gram collisions."""
+    from collections import Counter
+
+    from codepropertygraph_ray.functions.dedup import SPAN_K, _span_gram_rows
+    from codepropertygraph_ray.functions.text import poly_hash
+
+    t = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts,
+    })
+    got = _span_gram_rows(t)
+    got_counts = (
+        {} if isinstance(got, pa.Table) and got.num_rows == 0 else {
+            (int(r.doc_id), int(r.h)): int(r.cnt)
+            for r in pd.DataFrame(got).itertuples()
+        }
+    )
+
+    want: Counter = Counter()
+    for d, text in enumerate(texts):
+        toks = text.split(" ")
+        for i in range(len(toks) - SPAN_K + 1):
+            g = " ".join(toks[i : i + SPAN_K])
+            h = int(poly_hash(pd.Series([g]))[0])
+            want[(d, h)] += 1
+    assert got_counts == dict(want)
