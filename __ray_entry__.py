@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_list": dedup.dedup_keep_list,
         "dedup_simhash_pairs": dedup.simhash_pairs,
         "dedup_exact_spans": dedup.exact_span_stats,
+        "dedup_dup_spans": dedup.dup_spans,
         # --- training-data ops: similarity search --------------------------
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,  # approximate — no SQL oracle
@@ -2061,6 +2062,42 @@ def _ops_sql() -> dict[str, str]:
                  CAST(greatest(len(w) - {SPAN_K - 1}, 0) AS BIGINT) AS n_grams,
                  CAST(coalesce(dup_grams, 0) AS BIGINT) AS dup_grams
           FROM es_toks t LEFT JOIN es_dup USING (doc_id)
+        """,
+        # maximal duplicated token runs (the spans ExactSubstr would cut):
+        # duplicated gram positions cover [p, p+K-1]; contiguous covers
+        # merge — gaps-and-islands, break when p jumps by more than K
+        "dedup_dup_spans": f"""
+          WITH dsp_toks AS (
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+            FROM documents
+          ),
+          dsp_grams AS (
+            SELECT doc_id, i - 1 AS p,
+                   {poly_hash_sql(f"list_aggregate(w[i:i + {SPAN_K - 1}], 'string_agg', ' ')")} AS h
+            FROM dsp_toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(w) - {SPAN_K - 1})) AS i)
+          ),
+          dsp_dph AS (
+            SELECT h, count(DISTINCT doc_id) AS n_docs FROM dsp_grams GROUP BY h
+          ),
+          dsp_pos AS (
+            SELECT doc_id, p FROM dsp_grams JOIN dsp_dph USING (h)
+            WHERE n_docs >= 2
+          ),
+          dsp_brk AS (
+            SELECT doc_id, p,
+                   CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                             <= {SPAN_K} THEN 0 ELSE 1 END AS brk
+            FROM dsp_pos
+          ),
+          dsp_grp AS (
+            SELECT doc_id, p,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+            FROM dsp_brk
+          )
+          SELECT doc_id, CAST(min(p) AS BIGINT) AS start,
+                 CAST(max(p) - min(p) + {SPAN_K} AS BIGINT) AS length
+          FROM dsp_grp GROUP BY doc_id, grp
         """,
         "sim_knn_bruteforce": f"""
           WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

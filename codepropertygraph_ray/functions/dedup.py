@@ -595,3 +595,88 @@ def exact_span_stats(sf_dir: str, k: int = SPAN_K):
         n_grams=("n_grams", "sum"),
         dup_grams=("dup_grams", "sum"),
     )
+
+
+def _span_pos_rows(t: pd.DataFrame):
+    """(doc_id, p, h): every word-``SPAN_K``-gram POSITION (0-based token
+    index of the gram's first word) with its polynomial hash — the
+    position-preserving sibling of :func:`_span_gram_rows` that
+    :func:`dup_spans` needs to reconstruct maximal duplicated runs."""
+    from .agg import empty_safe
+    from .text import poly_hash
+
+    k = SPAN_K
+
+    def grams(x):
+        toks = (x or "").split(" ")
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    ex = (
+        pd.DataFrame({"doc_id": t["doc_id"], "gram": t["text"].map(grams)})
+        .explode("gram")
+        .dropna()
+    )
+    if not len(ex):
+        return empty_safe(
+            pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "p": pd.Series(dtype="int64"),
+                "h": pd.Series(dtype="int64"),
+            })
+        )
+    # explode preserves per-doc order, so the within-doc running index IS
+    # the gram's 0-based start position
+    p = ex.groupby(level=0).cumcount().to_numpy(np.int64)
+    ex = ex.reset_index(drop=True)
+    return pd.DataFrame({
+        "doc_id": ex["doc_id"].to_numpy(np.int64),
+        "p": p,
+        "h": poly_hash(ex["gram"]),
+    })
+
+
+def dup_spans(sf_dir: str, k: int = SPAN_K):
+    """(doc_id, start, length): MAXIMAL duplicated token runs per document
+    — the spans ExactSubstr dedup (Lee et al. 2022) would actually cut. A
+    gram position is duplicated when its k-gram occurs in ≥2 distinct
+    docs (:func:`exact_span_stats`); each such position covers tokens
+    [p, p+k-1]; overlapping/contiguous covers merge into maximal spans.
+
+    Scale shape: same gram-hash bucket exchange as exact_span_stats but
+    position-preserving; the surviving duplicated POSITIONS (token-scale
+    worst case — the shingled-materialize precedent) materialize, then
+    ONE doc-keyed exchange merges runs per doc. The merge is vectorized
+    gaps-and-islands: sorted by (doc, p), with every cover the same
+    length k, a new island starts exactly when p jumps by more than k —
+    the same arithmetic the SQL oracle states with window functions."""
+    from .agg import empty_safe, hash_groupby
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    pos = ds.map_batches(_span_pos_rows, batch_format="pandas")
+
+    def dup_pos_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")["doc_id"].transform("nunique")
+        out = g.loc[nd.ge(2), ["doc_id", "p"]]
+        return empty_safe(out.astype({"doc_id": "int64", "p": "int64"}))
+
+    dup_positions = hash_groupby(pos, "h", dup_pos_in_bucket).materialize()
+
+    def merge_runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "p"])
+        doc = g["doc_id"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        brk = np.ones(len(g), bool)
+        if len(g) > 1:
+            brk[1:] = (doc[1:] != doc[:-1]) | (p[1:] > p[:-1] + k)
+        grp = np.cumsum(brk)
+        f = pd.DataFrame({"doc_id": doc, "p": p, "grp": grp})
+        spans = f.groupby(["doc_id", "grp"], as_index=False).agg(
+            start=("p", "min"), last=("p", "max")
+        )
+        return empty_safe(pd.DataFrame({
+            "doc_id": spans["doc_id"].to_numpy(np.int64),
+            "start": spans["start"].to_numpy(np.int64),
+            "length": (spans["last"] - spans["start"] + k).to_numpy(np.int64),
+        }))
+
+    return hash_groupby(dup_positions, "doc_id", merge_runs)

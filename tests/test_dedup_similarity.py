@@ -306,3 +306,75 @@ def test_exact_span_stats_within_doc_repeat_not_dup(ray_session, tmp_path):
     sf = _write_docs(tmp_path, texts)
     got = exact_span_stats(sf).to_pandas().sort_values("doc_id")
     assert got["dup_grams"].tolist() == [0, 0]
+
+
+def _brute_dup_spans(texts, k):
+    """Independent formulation: union the covered TOKEN sets of duplicated
+    gram positions, then read off contiguous covered runs — must equal the
+    engine's position-jump islands."""
+    grams = [
+        [" ".join(t.split(" ")[i : i + k])
+         for i in range(len(t.split(" ")) - k + 1)]
+        for t in texts
+    ]
+    docs_of = {}
+    for d, gs in enumerate(grams):
+        for g in set(gs):
+            docs_of.setdefault(g, set()).add(d)
+    spans = []
+    for d, gs in enumerate(grams):
+        covered = set()
+        for p, g in enumerate(gs):
+            if len(docs_of[g]) >= 2:
+                covered.update(range(p, p + k))
+        run = None
+        for tok in sorted(covered) + [None]:
+            if run and (tok is None or tok != run[1] + 1):
+                spans.append((d, run[0], run[1] - run[0] + 1))
+                run = None
+            if tok is not None:
+                run = (run[0], tok) if run else (tok, tok)
+    return sorted(spans)
+
+
+def test_dup_spans_matches_token_cover_runs(ray_session, tmp_path):
+    from codepropertygraph_ray.functions.dedup import SPAN_K, dup_spans
+
+    shared1 = "alpha beta gamma delta epsilon zeta eta theta"
+    shared2 = "one two three four five"
+    texts = [
+        shared1 + " filler words between " + shared2,   # two separate spans
+        shared2 + " unrelated tail goes here now",       # shares span 2
+        "prefix " + shared1,                             # shares span 1
+        "no duplication in this document at all okay",
+        shared1 + " " + shared2,                         # adjacent spans may merge
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = sorted(
+        map(tuple, dup_spans(sf).to_pandas()[["doc_id", "start", "length"]]
+            .to_numpy())
+    )
+    assert got == _brute_dup_spans(texts, SPAN_K)
+    # sanity: doc 3 contributes no spans
+    assert not any(d == 3 for d, _, _ in got)
+
+
+def test_dup_spans_randomized_cover_equivalence(ray_session, tmp_path):
+    """Randomized (seeded) corpus over a tiny vocabulary — heavy collisions,
+    within-doc repeats, adjacent and overlapping spans."""
+    import random
+
+    from codepropertygraph_ray.functions.dedup import SPAN_K, dup_spans
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for _ in range(20)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = sorted(
+        map(tuple, dup_spans(sf).to_pandas()[["doc_id", "start", "length"]]
+            .to_numpy())
+    )
+    assert got == _brute_dup_spans(texts, SPAN_K)
