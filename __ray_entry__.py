@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": dedup.simhash_pairs,
         "dedup_exact_spans": dedup.exact_span_stats,
         "dedup_dup_spans": dedup.dup_spans,
+        "dedup_cut_text": dedup.cut_dup_spans,
         # --- training-data ops: similarity search --------------------------
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,  # approximate — no SQL oracle
@@ -2098,6 +2099,42 @@ def _ops_sql() -> dict[str, str]:
           SELECT doc_id, CAST(min(p) AS BIGINT) AS start,
                  CAST(max(p) - min(p) + {SPAN_K} AS BIGINT) AS length
           FROM dsp_grp GROUP BY doc_id, grp
+        """,
+        # the APPLIED ExactSubstr cut: every token covered by a duplicated
+        # gram position [p, p+K-1] is removed, remaining tokens rejoin in
+        # order (dct_ prefixes: own CTE namespace, see the capture note)
+        "dedup_cut_text": f"""
+          WITH dct_toks0 AS (
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+            FROM documents
+          ),
+          dct_grams AS (
+            SELECT doc_id, i - 1 AS p,
+                   {poly_hash_sql(f"list_aggregate(w[i:i + {SPAN_K - 1}], 'string_agg', ' ')")} AS h
+            FROM dct_toks0,
+                 LATERAL (SELECT unnest(generate_series(1, len(w) - {SPAN_K - 1})) AS i)
+          ),
+          dct_dph AS (
+            SELECT h, count(DISTINCT doc_id) AS n_docs FROM dct_grams GROUP BY h
+          ),
+          dct_pos AS (
+            SELECT doc_id, p FROM dct_grams JOIN dct_dph USING (h)
+            WHERE n_docs >= 2
+          ),
+          dct_cov AS (
+            SELECT DISTINCT doc_id, p + j AS tok
+            FROM dct_pos,
+                 LATERAL (SELECT unnest(generate_series(0, {SPAN_K - 1})) AS j)
+          ),
+          dct_toks AS (
+            SELECT doc_id, i - 1 AS tok, w[i] AS word
+            FROM dct_toks0, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+          )
+          SELECT t.doc_id,
+                 coalesce(string_agg(word, ' ' ORDER BY tok)
+                          FILTER (WHERE c.tok IS NULL), '') AS clean_text
+          FROM dct_toks t LEFT JOIN dct_cov c USING (doc_id, tok)
+          GROUP BY t.doc_id
         """,
         "sim_knn_bruteforce": f"""
           WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -680,3 +680,65 @@ def dup_spans(sf_dir: str, k: int = SPAN_K):
         }))
 
     return hash_groupby(dup_positions, "doc_id", merge_runs)
+
+
+def cut_dup_spans(sf_dir: str, k: int = SPAN_K):
+    """(doc_id, clean_text): the document with every maximal duplicated
+    span (:func:`dup_spans`) removed — the APPLIED ExactSubstr cut, i.e.
+    the cleaned training corpus rather than a report about it.
+
+    Scale shape: spans are span-scale (≪ doc-scale rows, int64 triples);
+    they flow into ONE doc-keyed bucket exchange TAGGED alongside the
+    corpus rows (the entity_stats union pattern), so the cut happens
+    in-bucket with both sides co-located — no broadcast of a
+    corpus-growing table, no driver collect. Token removal is a
+    vectorized boolean mask per doc."""
+    from .agg import empty_safe, hash_groupby
+
+    # span-scale (tiny int64 triples); materializing also keeps dup_spans'
+    # terminal Sort out of the exchange below (the chained-sort lesson)
+    spans = dup_spans(sf_dir, k).materialize()
+
+    def span_rows(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["text"] = None
+        return t[["doc_id", "start", "length", "text"]]
+
+    def doc_rows(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(np.int64),
+            "start": np.full(len(t), -1, np.int64),
+            "length": np.zeros(len(t), np.int64),
+            "text": t["text"].fillna("").to_numpy(object),
+        })
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    tagged = ds.map_batches(doc_rows, batch_format="pandas").union(
+        spans.map_batches(span_rows, batch_format="pandas")
+    )
+
+    def cut_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["start"].eq(-1)]
+        sp = g[g["start"].ge(0)]
+        cuts = {
+            d: list(zip(s["start"], s["length"]))
+            for d, s in sp.groupby("doc_id")
+        } if len(sp) else {}
+        out_ids, out_txt = [], []
+        for d, text in zip(docs["doc_id"].to_numpy(np.int64),
+                           docs["text"].to_numpy(object)):
+            toks = (text or "").split(" ")
+            cut = cuts.get(d)
+            if cut:
+                keep = np.ones(len(toks), bool)
+                for s, ln in cut:
+                    keep[s : s + ln] = False
+                toks = [t for t, kf in zip(toks, keep) if kf]
+            out_ids.append(d)
+            out_txt.append(" ".join(toks))
+        return empty_safe(pd.DataFrame({
+            "doc_id": np.asarray(out_ids, np.int64),
+            "clean_text": np.asarray(out_txt, object),
+        }))
+
+    return hash_groupby(tagged, "doc_id", cut_in_bucket)

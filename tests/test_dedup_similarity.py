@@ -378,3 +378,34 @@ def test_dup_spans_randomized_cover_equivalence(ray_session, tmp_path):
             .to_numpy())
     )
     assert got == _brute_dup_spans(texts, SPAN_K)
+
+
+def test_cut_dup_spans_applies_cut_list(ray_session, tmp_path):
+    """clean_text == tokens minus the union of dup_spans covers, and a doc
+    that is ENTIRELY duplicated text cuts to the empty string."""
+    from codepropertygraph_ray.functions.dedup import (
+        SPAN_K, cut_dup_spans, dup_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        "keep these words " + shared + " and keep these too",
+        shared,                                    # fully duplicated → ""
+        "all original text nothing shared anywhere here at all",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    spans = dup_spans(sf).to_pandas()
+    got = (
+        cut_dup_spans(sf).to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    for d, text in enumerate(texts):
+        toks = text.split(" ")
+        keep = [True] * len(toks)
+        for _, r in spans[spans["doc_id"] == d].iterrows():
+            for i in range(int(r["start"]), int(r["start"] + r["length"])):
+                keep[i] = False
+        want = " ".join(t for t, kf in zip(toks, keep) if kf)
+        assert got.loc[got["doc_id"] == d, "clean_text"].iloc[0] == want
+    assert got.loc[got["doc_id"] == 1, "clean_text"].iloc[0] == ""
+    assert got.loc[got["doc_id"] == 2, "clean_text"].iloc[0] == texts[2]
