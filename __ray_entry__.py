@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_spans": dedup.exact_span_stats,
         "dedup_dup_spans": dedup.dup_spans,
         "dedup_cut_text": dedup.cut_dup_spans,
+        "kg_turn_dup_spans": dedup.turn_dup_span_stats,
         # --- training-data ops: similarity search --------------------------
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,  # approximate — no SQL oracle
@@ -2135,6 +2136,37 @@ def _ops_sql() -> dict[str, str]:
                           FILTER (WHERE c.tok IS NULL), '') AS clean_text
           FROM dct_toks t LEFT JOIN dct_cov c USING (doc_id, tok)
           GROUP BY t.doc_id
+        """,
+        # ExactSubstr on the flagship transcript payload: duplication unit
+        # is the CONVERSATION (a gram in >=2 distinct conv_ids), per-turn
+        # position counts
+        "kg_turn_dup_spans": f"""
+          WITH kts_toks AS (
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                   string_split(coalesce(text, ''), ' ') AS w
+            FROM read_parquet('{_transcripts_path()}/*.parquet')
+          ),
+          kts_grams AS (
+            SELECT conv_id, turn_idx,
+                   {poly_hash_sql(f"list_aggregate(w[i:i + {SPAN_K - 1}], 'string_agg', ' ')")} AS h
+            FROM kts_toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(w) - {SPAN_K - 1})) AS i)
+          ),
+          kts_hc AS (
+            SELECT conv_id, turn_idx, h, count(*) AS cnt
+            FROM kts_grams GROUP BY 1, 2, 3
+          ),
+          kts_dph AS (
+            SELECT h, count(DISTINCT conv_id) AS n_convs FROM kts_grams GROUP BY h
+          ),
+          kts_dup AS (
+            SELECT conv_id, turn_idx, sum(cnt) AS dup_grams
+            FROM kts_hc JOIN kts_dph USING (h) WHERE n_convs >= 2 GROUP BY 1, 2
+          )
+          SELECT t.conv_id, t.turn_idx,
+                 CAST(greatest(len(w) - {SPAN_K - 1}, 0) AS BIGINT) AS n_grams,
+                 CAST(coalesce(dup_grams, 0) AS BIGINT) AS dup_grams
+          FROM kts_toks t LEFT JOIN kts_dup USING (conv_id, turn_idx)
         """,
         "sim_knn_bruteforce": f"""
           WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

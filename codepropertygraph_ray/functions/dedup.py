@@ -742,3 +742,89 @@ def cut_dup_spans(sf_dir: str, k: int = SPAN_K):
         }))
 
     return hash_groupby(tagged, "doc_id", cut_in_bucket)
+
+
+def turn_dup_span_stats(sf_dir: str, k: int = SPAN_K):
+    """(conv_id, turn_idx, n_grams, dup_grams): the ExactSubstr signal on
+    the FLAGSHIP transcript payload — per turn, how many word-k-gram
+    positions carry a gram that also appears in at least one OTHER
+    conversation. Cross-conversation (not cross-turn) duplication is the
+    interesting unit for agent transcripts: repeated boilerplate inside
+    one conversation is normal structure, the same span recurring across
+    conversations is a template / memorization signal the KG's dataflow
+    queries can then treat as low-information text.
+
+    Same two-exchange shape as :func:`exact_span_stats` (gram-hash bucket
+    exchange → tagged union with the exchange-free n_grams side → one
+    turn-keyed combine), keyed on (conv_id, turn_idx)."""
+    from ..sources.transcripts import read_transcripts
+    from .agg import empty_safe, hash_agg, hash_groupby
+    from .text import poly_hash
+
+    def gram_rows(t: pd.DataFrame):
+        def grams(x):
+            toks = (x or "").split(" ")
+            return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+        ex = (
+            pd.DataFrame({
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "gram": t["text"].map(grams),
+            })
+            .explode("gram")
+            .dropna(subset=["gram"])
+        )
+        if not len(ex):
+            return empty_safe(
+                pd.DataFrame({
+                    "conv_id": pd.Series(dtype="object"),
+                    "turn_idx": pd.Series(dtype="int32"),
+                    "h": pd.Series(dtype="int64"),
+                    "cnt": pd.Series(dtype="int64"),
+                })
+            )
+        ex = ex.reset_index(drop=True)
+        ex["h"] = poly_hash(ex["gram"])
+        out = (
+            ex.groupby(["conv_id", "turn_idx", "h"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        return out.astype({"h": "int64", "cnt": "int64"})
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    grams = ds.map_batches(gram_rows, batch_format="pandas")
+
+    def dup_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nc = g.groupby("h")["conv_id"].transform("nunique")
+        d = g[nc.ge(2)]
+        out = d.groupby(["conv_id", "turn_idx"], as_index=False).agg(
+            dup_grams=("cnt", "sum")
+        )
+        out.insert(2, "n_grams", np.int64(0))
+        return empty_safe(
+            out.astype({"turn_idx": "int32", "n_grams": "int64",
+                        "dup_grams": "int64"})
+        )
+
+    # turn-scale partials; the materialize splits the chained-sort DAG
+    # (see exact_span_stats)
+    dup_partials = hash_groupby(grams, "h", dup_in_bucket).materialize()
+
+    def totals(t: pd.DataFrame) -> pd.DataFrame:
+        n = (t["text"].fillna("").str.split(" ").str.len() - k + 1).clip(lower=0)
+        return pd.DataFrame({
+            "conv_id": t["conv_id"].to_numpy(object),
+            "turn_idx": t["turn_idx"].astype("int32").to_numpy(np.int32),
+            "n_grams": n.to_numpy(np.int64),
+            "dup_grams": np.zeros(len(t), np.int64),
+        })
+
+    return hash_agg(
+        ds.map_batches(totals, batch_format="pandas").union(dup_partials),
+        ["conv_id", "turn_idx"],
+        n_grams=("n_grams", "sum"),
+        dup_grams=("dup_grams", "sum"),
+    )

@@ -409,3 +409,49 @@ def test_cut_dup_spans_applies_cut_list(ray_session, tmp_path):
         assert got.loc[got["doc_id"] == d, "clean_text"].iloc[0] == want
     assert got.loc[got["doc_id"] == 1, "clean_text"].iloc[0] == ""
     assert got.loc[got["doc_id"] == 2, "clean_text"].iloc[0] == texts[2]
+
+
+def test_turn_dup_spans_cross_conversation_only(ray_session, tmp_path):
+    """Duplication unit is the CONVERSATION: a span repeated across turns
+    of ONE conversation is structure, the same span in two conversations
+    is a template signal."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codepropertygraph_ray.functions.dedup import turn_dup_span_stats
+
+    tmpl = "please run the standard diagnostic suite now"
+    rows = [
+        ("c1", 0, "user", "", tmpl + " extra words one two"),
+        ("c1", 1, "assistant", "", tmpl + " different tail here"),  # same conv
+        ("c2", 0, "user", "", "unrelated opening on another topic entirely ok"),
+        ("c2", 1, "assistant", "", "prefix " + tmpl),               # cross-conv!
+        ("c3", 0, "user", "", "tiny"),
+    ]
+    t = pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": [r[2] for r in rows],
+        "tool": [r[3] for r in rows],
+        "text": [r[4] for r in rows],
+        "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+    })
+    corpus = os.path.join(str(tmp_path), "transcripts")
+    os.makedirs(corpus)
+    pq.write_table(t, os.path.join(corpus, "part-0.parquet"))
+    # a `transcripts/` dir inside sf_dir is used verbatim (user-corpus path)
+    got = (
+        turn_dup_span_stats(str(tmp_path))
+        .to_pandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+    # the 7-token template has 3 5-gram positions; every turn containing it
+    # (c1/0, c1/1, c2/1) is cross-conversation duplicated at those positions
+    assert got.loc[("c1", 0), "dup_grams"] == 3
+    assert got.loc[("c1", 1), "dup_grams"] == 3
+    assert got.loc[("c2", 1), "dup_grams"] == 3
+    assert got.loc[("c2", 0), "dup_grams"] == 0
+    assert got.loc[("c3", 0), "n_grams"] == 0
