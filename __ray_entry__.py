@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_span": analytics.entity_span,
         "kg_fuzzy_keys": analytics.fuzzy_key_pairs,
         "kg_local_cc": analytics.entity_local_cc,
+        "kg_kcore": analytics.kcore,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -138,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sample_stratified": relational.sample_stratified_events,
         "rel_hourly_active_users": relational.hourly_active_users,
         "rel_cumulative_users": relational.cumulative_new_users,
+        "rel_histogram": relational.histogram_prices,
+        "rel_ntile": relational.ntile_orders,
+        "rel_corr": relational.corr_qty_price,
         "agg_hll_users": sketch.hll_distinct_users,  # approximate — no SQL oracle
         "agg_cms_heavy": sketch.cms_heavy_users,  # approximate — no SQL oracle
         # --- training-data ops: text analysis -----------------------------
@@ -171,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_knn_ivf": similarity.knn_ivf,  # approximate — no SQL oracle
         "sim_embedding_dups": similarity.embedding_dups,
         "sim_dup_groups": similarity.dup_groups,
+        "sim_keep_list": similarity.dedup_keep_embeddings,
         "sim_dbscan": similarity.dbscan_embeddings,
         "sim_quantize_int8": similarity.quantize_int8,
         # --- multimodal plumbing (decode stub) -----------------------------
@@ -225,6 +230,22 @@ def _pagerank_chain(iters: int, damping: float) -> str:
     return "".join(parts)
 
 
+def _kcore_chain(iters: int, k: int) -> str:
+    """Unrolled kc_s{{i}} survivor-set CTEs for ``iters`` k-core peel
+    rounds over the undirected kc_und edge list — generated from the SAME
+    constants the Ray operator uses (KCORE_ITERS/KCORE_K). Peeling is
+    monotone, so the Ray side's fixed-point early-exit equals this exact
+    unroll on converged inputs and matches it step-for-step otherwise."""
+    parts = []
+    for i in range(1, iters + 1):
+        parts.append(f"""
+          , kc_s{i} AS (
+            SELECT u.a AS n FROM kc_und u
+            JOIN kc_s{i - 1} x ON u.a = x.n JOIN kc_s{i - 1} y ON u.b = y.n
+            GROUP BY u.a HAVING count(*) >= {k})""")
+    return "".join(parts)
+
+
 def _kg_sql() -> dict[str, str]:
     from codepropertygraph_ray.pipelines.queries import (
         BIND_MAX_DEPTH,
@@ -237,6 +258,8 @@ def _kg_sql() -> dict[str, str]:
         JAC_ROUND,
         PMI_ROUND,
         PR_DAMPING,
+        KCORE_ITERS,
+        KCORE_K,
         PR_ITERS,
         PR_ROUND,
     )
@@ -752,6 +775,21 @@ def _kg_sql() -> dict[str, str]:
             UNION ALL SELECT canon_b FROM e
           ) GROUP BY canon
         """,
+        # fixed-iteration k-core peeling (survivors after KCORE_ITERS
+        # rounds, with in-core degree) — the Ray loop early-exits only on
+        # a fixed point, so this exact unroll always agrees
+        "kg_kcore": f"""
+          WITH kc_e AS MATERIALIZED ({cooc}),
+          kc_und AS (SELECT canon_a AS a, canon_b AS b FROM kc_e
+                     UNION ALL SELECT canon_b, canon_a FROM kc_e),
+          kc_s0 AS (SELECT DISTINCT a AS n FROM kc_und)
+          {_kcore_chain(KCORE_ITERS, KCORE_K)}
+          SELECT u.a AS canon, CAST(count(*) AS BIGINT) AS core_deg
+          FROM kc_und u
+          JOIN kc_s{KCORE_ITERS} x ON u.a = x.n
+          JOIN kc_s{KCORE_ITERS} y ON u.b = y.n
+          GROUP BY u.a
+        """,
         # degree-ordered triangle enumeration collapses in SQL to the
         # canonical 3-way self-join over the (a < b) edge list — each
         # triangle {{x < y < z}} matched exactly once
@@ -1104,9 +1142,54 @@ def _kg_sql() -> dict[str, str]:
 
 
 def _rel_sql() -> dict[str, str]:
-    from codepropertygraph_ray.functions.relational import STRAT_K
+    from codepropertygraph_ray.functions.relational import (
+        HIST_BINS,
+        NTILE_N,
+        STRAT_K,
+    )
 
     return {
+        # two-pass global statistic: bucket arithmetic is the identical
+        # double expression tree as the Ray side ((v-mn)*B/(mx-mn), floored,
+        # max folded into the last bucket)
+        "rel_histogram": f"""
+          WITH h_mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+                        FROM orders)
+          SELECT CAST(least(CAST(floor((o_totalprice - mn)
+                                        * CAST({HIST_BINS} AS DOUBLE)
+                                        / (mx - mn)) AS BIGINT),
+                            {HIST_BINS} - 1) AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM orders, h_mm GROUP BY 1
+        """,
+        "rel_ntile": f"""
+          SELECT o_orderkey,
+                 CAST(ntile({NTILE_N}) OVER (PARTITION BY o_orderpriority
+                                             ORDER BY o_totalprice, o_orderkey)
+                      AS BIGINT) AS tile
+          FROM orders
+        """,
+        # grouped Pearson correlation spelled as the explicit moment
+        # formula (NOT corr(): its one-pass algorithm differs in float) —
+        # exact integer moments via tie-free floor on both sides
+        "rel_corr": """
+          WITH cr AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x * y) AS DOUBLE) AS sxy,
+                   CAST(sum(x * x) AS DOUBLE) AS sxx,
+                   CAST(sum(y * y) AS DOUBLE) AS syy
+            FROM (SELECT l_returnflag,
+                         CAST(floor(l_quantity) AS BIGINT) AS x,
+                         CAST(floor(l_extendedprice) AS BIGINT) AS y
+                  FROM lineitem)
+            GROUP BY l_returnflag)
+          SELECT l_returnflag,
+                 (n * sxy - sx * sy)
+                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qp
+          FROM cr
+        """,
         "rel_q1_pricing": """
           SELECT l_returnflag, l_linestatus,
                  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,
@@ -2255,6 +2338,25 @@ def _ops_sql() -> dict[str, str]:
             SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
           )
           SELECT n AS vec_id, min(m) AS group_id FROM reach GROUP BY n
+        """,
+        # embedding-side end-to-end dedup policy: eps-graph components →
+        # keep component representative (MIN vec_id) or any singleton
+        "sim_keep_list": f"""
+          WITH RECURSIVE sk_pairs AS MATERIALIZED (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {DUP_COS_THRESHOLD}
+          ),
+          sk_e(a, b) AS (SELECT id_a, id_b FROM sk_pairs
+                         UNION SELECT id_b, id_a FROM sk_pairs),
+          sk_reach(n, m) AS (
+            SELECT a, a FROM sk_e GROUP BY a
+            UNION
+            SELECT r.n, sk_e.b FROM sk_reach r JOIN sk_e ON r.m = sk_e.a
+          ),
+          sk_comp AS (SELECT n, min(m) AS comp FROM sk_reach GROUP BY n)
+          SELECT v.vec_id, (c.n IS NULL OR c.comp = v.vec_id) AS keep
+          FROM embeddings v LEFT JOIN sk_comp c ON c.n = v.vec_id
         """,
     }
 

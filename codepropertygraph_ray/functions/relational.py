@@ -1342,3 +1342,152 @@ def first_last_event(sf_dir: str):
 
     return hash_groupby(
         ds.map_batches(extremes, batch_format="pandas"), "user_id", pick)
+
+
+# ---------------------------------------------------------------------------
+# two-pass global statistic (equi-width histogram)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 20
+
+
+def histogram_prices(sf_dir: str, nbins: int = HIST_BINS):
+    """(bucket, n) — equi-width histogram of order price: the two-pass
+    global-statistic archetype (pass 1 computes a whole-dataset extremum,
+    pass 2 re-streams the data against it). The reference computes
+    whole-graph statistics the same way (a full pass feeding a keyed
+    pass, e.g. `Linker.scala` name maps built before the link scan).
+
+    Scale shape: pass 1 collapses each batch to ONE (min, max) row — the
+    driver sees block-count rows, never data; pass 2 is a stateless
+    vectorized bucket map + partial counts into a ``nbins``-row aggregate.
+    Bucket arithmetic is the identical IEEE double expression tree on both
+    sides (``(v - mn) * nbins / (mx - mn)``, floored, max folded into the
+    last bucket), so the oracle can never disagree on a boundary value."""
+    from .agg import hash_agg
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def mm_partial(t: pd.DataFrame) -> pd.DataFrame:
+        from .agg import empty_safe
+
+        if len(t) == 0:
+            return empty_safe(pd.DataFrame({"mn": [], "mx": []}, dtype=np.float64))
+        v = t["o_totalprice"].to_numpy(np.float64)
+        return pd.DataFrame({"mn": [v.min()], "mx": [v.max()]})
+
+    mm = ds.map_batches(mm_partial, batch_format="pandas").to_pandas()
+    mn = float(mm["mn"].min())
+    mx = float(mm["mx"].max())
+    nb = float(nbins)
+
+    def bucketize(t: pd.DataFrame) -> pd.DataFrame:
+        from .agg import empty_safe
+
+        v = t["o_totalprice"].to_numpy(np.float64)
+        b = np.floor((v - mn) * nb / (mx - mn)).astype(np.int64)
+        b = np.minimum(b, nbins - 1)
+        g = (
+            pd.DataFrame({"bucket": b})
+            .groupby("bucket", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return empty_safe(g)
+
+    return hash_agg(
+        ds.map_batches(bucketize, batch_format="pandas"), "bucket", n=("n", "sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE window (equal-frequency bucketing)
+# ---------------------------------------------------------------------------
+
+NTILE_N = 4
+
+
+def ntile_orders(sf_dir: str, n: int = NTILE_N):
+    """(o_orderkey, tile) — NTILE(4) of order price within its priority
+    class under the deterministic total order (o_totalprice, o_orderkey):
+    the equal-frequency bucketing window. SQL NTILE gives the first
+    ``cnt % n`` tiles one extra row; the vectorized closed form below
+    reproduces that exactly from the in-class row number.
+
+    Same scale shape as the other window operators: ONE bucketed shuffle
+    keyed by the partition key, vectorized rank arithmetic per bucket."""
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"], ignore_index=True
+        )
+        rn = g.groupby("o_orderpriority").cumcount().to_numpy() + 1
+        cnt = g.groupby("o_orderpriority")["o_orderkey"].transform("size").to_numpy()
+        base = cnt // n
+        rem = cnt % n
+        cut = rem * (base + 1)  # rows in the (base+1)-sized head tiles
+        head = (rn - 1) // np.maximum(base + 1, 1) + 1
+        tail = rem + (rn - 1 - cut) // np.maximum(base, 1) + 1
+        tile = np.where(rn <= cut, head, tail).astype(np.int64)
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(np.int64), "tile": tile}
+        )
+
+    return hash_groupby(ds, "o_orderpriority", per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# grouped bivariate statistic (Pearson correlation from mergeable moments)
+# ---------------------------------------------------------------------------
+
+def corr_qty_price(sf_dir: str):
+    """(l_returnflag, corr_qp) — Pearson correlation of quantity vs
+    extended price per return flag, from the five mergeable moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy²): the distributed bivariate-statistic
+    archetype. Each batch contributes ONE partial row per group; the
+    moments are exact int64 over tie-free integerizations (quantity is
+    integral; price FLOORS to whole dollars on both sides — floor never
+    ties, unlike round, and dollar units keep Σy² < 2^63 past sf100), so
+    task order can never move the sums, and the final float formula is
+    the identical IEEE expression tree as the oracle's explicit-sum corr
+    (DuckDB's built-in corr() uses a different one-pass algorithm — the
+    oracle spells the moment formula instead)."""
+    from .agg import empty_safe, hash_groupby
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(t["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        y = np.floor(t["l_extendedprice"].to_numpy(np.float64)).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_numpy(),
+                "n": np.ones(len(t), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        ).groupby("l_returnflag", as_index=False).sum()
+        return empty_safe(g)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("l_returnflag", as_index=False).sum()
+        n = g["n"].to_numpy(np.float64)
+        sx = g["sx"].to_numpy(np.float64)
+        sy = g["sy"].to_numpy(np.float64)
+        sxy = g["sxy"].to_numpy(np.float64)
+        sxx = g["sxx"].to_numpy(np.float64)
+        syy = g["syy"].to_numpy(np.float64)
+        corr = (n * sxy - sx * sy) / (
+            np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        )
+        return pd.DataFrame({"l_returnflag": g["l_returnflag"], "corr_qp": corr})
+
+    return hash_groupby(
+        ds.map_batches(moments, batch_format="pandas"), "l_returnflag", finish
+    )

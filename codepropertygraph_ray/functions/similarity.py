@@ -507,3 +507,37 @@ def dbscan_embeddings(sf_dir: str):
         )
 
     return _read_emb(sf_dir, ["vec_id"]).map_batches(assign, batch_format="pandas")
+
+
+def dedup_keep_embeddings(sf_dir: str):
+    """(vec_id, keep) — the EMBEDDING-side end-to-end dedup policy:
+    cosine near-dup pairs → connected components → keep = component
+    representative (MIN vec_id) or any vector in no component. The
+    semantic twin of ``dedup.dedup_keep_list`` (n-gram pairs feed that
+    one; the eps-graph feeds this one), closing the
+    candidate→verify→cluster→select flow for the embedding modality.
+
+    Scale shape: the component map is duplicate-scale (pairs only, far
+    below corpus), so the drop set broadcasts as one sorted array; the
+    corpus-scale vector ids stream through a vectorized searchsorted
+    membership probe — no join, no shuffle of the id stream."""
+    cm = dup_groups(sf_dir)  # DataFrame(vec_id, group_id) — dup-scale
+    if len(cm):
+        nodes = cm["vec_id"].to_numpy(np.int64)
+        comps = cm["group_id"].to_numpy(np.int64)
+        drop_sorted = np.sort(nodes[nodes != comps])
+    else:
+        drop_sorted = np.empty(0, np.int64)
+    dref = ray.put(drop_sorted)
+
+    def flag(t: pd.DataFrame) -> pd.DataFrame:
+        drops = get_broadcast(dref)
+        ids_v = t["vec_id"].to_numpy(np.int64)
+        if len(drops):
+            pos = np.clip(np.searchsorted(drops, ids_v), 0, len(drops) - 1)
+            keep = drops[pos] != ids_v
+        else:
+            keep = np.ones(len(ids_v), dtype=bool)
+        return pd.DataFrame({"vec_id": ids_v, "keep": keep})
+
+    return _read_emb(sf_dir, ["vec_id"]).map_batches(flag, batch_format="pandas")

@@ -631,3 +631,64 @@ def fuzzy_key_pairs(sf_dir: str, max_df: int = FUZZY_MAX_VARIANT_DF):
         cand, ["key_a", "key_b"],
         lambda g: g.drop_duplicates(ignore_index=True),
     )
+
+
+KCORE_K = 3
+KCORE_ITERS = 8
+
+
+def kcore(sf_dir: str, k: int = KCORE_K, iters: int = KCORE_ITERS):
+    """(canon, core_deg) — the k-core of the co-occurrence graph by
+    fixed-iteration peeling: repeatedly drop nodes with fewer than ``k``
+    neighbors among the survivors; report survivors with their in-core
+    degree. The dense-subgraph extractor a KG pipeline runs to find the
+    tightly-connected entity clusters (the whole-graph analog of the
+    reference's structure queries over shared-parent neighborhoods).
+
+    Iteration cap discipline (MemberAccessLinker.scala:92-96): both sides
+    run EXACTLY ``iters`` peel rounds — the Ray loop may early-exit only
+    on a fixed point, where further rounds are no-ops, so the capped
+    unrolled-CTE oracle stays bit-identical even on inputs where peeling
+    hasn't converged.
+
+    Scale shape: each round is one distributed edge scan (survivor set
+    broadcast, vocab-scale — the BFS/PageRank discipline) feeding a
+    degree partial-agg; only the degree table (vocab-scale, shrinking)
+    returns to the driver. Edges materialize once."""
+    edges = _cooc_edges(sf_dir)
+
+    def _deg_within(sref):
+        """Distributed degree count restricted to the broadcast node set
+        (None = unrestricted first round)."""
+
+        def deg_partial(t: pd.DataFrame) -> pd.DataFrame:
+            if sref is not None:
+                fs = get_broadcast(sref)
+                t = t[t["a"].isin(fs) & t["b"].isin(fs)]
+            return empty_safe(pd.DataFrame(
+                {"canon": pd.concat([t["a"], t["b"]], ignore_index=True)}
+            ))
+
+        d = hash_agg(
+            edges.map_batches(deg_partial, batch_format="pandas"),
+            "canon", core_deg=("canon", "size"),
+        ).to_pandas()
+        if "canon" not in d.columns:
+            return pd.DataFrame({"canon": pd.Series(dtype="object"),
+                                 "core_deg": pd.Series(dtype="int64")})
+        return d
+
+    cur_ref = None
+    cur: set | None = None
+    deg = _deg_within(None)
+    for _ in range(iters):
+        new = set(deg.loc[deg["core_deg"] >= k, "canon"])
+        if cur is not None and new == cur:
+            break  # fixed point: every further peel is a no-op
+        cur = new
+        cur_ref = ray.put(frozenset(cur))
+        deg = _deg_within(cur_ref)
+    out = deg[deg["canon"].isin(cur)] if cur is not None else deg
+    out = out.sort_values("canon", ignore_index=True)
+    out["core_deg"] = out["core_deg"].astype("int64")
+    return out

@@ -742,3 +742,94 @@ def test_cumulative_users_matches_first_seen(ray_session):
     assert list(got["new_users"]) == list(ref.values)
     assert list(got["cum_users"]) == list(ref.cumsum().values)
     assert got["cum_users"].iloc[-1] == ev["user_id"].nunique()
+
+
+def test_kcore_matches_bruteforce_peel(ray_session, cooc_edges):
+    from codepropertygraph_ray.pipelines.analytics import KCORE_K, kcore
+
+    got = kcore(SF_DIR)
+    cur = set(cooc_edges["a"]) | set(cooc_edges["b"])
+    for _ in range(50):  # peel to the true fixed point
+        deg: dict = defaultdict(int)
+        for a, b in zip(cooc_edges["a"], cooc_edges["b"]):
+            if a in cur and b in cur:
+                deg[a] += 1
+                deg[b] += 1
+        new = {n for n, d in deg.items() if d >= KCORE_K}
+        if new == cur:
+            break
+        cur = new
+    assert set(got["canon"]) == cur
+    assert dict(zip(got["canon"], got["core_deg"])) == {
+        n: d for n, d in deg.items() if n in cur
+    }
+    assert (got["core_deg"] >= KCORE_K).all()  # converged → true k-core
+
+
+def test_histogram_matches_numpy(ray_session):
+    from codepropertygraph_ray.functions.relational import (
+        HIST_BINS, histogram_prices,
+    )
+
+    got = histogram_prices(SF_DIR).to_pandas().sort_values(
+        "bucket", ignore_index=True
+    )
+    v = pd.read_parquet(f"{SF_DIR}/orders.parquet")["o_totalprice"].to_numpy()
+    mn, mx = v.min(), v.max()
+    b = np.minimum(
+        np.floor((v - mn) * float(HIST_BINS) / (mx - mn)).astype(int),
+        HIST_BINS - 1,
+    )
+    ref = pd.Series(b).value_counts().sort_index()
+    assert list(got["bucket"]) == list(ref.index)
+    assert list(got["n"]) == list(ref.values)
+    assert got["n"].sum() == len(v)
+
+
+def test_ntile_matches_sql_semantics(ray_session):
+    from codepropertygraph_ray.functions.relational import NTILE_N, ntile_orders
+
+    got = ntile_orders(SF_DIR).to_pandas()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet").sort_values(
+        ["o_orderpriority", "o_totalprice", "o_orderkey"], ignore_index=True
+    )
+    # reference NTILE: first (cnt % n) tiles get one extra row
+    tiles = {}
+    for _, grp in o.groupby("o_orderpriority", sort=False):
+        cnt = len(grp)
+        base, rem = divmod(cnt, NTILE_N)
+        sizes = [base + (1 if i < rem else 0) for i in range(NTILE_N)]
+        lab = np.repeat(np.arange(1, NTILE_N + 1), sizes)
+        tiles.update(dict(zip(grp["o_orderkey"], lab)))
+    assert dict(zip(got["o_orderkey"], got["tile"])) == tiles
+
+
+def test_corr_matches_numpy(ray_session):
+    from codepropertygraph_ray.functions.relational import corr_qty_price
+
+    got = corr_qty_price(SF_DIR).to_pandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    for flag, grp in li.groupby("l_returnflag"):
+        x = np.floor(grp["l_quantity"].to_numpy(np.float64))
+        y = np.floor(grp["l_extendedprice"].to_numpy(np.float64))
+        ref = np.corrcoef(x, y)[0, 1]
+        mine = float(got.loc[got["l_returnflag"] == flag, "corr_qp"].iloc[0])
+        assert abs(mine - ref) < 1e-9
+    assert got["corr_qp"].abs().max() <= 1.0
+
+
+def test_embedding_keep_list_matches_components(ray_session):
+    from codepropertygraph_ray.functions.similarity import (
+        dedup_keep_embeddings, dup_groups,
+    )
+
+    got = dedup_keep_embeddings(SF_DIR).to_pandas()
+    cm = dup_groups(SF_DIR)
+    drop = set(cm.loc[cm["vec_id"] != cm["group_id"], "vec_id"])
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id"])
+    assert len(got) == len(emb)
+    assert set(got.loc[~got["keep"], "vec_id"]) == drop
+    # exactly one representative survives per component
+    kept = set(got.loc[got["keep"], "vec_id"])
+    for gid, grp in cm.groupby("group_id"):
+        assert len(set(grp["vec_id"]) & kept) == 1
