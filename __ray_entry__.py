@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dot_cdg": kgq.dot_export_cdg,
         "kg_dot_ddg": kgq.dot_export_ddg,
         "kg_dot_pdg": kgq.dot_export_pdg,
+        "kg_dot_cpg14": kgq.dot_export_cpg14,
         # --- KG graph analytics (whole-graph query surface) ----------------
         "kg_entity_cooccurrence": analytics.entity_cooccurrence,
         "kg_entity_degree": analytics.entity_degree,
@@ -1137,6 +1138,60 @@ def _kg_sql() -> dict[str, str]:
                  'digraph "' || n.conv_id || '" {{' || chr(10) || n.ns
                  || coalesce(chr(10) || e.es, '') || chr(10) || '}}' AS dot
           FROM pdg_nodes n LEFT JOIN pdg_es e ON e.conv_id = n.conv_id
+        """,
+        # combined AST+CFG whole-CPG view (DotCpg14Generator.scala analog):
+        # turn nodes + mention nodes (m<turn>_<ordinal>, key-labeled —
+        # keys are normalized to the escape-free alphabet), AST containment
+        # edges then CFG reply edges, layer-labeled
+        "kg_dot_cpg14": f"""
+          WITH c14_tt AS (SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn, role FROM {t}),
+          c14_m AS (SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn,
+                           CAST(ordinal AS INTEGER) AS ordinal, key
+                    FROM ({mentions_keyed})),
+          c14_tn AS (
+            SELECT conv_id,
+                   string_agg('  t' || turn || ' [label="' || turn || ':' || role || '"];',
+                              chr(10) ORDER BY turn) AS ns
+            FROM c14_tt GROUP BY conv_id
+          ),
+          c14_mn AS (
+            SELECT conv_id,
+                   string_agg('  m' || turn || '_' || ordinal
+                              || ' [label="' || key || '"];',
+                              chr(10) ORDER BY turn, ordinal) AS ms
+            FROM c14_m GROUP BY conv_id
+          ),
+          c14_ae AS (
+            SELECT conv_id,
+                   string_agg('  t' || turn || ' -> m' || turn || '_' || ordinal
+                              || ' [label="AST"];',
+                              chr(10) ORDER BY turn, ordinal) AS aes
+            FROM c14_m GROUP BY conv_id
+          ),
+          c14_chain AS (SELECT conv_id, turn AS a,
+                               lead(turn) OVER (PARTITION BY conv_id ORDER BY turn) AS b
+                        FROM c14_tt),
+          c14_sk AS (SELECT conv_id, turn AS a,
+                            lead(turn) OVER (PARTITION BY conv_id ORDER BY turn) AS b
+                     FROM c14_tt WHERE role = 'user'),
+          c14_e AS (SELECT conv_id, a, b FROM c14_chain WHERE b IS NOT NULL
+                    UNION SELECT conv_id, a, b FROM c14_sk
+                    WHERE b IS NOT NULL AND b > a + 1),
+          c14_ce AS (
+            SELECT conv_id,
+                   string_agg('  t' || a || ' -> t' || b || ' [label="CFG"];',
+                              chr(10) ORDER BY a, b) AS es
+            FROM c14_e GROUP BY conv_id
+          )
+          SELECT n.conv_id,
+                 'digraph "' || n.conv_id || '" {{' || chr(10) || n.ns
+                 || coalesce(chr(10) || m.ms, '')
+                 || coalesce(chr(10) || a.aes, '')
+                 || coalesce(chr(10) || c.es, '') || chr(10) || '}}' AS dot
+          FROM c14_tn n
+          LEFT JOIN c14_mn m ON m.conv_id = n.conv_id
+          LEFT JOIN c14_ae a ON a.conv_id = n.conv_id
+          LEFT JOIN c14_ce c ON c.conv_id = n.conv_id
         """,
     }
 

@@ -1066,6 +1066,15 @@ def dot_export_pdg(sf_dir: str):
     return conversation_dot_pdg(sf_dir, r.ctx.read_logical("reaching"))
 
 
+def dot_export_cpg14(sf_dir: str):
+    """(conv_id, dot) — the combined AST+CFG whole-CPG view (turn nodes,
+    mention nodes, layer-labeled containment + reply edges), the
+    `DotCpg14Generator.scala` flavor."""
+    from ..stages.export import conversation_dot_cpg14
+
+    return conversation_dot_cpg14(sf_dir, mentions(sf_dir))
+
+
 AP_ELEMENT_RE = r"^(.*) (\d+)$"  # base tokens + numeric element suffix
 
 

@@ -263,3 +263,75 @@ def dump_context(sf_dir: str, targets: pd.DataFrame, around: int = 1):
         return t[pd.Series(mask, index=t.index)]
 
     return ds.map_batches(pick, batch_format="pandas")
+
+
+def conversation_dot_cpg14(sf_dir: str, mentions_ds):
+    """→ Dataset (conv_id, dot): the combined AST+CFG "whole-CPG" view —
+    turn nodes plus their contained mention nodes, AST containment edges
+    (turn → mention) and CFG reply-graph edges in ONE digraph, each edge
+    labeled with its layer (`semanticcpg/.../dotgenerator/
+    DotCpg14Generator.scala` — the reference's all-layers dump, sibling of
+    the PDG flavor). Mention node labels use the normalized ``key`` (the
+    escape-free alphabet), node ids are ``m<turn>_<ordinal>``.
+
+    ``mentions_ds`` is the pipeline's mention slice (conv_id, turn_idx,
+    ordinal, key); it joins the transcript turns in ONE conv_id-bucketed
+    exchange (tagged union — no broadcast of either side)."""
+    import numpy as np
+
+    from ..pipelines.kg import conv_graph_edges
+    from ..sources.transcripts import read_transcripts
+
+    turns = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "role"]
+    ).map_batches(
+        lambda t: pd.DataFrame(
+            {"conv_id": t["conv_id"],
+             "turn_idx": t["turn_idx"].astype("int32"),
+             "role": t["role"],
+             "ordinal": np.full(len(t), -1, np.int32),
+             "key": np.full(len(t), "", object),
+             "kind": np.full(len(t), "t", object)}
+        ),
+        batch_format="pandas",
+    )
+    ments = mentions_ds.map_batches(
+        lambda t: pd.DataFrame(
+            {"conv_id": t["conv_id"],
+             "turn_idx": t["turn_idx"].astype("int32"),
+             "role": np.full(len(t), "", object),
+             "ordinal": t["ordinal"].astype("int32"),
+             "key": t["key"].astype(object),
+             "kind": np.full(len(t), "m", object)}
+        ),
+        batch_format="pandas",
+    )
+
+    def to_dot(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv_id, grp in g.groupby("conv_id"):
+            t = grp[grp["kind"] == "t"].sort_values("turn_idx")
+            m = grp[grp["kind"] == "m"].sort_values(["turn_idx", "ordinal"])
+            lines = [f'digraph "{_esc(conv_id)}" {{']
+            for r in t.itertuples():
+                lines.append(
+                    f'  t{r.turn_idx} [label="{_esc(f"{r.turn_idx}:{r.role}")}"];'
+                )
+            for r in m.itertuples():
+                lines.append(
+                    f'  m{r.turn_idx}_{r.ordinal} [label="{_esc(r.key)}"];'
+                )
+            for r in m.itertuples():
+                lines.append(
+                    f'  t{r.turn_idx} -> m{r.turn_idx}_{r.ordinal} [label="AST"];'
+                )
+            edges = sorted(conv_graph_edges(
+                t["turn_idx"].to_numpy().astype("int64"),
+                t["role"].to_numpy(),
+            ))
+            lines.extend(f'  t{a} -> t{b} [label="CFG"];' for a, b in edges)
+            lines.append("}")
+            rows.append({"conv_id": conv_id, "dot": "\n".join(lines)})
+        return pd.DataFrame(rows, columns=["conv_id", "dot"])
+
+    return hash_groupby(turns.union(ments), "conv_id", to_dot)

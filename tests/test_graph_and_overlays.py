@@ -230,6 +230,25 @@ def test_dot_export(ray_session):
     assert len(multi) > 0 and multi["dot"].str.contains("->").all()
 
 
+def test_dot_cpg14_layers(ray_session, kg_run):
+    from codepropertygraph_ray.pipelines.queries import dot_export_cpg14
+
+    out = dot_export_cpg14("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert out["dot"].str.startswith("digraph").all()
+    # both layers present somewhere, and every AST edge targets a mention
+    # node that is declared in the same digraph
+    withast = out[out["dot"].str.contains('label="AST"')]
+    assert len(withast) > 0
+    assert out["dot"].str.contains('label="CFG"').any()
+    import re
+
+    d = withast["dot"].iloc[0]
+    declared = set(re.findall(r"^  (m\d+_\d+) \[", d, re.M))
+    targets = set(re.findall(r"-> (m\d+_\d+) ", d))
+    assert targets and targets <= declared
+
+
 def test_dump_context(ray_session):
     from codepropertygraph_ray.stages.export import dump_context
 
