@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pack_chunks": text.pack_chunks,
         "text_repetition": text.repetition_stats,
         "text_unigram_logprob": text.unigram_logprob,
+        "text_char_entropy": text.char_entropy,
         "text_simhash": text.simhash64,
         "text_fingerprint": text.fingerprint,
         # --- training-data ops: dedup --------------------------------------
@@ -1659,6 +1660,7 @@ def _ops_sql() -> dict[str, str]:
         N_QUERIES,
     )
     from codepropertygraph_ray.functions.text import (
+        ENTROPY_UNIT,
         CONTAMINATION_PROBES as CONTAM_PROBES,
     )
     from codepropertygraph_ray.functions.text import (
@@ -2046,6 +2048,27 @@ def _ops_sql() -> dict[str, str]:
             ) u USING (term)
             GROUP BY w.doc_id
           ) ds ON d.doc_id = ds.doc_id
+        """,
+        # character-distribution entropy in fixed point: per-count logs
+        # rounded ONCE (ln matches libm log), then all-integer sums —
+        # string_split(text,'') yields code points exactly like Python
+        # iteration; the '' element from empty text is filtered on both
+        # sides (Python: zero code points)
+        "text_char_entropy": f"""
+          SELECT d.doc_id,
+                 CAST(coalesce(s.n_chars, 0) AS BIGINT) AS n_chars,
+                 CAST(coalesce(s.ent_units, 0) AS BIGINT) AS ent_units
+          FROM documents d LEFT JOIN (
+            SELECT doc_id, sum(n) AS n_chars,
+                   sum(n * CAST(round(ln(n) * {10 ** ENTROPY_UNIT}) AS BIGINT))
+                     AS ent_units
+            FROM (SELECT doc_id, ch, count(*) AS n
+                  FROM (SELECT doc_id,
+                               unnest(string_split(coalesce(text, ''), '')) AS ch
+                        FROM documents)
+                  WHERE ch <> '' GROUP BY doc_id, ch)
+            GROUP BY doc_id
+          ) s ON s.doc_id = d.doc_id
         """,
         # within-doc duplicate-trigram counts: tokens are \S+ runs so a
         # space-joined trigram key is injective (matches the Python tuple)

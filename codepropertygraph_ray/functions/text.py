@@ -697,3 +697,42 @@ def repetition_stats(sf_dir: str):
         })
 
     return ds.map_batches(stats, batch_format="pandas")
+
+
+ENTROPY_UNIT = 6  # fixed-point decimals for per-character-count logs
+
+
+def char_entropy(sf_dir: str):
+    """(doc_id, n_chars, ent_units) — character-distribution entropy
+    signal (the CCNet/Gopher-family quality heuristic that catches
+    boilerplate and encoding garbage): per document, Σ_c n_c·ln(n_c) over
+    code-point counts in int64 fixed-point units (``ENTROPY_UNIT``
+    decimals). Consumers recover Shannon entropy client-side as
+    ``ln(n_chars) − ent_units/10^u/n_chars``; keeping the stored columns
+    all-integer makes the sums associative, so block order can never
+    flip the gate (the unigram_logprob discipline — per-count logs are
+    rounded ONCE, libm ``log`` matching the oracle's ``ln``).
+
+    Scale shape: a stateless vectorized map — no shuffle, no broadcast;
+    the per-row kernel is C-bound (utf-32 decode + np.unique)."""
+    from .agg import round_half_away
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    scale = 10.0 ** ENTROPY_UNIT
+
+    def ent(t: pd.DataFrame) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(np.int64)
+        n_chars = np.zeros(len(t), np.int64)
+        units = np.zeros(len(t), np.int64)
+        for i, s in enumerate(t["text"].fillna("").to_numpy()):
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            if len(cp):
+                _, cnt = np.unique(cp, return_counts=True)
+                lg = round_half_away(np.log(cnt) * scale, 0).astype(np.int64)
+                n_chars[i] = len(cp)
+                units[i] = int((cnt * lg).sum())
+        return pd.DataFrame(
+            {"doc_id": ids, "n_chars": n_chars, "ent_units": units}
+        )
+
+    return ds.map_batches(ent, batch_format="pandas")

@@ -833,3 +833,30 @@ def test_embedding_keep_list_matches_components(ray_session):
     kept = set(got.loc[got["keep"], "vec_id"])
     for gid, grp in cm.groupby("group_id"):
         assert len(set(grp["vec_id"]) & kept) == 1
+
+
+def test_char_entropy_matches_counter(ray_session):
+    import math
+    from collections import Counter
+
+    from codepropertygraph_ray.functions.text import ENTROPY_UNIT, char_entropy
+
+    got = char_entropy(SF_DIR).to_pandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ref = {}
+    for r in docs.sample(50, random_state=0).itertuples():
+        c = Counter(r.text or "")
+        units = sum(
+            n * int(np.sign(v := math.log(n) * 10**ENTROPY_UNIT)
+                    * math.floor(abs(v) + 0.5))
+            for n in c.values()
+        )
+        ref[r.doc_id] = (sum(c.values()), units)
+    sub = got.set_index("doc_id")
+    for did, (n_chars, units) in ref.items():
+        assert sub.loc[did, "n_chars"] == n_chars
+        assert sub.loc[did, "ent_units"] == units
+    # recovered entropy is a sane Shannon value
+    nz = got[got["n_chars"] > 0]
+    h = (np.log(nz["n_chars"]) - nz["ent_units"] / 10**ENTROPY_UNIT / nz["n_chars"])
+    assert (h >= -1e-9).all() and (h < np.log(1114112)).all()
