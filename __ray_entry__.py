@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sample_stratified": relational.sample_stratified_events,
         "rel_hourly_active_users": relational.hourly_active_users,
         "rel_cumulative_users": relational.cumulative_new_users,
+        "rel_division": relational.users_all_event_types,
         "rel_histogram": relational.histogram_prices,
         "rel_ntile": relational.ntile_orders,
         "rel_corr": relational.corr_qty_price,
@@ -1205,6 +1206,14 @@ def _rel_sql() -> dict[str, str]:
     )
 
     return {
+        # relational division (the "for all" join): users whose distinct
+        # type set covers the whole divisor
+        "rel_division": """
+          SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+          FROM events GROUP BY user_id
+          HAVING count(DISTINCT event_type) =
+                 (SELECT count(DISTINCT event_type) FROM events)
+        """,
         # two-pass global statistic: bucket arithmetic is the identical
         # double expression tree as the Ray side ((v-mn)*B/(mx-mn), floored,
         # max folded into the last bucket)

@@ -1491,3 +1491,46 @@ def corr_qty_price(sf_dir: str):
     return hash_groupby(
         ds.map_batches(moments, batch_format="pandas"), "l_returnflag", finish
     )
+
+
+# ---------------------------------------------------------------------------
+# relational division (the "for all" join)
+# ---------------------------------------------------------------------------
+
+
+def users_all_event_types(sf_dir: str):
+    """(user_id, n_types) — users who performed EVERY distinct event type:
+    relational division, the classic "for all" archetype (the inverse of
+    the anti-join family above — set-containment instead of
+    set-disjointness).
+
+    Scale shape: per-batch (user, type) dedup partials collapse the
+    stream before ONE user-keyed exchange; the divisor (the distinct type
+    set) is dimension-sized and reduces to a single broadcast count —
+    division never shuffles the divisor. The in-bucket re-dedup makes the
+    per-user distinct count exact regardless of how batches split."""
+    from .agg import empty_safe, hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    pairs = ds.map_batches(
+        lambda t: empty_safe(t.drop_duplicates(["user_id", "event_type"])),
+        batch_format="pandas",
+    )
+    types = ds.map_batches(
+        lambda t: empty_safe(t[["event_type"]].drop_duplicates()),
+        batch_format="pandas",
+    ).to_pandas()
+    n_all = int(types["event_type"].nunique())
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        c = g.groupby("user_id", as_index=False).size().rename(
+            columns={"size": "n_types"}
+        )
+        c = c[c["n_types"] == n_all]
+        return pd.DataFrame(
+            {"user_id": c["user_id"].to_numpy(np.int64),
+             "n_types": c["n_types"].to_numpy(np.int64)}
+        )
+
+    return hash_groupby(pairs, "user_id", per_bucket)

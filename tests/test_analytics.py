@@ -860,3 +860,16 @@ def test_char_entropy_matches_counter(ray_session):
     nz = got[got["n_chars"] > 0]
     h = (np.log(nz["n_chars"]) - nz["ent_units"] / 10**ENTROPY_UNIT / nz["n_chars"])
     assert (h >= -1e-9).all() and (h < np.log(1114112)).all()
+
+
+def test_division_matches_set_containment(ray_session):
+    from codepropertygraph_ray.functions.relational import users_all_event_types
+
+    got = users_all_event_types(SF_DIR).to_pandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"])
+    all_types = set(ev["event_type"])
+    per_user = ev.groupby("user_id")["event_type"].agg(set)
+    ref = {u for u, s in per_user.items() if s == all_types}
+    assert set(got["user_id"]) == ref
+    assert (got["n_types"] == len(all_types)).all()
+    assert len(ref) > 0  # fixture has full-coverage users
