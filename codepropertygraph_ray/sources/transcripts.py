@@ -197,6 +197,8 @@ def ensure_transcripts(sf_dir: str, force: bool = False) -> str:
             return user_corpus
         if any(f.endswith((".jsonl", ".json")) for f in names):
             return _ensure_jsonl_converted(user_corpus, sf_dir)
+        if any(f.endswith(".csv") for f in names):
+            return _ensure_csv_converted(user_corpus, sf_dir)
     path = transcripts_path(sf_dir)
     if os.path.isdir(path) and not force:
         return path
@@ -256,24 +258,24 @@ def _cast_transcripts_frame(df: pd.DataFrame) -> pa.Table:
     ).replace_schema_metadata(None)
 
 
-def _ensure_jsonl_converted(src_dir: str, sf_dir: str) -> str:
-    """NDJSON transcripts → cached parquet corpus (converted once,
-    fingerprint-keyed so an updated source re-converts). Distributed when
-    a Ray session exists (`ray.data.read_json` → typed cast → per-task
-    parquet sink — the 100-TB path); falls back to a per-file pyarrow
-    conversion for sessionless callers."""
+def _ensure_converted(src_dir: str, sf_dir: str, exts: tuple, tag: str,
+                      distributed_read, local_read) -> str:
+    """Delimited/semistructured transcripts → cached parquet corpus
+    (converted once, fingerprint-keyed so an updated source re-converts).
+    Distributed when a Ray session exists (reader → typed cast → per-task
+    parquet sink — the 100-TB path); falls back to a per-file pandas
+    conversion for sessionless callers. Shared by the NDJSON and CSV
+    source formats (the S9 payload-reader analogs)."""
     import hashlib
     import json as _json
 
-    files = sorted(
-        f for f in os.listdir(src_dir) if f.endswith((".jsonl", ".json"))
-    )
+    files = sorted(f for f in os.listdir(src_dir) if f.endswith(exts))
     fp = hashlib.sha1(_json.dumps(
         [(f, os.path.getsize(os.path.join(src_dir, f)),
           int(os.path.getmtime(os.path.join(src_dir, f)))) for f in files]
     ).encode()).hexdigest()[:12]
     name = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    path = os.path.join(CACHE_ROOT, f"{name}-jsonl-{fp}", "transcripts")
+    path = os.path.join(CACHE_ROOT, f"{name}-{tag}-{fp}", "transcripts")
     if os.path.isdir(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -281,22 +283,18 @@ def _ensure_jsonl_converted(src_dir: str, sf_dir: str) -> str:
     os.makedirs(tmp, exist_ok=True)
     import ray
 
+    paths = [os.path.join(src_dir, f) for f in files]
     if ray.is_initialized():
-        import ray.data
-
         from ..functions.sink import sink_parquet
 
-        ds = ray.data.read_json(
-            [os.path.join(src_dir, f) for f in files]
-        ).map_batches(_cast_transcripts_frame, batch_format="pandas")
+        ds = distributed_read(paths).map_batches(
+            _cast_transcripts_frame, batch_format="pandas"
+        )
         sink_parquet(ds, tmp)
     else:
-        for i, f in enumerate(files):
-            df = pd.read_json(
-                os.path.join(src_dir, f), lines=f.endswith(".jsonl")
-            )
+        for i, f in enumerate(paths):
             pq.write_table(
-                _cast_transcripts_frame(df),
+                _cast_transcripts_frame(local_read(f)),
                 os.path.join(tmp, f"part-{i:04d}.parquet"),
                 compression="zstd",
             )
@@ -307,6 +305,26 @@ def _ensure_jsonl_converted(src_dir: str, sf_dir: str) -> str:
         return path
     os.replace(tmp, path)
     return path
+
+
+def _ensure_jsonl_converted(src_dir: str, sf_dir: str) -> str:
+    import ray.data
+
+    return _ensure_converted(
+        src_dir, sf_dir, (".jsonl", ".json"), "jsonl",
+        ray.data.read_json,
+        lambda f: pd.read_json(f, lines=f.endswith(".jsonl")),
+    )
+
+
+def _ensure_csv_converted(src_dir: str, sf_dir: str) -> str:
+    import ray.data
+
+    return _ensure_converted(
+        src_dir, sf_dir, (".csv",), "csv",
+        ray.data.read_csv,
+        pd.read_csv,
+    )
 
 
 def read_transcripts(sf_dir: str, columns: list[str] | None = None):

@@ -158,6 +158,14 @@ def test_jsonl_source_equals_parquet_source(ray_session, tmp_path):
     cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
     got = table_set(rj, "triples", cols)
     assert got == table_set(rp, "triples", cols) and got
+
+    # CSV delivery of the same rows must also build the identical KG
+    # (the third source format; shares the cast + cache machinery)
+    cdir = tmp_path / "csv_sf" / "transcripts"
+    cdir.mkdir(parents=True)
+    pd.DataFrame(rows).to_csv(cdir / "part-0.csv", index=False)
+    rc = build_kg(str(tmp_path / "csv_sf"), str(tmp_path / "csv_out"))
+    assert table_set(rc, "triples", cols) == got
     for r in (rj, rp):
         nodes = pads.dataset(r.ctx.delta_dir("materialize", "nodes")).to_table(
             columns=["id"]
