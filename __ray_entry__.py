@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_price_quantiles": relational.price_quantiles_by_priority,
         "rel_mode_event": relational.mode_event_per_user,
         "rel_sample_hash": relational.sample_orders_hash,
+        "rel_sample_weighted": relational.sample_orders_weighted,
         "rel_shuffle_rank": relational.shuffle_rank_orders,
         "rel_bloom_antijoin": sketch.customers_without_events,
         "rel_pivot_events": relational.pivot_event_types,
@@ -1202,10 +1203,29 @@ def _rel_sql() -> dict[str, str]:
     from codepropertygraph_ray.functions.relational import (
         HIST_BINS,
         NTILE_N,
+        SAMPLE_MOD,
+        SAMPLE_MULT,
         STRAT_K,
+        WSAMPLE_K,
     )
 
+    SAMPLE_MULT_SQL, SAMPLE_MOD_SQL, WSAMPLE_K_SQL = SAMPLE_MULT, SAMPLE_MOD, WSAMPLE_K
+
     return {
+        # Efraimidis–Spirakis weighted sample in log form (ln(u)/w — the
+        # monotone equivalent of u^(1/w)); the log is quantized to fixed
+        # point BEFORE the divide so numpy-vs-libm last-ulp log
+        # differences can't reach the gate, u from the multiplicative hash
+        "rel_sample_weighted": f"""
+          SELECT o_orderkey, o_totalprice, skey FROM (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(round(ln((CAST((o_orderkey * {SAMPLE_MULT_SQL})
+                                        % {SAMPLE_MOD_SQL} AS DOUBLE) + 1.0)
+                                 / {SAMPLE_MOD_SQL + 1}.0) * 1000000)
+                        AS BIGINT) / o_totalprice AS skey
+            FROM orders)
+          ORDER BY skey DESC, o_orderkey LIMIT {WSAMPLE_K_SQL}
+        """,
         # relational division (the "for all" join): users whose distinct
         # type set covers the whole divisor
         "rel_division": """

@@ -1534,3 +1534,51 @@ def users_all_event_types(sf_dir: str):
         )
 
     return hash_groupby(pairs, "user_id", per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 25
+
+
+def sample_orders_weighted(sf_dir: str, k: int = WSAMPLE_K):
+    """(o_orderkey, o_totalprice, skey) — weight-proportional sample of k
+    orders via the Efraimidis–Spirakis key in its log form ``ln(u)/w``
+    (a monotone transform of ``u^(1/w)``, so top-k by it IS the A-ES
+    sample), with the log quantized ONCE to fixed point before the
+    divide (the unigram_logprob/char_entropy discipline): np.log's SIMD
+    kernel and DuckDB's libm ``ln`` differ in the last ulp on some
+    inputs, and ``pow`` is worse — ``round(ln(u)·10^6)`` absorbs the ulp,
+    and dividing the identical integer-valued double by ``w`` is then
+    bit-exact on both sides. The one-pass distributed weighted sampler a
+    training-data pipeline uses to oversample high-quality documents.
+    ``u`` is the multiplicative key hash mapped into (0,1] — a pure
+    function of the key (the sample_orders_hash discipline), so any
+    parallelism and the SQL oracle pick the IDENTICAL sample. Scale
+    shape: per-batch local top-k partials, then
+    a k-row global sort — never a full sort, nothing driver-side.
+    (o_orderkey·MULT stays under 2^63 for keys < 3.5e9 — beyond that,
+    hash the key into 32 bits first.)"""
+    from .agg import empty_safe, round_half_away
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def keyed_topk(t: pd.DataFrame) -> pd.DataFrame:
+        okey = t["o_orderkey"].to_numpy(np.int64)
+        w = t["o_totalprice"].to_numpy(np.float64)
+        h = (okey * SAMPLE_MULT) % SAMPLE_MOD
+        u = (h.astype(np.float64) + 1.0) / float(SAMPLE_MOD + 1)
+        lu = round_half_away(np.log(u) * 1e6, 0)
+        skey = lu / w
+        out = pd.DataFrame(
+            {"o_orderkey": okey, "o_totalprice": w, "skey": skey}
+        ).sort_values(["skey", "o_orderkey"], ascending=[False, True]).head(k)
+        return empty_safe(out)
+
+    return (
+        ds.map_batches(keyed_topk, batch_format="pandas")
+        .sort(["skey", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )

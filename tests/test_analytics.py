@@ -873,3 +873,28 @@ def test_division_matches_set_containment(ray_session):
     assert set(got["user_id"]) == ref
     assert (got["n_types"] == len(all_types)).all()
     assert len(ref) > 0  # fixture has full-coverage users
+
+
+def test_weighted_sample_matches_aes_reference(ray_session):
+    import math
+
+    from codepropertygraph_ray.functions.relational import (
+        SAMPLE_MOD, SAMPLE_MULT, WSAMPLE_K, sample_orders_weighted,
+    )
+
+    got = sample_orders_weighted(SF_DIR).to_pandas()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    u = ((o["o_orderkey"].to_numpy(np.int64) * SAMPLE_MULT) % SAMPLE_MOD
+         + 1.0) / float(SAMPLE_MOD + 1)
+    lu = np.array([math.copysign(math.floor(abs(math.log(x) * 1e6) + 0.5), -1)
+                   for x in u])
+    key = lu / o["o_totalprice"].to_numpy(np.float64)
+    ref = o.assign(skey=key).sort_values(
+        ["skey", "o_orderkey"], ascending=[False, True]
+    ).head(WSAMPLE_K)
+    assert list(got["o_orderkey"]) == list(ref["o_orderkey"])
+    assert len(got) == WSAMPLE_K
+    # weight-proportionality sanity: the sample skews rich (top-k by
+    # u^(1/w) favors high w) — sample mean weight above population mean
+    assert got["o_totalprice"].mean() > o["o_totalprice"].mean()
