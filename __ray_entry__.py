@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_hourly_active_users": relational.hourly_active_users,
         "rel_cumulative_users": relational.cumulative_new_users,
         "rel_division": relational.users_all_event_types,
+        "rel_compact": relational.distinct_until_changed,
         "rel_histogram": relational.histogram_prices,
         "rel_ntile": relational.ntile_orders,
         "rel_corr": relational.corr_qty_price,
@@ -1225,6 +1226,16 @@ def _rel_sql() -> dict[str, str]:
                         AS BIGINT) / o_totalprice AS skey
             FROM orders)
           ORDER BY skey DESC, o_orderkey LIMIT {WSAMPLE_K_SQL}
+        """,
+        # stream compaction (distinct-until-changed): keep a row iff its
+        # type differs from the previous row's in the per-user total order
+        "rel_compact": """
+          SELECT user_id, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+          ) WHERE prev_type IS NULL OR event_type <> prev_type
         """,
         # relational division (the "for all" join): users whose distinct
         # type set covers the whole divisor

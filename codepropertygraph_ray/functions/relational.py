@@ -1582,3 +1582,30 @@ def sample_orders_weighted(sf_dir: str, k: int = WSAMPLE_K):
         .sort(["skey", "o_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def distinct_until_changed(sf_dir: str):
+    """(user_id, event_id, event_type) — drop CONSECUTIVE repeats of the
+    same event type per user under the total order (ts, event_id): the
+    stream-compaction archetype (distinct-until-changed), the batch
+    re-expression of a streaming dedup stage. Same scale shape as the
+    other ordered-window operators: ONE user-keyed exchange, vectorized
+    in-bucket sort + shift compare — order stays data, never block
+    order."""
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def compact(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        prev_user = g["user_id"].shift()
+        prev_type = g["event_type"].shift()
+        keep = (g["user_id"] != prev_user) | (g["event_type"] != prev_type)
+        k = g[keep]
+        return pd.DataFrame(
+            {"user_id": k["user_id"].to_numpy(np.int64),
+             "event_id": k["event_id"].to_numpy(np.int64),
+             "event_type": k["event_type"].to_numpy()}
+        )
+
+    return hash_groupby(ds, "user_id", compact)

@@ -898,3 +898,18 @@ def test_weighted_sample_matches_aes_reference(ray_session):
     # weight-proportionality sanity: the sample skews rich (top-k by
     # u^(1/w) favors high w) — sample mean weight above population mean
     assert got["o_totalprice"].mean() > o["o_totalprice"].mean()
+
+
+def test_compact_matches_linear_scan(ray_session):
+    from codepropertygraph_ray.functions.relational import distinct_until_changed
+
+    got = distinct_until_changed(SF_DIR).to_pandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True
+    )
+    keep = (ev["user_id"] != ev["user_id"].shift()) | (
+        ev["event_type"] != ev["event_type"].shift()
+    )
+    ref = ev[keep]
+    assert set(got["event_id"]) == set(ref["event_id"])
+    assert len(got) < len(ev)  # the fixture has consecutive repeats
