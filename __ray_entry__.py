@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fuzzy_keys": analytics.fuzzy_key_pairs,
         "kg_local_cc": analytics.entity_local_cc,
         "kg_kcore": analytics.kcore,
+        "kg_assortativity": analytics.assortativity,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -794,6 +795,26 @@ def _kg_sql() -> dict[str, str]:
           JOIN kc_s{KCORE_ITERS} x ON u.a = x.n
           JOIN kc_s{KCORE_ITERS} y ON u.b = y.n
           GROUP BY u.a
+        """,
+        # degree assortativity: explicit-sum Pearson over endpoint degrees
+        # of the symmetrized edge list (exact integer moments, identical
+        # float finish — the rel_corr discipline on a graph)
+        "kg_assortativity": f"""
+          WITH as_e AS MATERIALIZED ({cooc}),
+          as_und(a, b) AS (SELECT canon_a, canon_b FROM as_e
+                           UNION ALL SELECT canon_b, canon_a FROM as_e),
+          as_deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d
+                     FROM as_und GROUP BY a),
+          as_m AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(da.d) AS DOUBLE) AS sx,
+                   CAST(sum(da.d * db.d) AS DOUBLE) AS sxy,
+                   CAST(sum(da.d * da.d) AS DOUBLE) AS sxx
+            FROM as_und u
+            JOIN as_deg da ON da.a = u.a
+            JOIN as_deg db ON db.a = u.b
+          )
+          SELECT (n * sxy - sx * sx) / (n * sxx - sx * sx) AS assort FROM as_m
         """,
         # degree-ordered triangle enumeration collapses in SQL to the
         # canonical 3-way self-join over the (a < b) edge list — each

@@ -692,3 +692,48 @@ def kcore(sf_dir: str, k: int = KCORE_K, iters: int = KCORE_ITERS):
     out = out.sort_values("canon", ignore_index=True)
     out["core_deg"] = out["core_deg"].astype("int64")
     return out
+
+
+def assortativity(sf_dir: str):
+    """Single row (sxy, sxx, sx, n) → (assort) — the degree-assortativity
+    coefficient of the co-occurrence graph: Pearson correlation of the
+    endpoint degrees over the (symmetrized) edge list, the one-scalar
+    whole-graph health statistic (Newman 2002). Positive = hubs link
+    hubs; negative = hub-and-spoke.
+
+    The corr_qty_price discipline on a graph: degrees are exact int64
+    (vocab-scale, broadcast as a sorted probe); each edge contributes
+    integer moment partials inside map_batches, ONE tiny reduce, and the
+    final float formula is the identical IEEE tree as the oracle's
+    explicit-sum corr. Symmetrized (each edge counted in both directions)
+    so x and y are exchangeable — sx == sy, sxx == syy."""
+    edges = _cooc_edges(sf_dir)
+    deg = hash_agg(
+        edges.map_batches(
+            lambda t: pd.DataFrame(
+                {"canon": pd.concat([t["a"], t["b"]], ignore_index=True)}
+            ),
+            batch_format="pandas",
+        ),
+        "canon", degree=("canon", "size"),
+    ).to_pandas()
+    dref = ray.put(build_lookup(deg["canon"], deg["degree"].to_numpy(np.int64)))
+
+    def moments(t: pd.DataFrame) -> pd.DataFrame:
+        da = lookup_keys(get_broadcast(dref), t["a"], default=0).astype(np.int64)
+        db = lookup_keys(get_broadcast(dref), t["b"], default=0).astype(np.int64)
+        # symmetrize: both directions contribute
+        x = np.concatenate([da, db])
+        y = np.concatenate([db, da])
+        return pd.DataFrame(
+            {"n": [np.int64(len(x))], "sx": [x.sum()],
+             "sxy": [(x * y).sum()], "sxx": [(x * x).sum()]}
+        )
+
+    parts = edges.map_batches(moments, batch_format="pandas").to_pandas()
+    n = float(parts["n"].sum())
+    sx = float(parts["sx"].sum())
+    sxy = float(parts["sxy"].sum())
+    sxx = float(parts["sxx"].sum())
+    assort = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    return pd.DataFrame({"assort": [assort]})

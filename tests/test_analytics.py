@@ -913,3 +913,18 @@ def test_compact_matches_linear_scan(ray_session):
     ref = ev[keep]
     assert set(got["event_id"]) == set(ref["event_id"])
     assert len(got) < len(ev)  # the fixture has consecutive repeats
+
+
+def test_assortativity_matches_numpy(ray_session, cooc_edges):
+    from codepropertygraph_ray.pipelines.analytics import assortativity
+
+    got = float(assortativity(SF_DIR)["assort"].iloc[0])
+    deg = pd.concat([cooc_edges["a"], cooc_edges["b"]],
+                    ignore_index=True).value_counts()
+    da = cooc_edges["a"].map(deg).to_numpy(float)
+    db = cooc_edges["b"].map(deg).to_numpy(float)
+    x = np.concatenate([da, db])
+    y = np.concatenate([db, da])
+    ref = np.corrcoef(x, y)[0, 1]
+    assert abs(got - ref) < 1e-9
+    assert -1.0 <= got <= 1.0
