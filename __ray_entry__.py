@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_local_cc": analytics.entity_local_cc,
         "kg_kcore": analytics.kcore,
         "kg_assortativity": analytics.assortativity,
+        "kg_scc": analytics.scc_capped,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -266,6 +267,7 @@ def _kg_sql() -> dict[str, str]:
         PR_DAMPING,
         KCORE_ITERS,
         KCORE_K,
+        SCC_DEPTH,
         PR_ITERS,
         PR_ROUND,
     )
@@ -772,6 +774,27 @@ def _kg_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY start ORDER BY d DESC) AS rn
             FROM walk
           ) WHERE rn = 1
+        """,
+        # depth-capped SCC of the directed FACT graph: mutual capped
+        # reachability, scc_id = min of the mutual set (incl. self) —
+        # both sides run the SAME cap (the REACHES discipline)
+        "kg_scc": f"""
+          WITH RECURSIVE
+          scc_e AS MATERIALIZED (
+            SELECT DISTINCT subj AS u, obj AS v FROM ({triples_all})),
+          scc_c(u, v, d) AS (
+            SELECT u, v, 1 FROM scc_e
+            UNION
+            SELECT c.u, e.v, c.d + 1 FROM scc_c c JOIN scc_e e ON e.u = c.v
+            WHERE c.d < {SCC_DEPTH}
+          ),
+          scc_cl AS (SELECT DISTINCT u, v FROM scc_c),
+          scc_mut AS (SELECT c1.u, c1.v FROM scc_cl c1
+                      JOIN scc_cl c2 ON c2.u = c1.v AND c2.v = c1.u),
+          scc_n AS (SELECT u AS node FROM scc_e UNION SELECT v FROM scc_e)
+          SELECT n.node, least(n.node, coalesce(min(m.v), n.node)) AS scc_id
+          FROM scc_n n LEFT JOIN scc_mut m ON m.u = n.node
+          GROUP BY n.node
         """,
         "kg_entity_cooccurrence": cooc,
         "kg_entity_degree": f"""

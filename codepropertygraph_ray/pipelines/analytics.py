@@ -737,3 +737,85 @@ def assortativity(sf_dir: str):
     sxx = float(parts["sxx"].sum())
     assort = (n * sxy - sx * sx) / (n * sxx - sx * sx)
     return pd.DataFrame({"assort": [assort]})
+
+
+SCC_DEPTH = 3
+
+
+def scc_capped(sf_dir: str, depth: int = SCC_DEPTH):
+    """(node, scc_id) — depth-capped strongly-connected components of the
+    directed FACT graph: u and v share a component iff each reaches the
+    other within ``depth`` hops; scc_id = MIN of the mutual set (incl.
+    self). The directed counterpart of ``canonical_map``'s undirected
+    components — cycles of entities that feed each other's facts.
+
+    Depth-cap discipline (the REACHES/MemberAccessLinker choice): true
+    SCC needs unbounded reachability; both sides run the SAME capped
+    closure, so the oracle checks the whole computation. Scale shape:
+    the closure expands by ``depth-1`` self-joins of the vocab-scale
+    distinct edge list (join_auto: broadcast under the budget, shuffle
+    beyond), deduped per round; the mutual test is ONE join of the
+    closure against its transpose; scc_id is a bucketed min-agg. Nothing
+    corpus-scale ever moves."""
+    from ..functions.joins import join_auto
+
+    r = kg_runner(sf_dir)
+    tri = r.ctx.read_logical("triples", columns=["subj", "obj"])
+    edges = hash_groupby(
+        tri.map_batches(
+            lambda t: t.drop_duplicates().rename(columns={"subj": "u", "obj": "v"}),
+            batch_format="pandas",
+        ),
+        ["u", "v"],
+        lambda g: g.drop_duplicates(),
+    ).materialize()
+
+    closure = edges
+    for _ in range(depth - 1):
+        ext = join_auto(
+            closure.map_batches(
+                lambda t: t.rename(columns={"v": "mid"}), batch_format="pandas"
+            ),
+            edges.map_batches(
+                lambda t: t.rename(columns={"u": "mid"}), batch_format="pandas"
+            ),
+            on="mid", how="inner",
+        ).map_batches(
+            lambda t: t[["u", "v"]].drop_duplicates(), batch_format="pandas"
+        )
+        closure = hash_groupby(
+            closure.union(ext), ["u", "v"], lambda g: g.drop_duplicates()
+        ).materialize()
+
+    # mutual reachability: closure ∩ transpose(closure), ONE keyed join
+    mutual = join_auto(
+        closure,
+        closure.map_batches(
+            lambda t: t.rename(columns={"u": "v", "v": "u"}),
+            batch_format="pandas",
+        ),
+        on=["u", "v"], how="inner",
+    )
+
+    nodes = hash_groupby(
+        edges.map_batches(
+            lambda t: pd.DataFrame(
+                {"node": pd.concat([t["u"], t["v"]], ignore_index=True)}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        "node", lambda g: g.drop_duplicates(),
+    )
+    partner_min = hash_agg(
+        mutual.map_batches(
+            lambda t: t.rename(columns={"u": "node", "v": "partner"}),
+            batch_format="pandas",
+        ),
+        "node", scc_id=("partner", "min"),
+    ).to_pandas()
+    out = nodes.to_pandas()
+    m = dict(zip(partner_min["node"], partner_min["scc_id"]))
+    out["scc_id"] = np.minimum(
+        out["node"].to_numpy(object), out["node"].map(m).fillna(out["node"]).to_numpy(object)
+    )
+    return out.sort_values("node", ignore_index=True)

@@ -928,3 +928,30 @@ def test_assortativity_matches_numpy(ray_session, cooc_edges):
     ref = np.corrcoef(x, y)[0, 1]
     assert abs(got - ref) < 1e-9
     assert -1.0 <= got <= 1.0
+
+
+def test_scc_capped_matches_bruteforce(ray_session, kg_run):
+    from codepropertygraph_ray.pipelines.analytics import SCC_DEPTH, scc_capped
+
+    got = scc_capped(SF_DIR)
+    tri = kg_run.ctx.read_logical("triples", columns=["subj", "obj"]).to_pandas()
+    e = set(zip(tri["subj"], tri["obj"]))
+    # brute-force capped closure
+    adj = defaultdict(set)
+    for u, v in e:
+        adj[u].add(v)
+    def reach_raw(s):
+        seen, frontier = set(), {s}
+        for _ in range(SCC_DEPTH):
+            frontier = set().union(*(adj[x] for x in frontier)) if frontier else set()
+            seen |= frontier
+        return seen
+    nodes = set(tri["subj"]) | set(tri["obj"])
+    fwd = {n: reach_raw(n) for n in nodes}
+    ref = {}
+    for n in nodes:
+        mutual = {m for m in fwd[n] if n in fwd[m]}
+        ref[n] = min(mutual | {n})
+    assert dict(zip(got["node"], got["scc_id"])) == ref
+    # at least one non-trivial directed cycle collapses on this corpus
+    assert any(v != k for k, v in ref.items())
