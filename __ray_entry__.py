@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pack_chunks": text.pack_chunks,
         "text_repetition": text.repetition_stats,
         "text_unigram_logprob": text.unigram_logprob,
+        "text_bigram_logprob": text.bigram_logprob,
         "text_char_entropy": text.char_entropy,
         "text_simhash": text.simhash64,
         "text_fingerprint": text.fingerprint,
@@ -2132,6 +2133,36 @@ def _ops_sql() -> dict[str, str]:
             ) u USING (term)
             GROUP BY w.doc_id
           ) ds ON d.doc_id = ds.doc_id
+        """,
+        # add-one bigram LM score: the unigram oracle's shape one rung up
+        # (pair counts + history counts + prediction-alphabet size, per-
+        # pair logs rounded once, integer per-doc sums)
+        "text_bigram_logprob": r"""
+          WITH bl_toks AS (SELECT doc_id, string_split(text, ' ') AS toks
+                           FROM documents),
+          bl_pairs AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM bl_toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+          ),
+          bl_c AS (SELECT w1, w2, count(*) AS c FROM bl_pairs GROUP BY 1, 2),
+          bl_c1 AS (SELECT w1, sum(c) AS c1 FROM bl_c GROUP BY w1),
+          bl_v AS (SELECT count(DISTINCT w2) AS v FROM bl_c),
+          bl_u AS (
+            SELECT c.w1, c.w2,
+                   CAST(round(ln((c.c + 1.0) / (c1.c1 + v.v)) * 1000000)
+                        AS BIGINT) AS u
+            FROM bl_c c JOIN bl_c1 c1 USING (w1) CROSS JOIN bl_v v
+          ),
+          bl_s AS (
+            SELECT p.doc_id, count(*) AS n_bigrams, sum(u.u) AS s
+            FROM bl_pairs p JOIN bl_u u ON u.w1 = p.w1 AND u.w2 = p.w2
+            GROUP BY p.doc_id
+          )
+          SELECT d.doc_id,
+                 CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                 CAST(coalesce(s.s, 0) AS BIGINT) AS logprob_units
+          FROM documents d LEFT JOIN bl_s s USING (doc_id)
         """,
         # character-distribution entropy in fixed point: per-count logs
         # rounded ONCE (ln matches libm log), then all-integer sums —

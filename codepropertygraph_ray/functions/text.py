@@ -736,3 +736,89 @@ def char_entropy(sf_dir: str):
         )
 
     return ds.map_batches(ent, batch_format="pandas")
+
+
+def bigram_logprob(sf_dir: str):
+    """(doc_id, n_bigrams, logprob_units) — add-one-smoothed bigram
+    language-model score: each document's Σ ln((c(w1,w2)+1)/(c1(w1)+V))
+    over its consecutive space-split token pairs, in int64 fixed-point
+    units (``LOGPROB_UNIT`` decimals). The unigram_logprob ladder's next
+    rung — the context-aware cheap perplexity proxy (consumers divide by
+    n_bigrams client-side); the corpus is the model, so every scored pair
+    is seen and the smoothing term only shapes the distribution.
+
+    Scale shape: model fit = ONE pair-keyed exchange of per-batch bigram
+    count partials (pair-vocab-scale output); per-pair log-probs round to
+    fixed point ONCE (libm ``math.log`` matching the oracle's ``ln``) and
+    broadcast as a sorted-hash probe keyed by the space-joined bigram;
+    scoring is a stateless vectorized pass with all-integer sums."""
+    import math
+
+    import ray
+
+    from .agg import empty_safe, hash_agg, round_half_away
+    from .joins import build_lookup, get_broadcast, lookup_keys
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _pairs(t: pd.DataFrame):
+        """(doc positions, w1, w2) arrays for a batch — shifted view."""
+        ex = t["text"].str.split(" ").explode()
+        doc = ex.index.to_numpy()
+        tok = ex.to_numpy(dtype=object)
+        if len(tok) < 2:
+            return doc[:0], tok[:0], tok[:0]
+        same = doc[1:] == doc[:-1]
+        return doc[:-1][same], tok[:-1][same], tok[1:][same]
+
+    def count_partial(t: pd.DataFrame) -> pd.DataFrame:
+        _, w1, w2 = _pairs(t)
+        g = pd.DataFrame({"w1": w1, "w2": w2, "n": np.ones(len(w1), np.int64)})
+        return empty_safe(g.groupby(["w1", "w2"], as_index=False).sum())
+
+    pairs = hash_agg(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        ["w1", "w2"], n=("n", "sum"),
+    ).to_pandas()
+    if len(pairs) == 0:
+        return ds.map_batches(
+            lambda t: pd.DataFrame(
+                {"doc_id": t["doc_id"].to_numpy(np.int64),
+                 "n_bigrams": np.zeros(len(t), np.int64),
+                 "logprob_units": np.zeros(len(t), np.int64)}
+            ),
+            batch_format="pandas",
+        )
+    c1 = pairs.groupby("w1")["n"].sum()
+    v = int(pairs["w2"].nunique())
+    denom = pairs["w1"].map(c1).to_numpy(np.int64) + v
+    units = np.array(
+        [int(round_half_away(math.log((c + 1.0) / d) * 10**LOGPROB_UNIT, 0))
+         for c, d in zip(pairs["n"].to_numpy(np.int64), denom)],
+        dtype=np.int64,
+    )
+    key = pairs["w1"].str.cat(pairs["w2"], sep=" ")
+    ref = ray.put(build_lookup(key, units))
+
+    def score(t: pd.DataFrame) -> pd.DataFrame:
+        doc, w1, w2 = _pairs(t)
+        did = t["doc_id"].to_numpy(np.int64)
+        if len(doc) == 0:
+            return pd.DataFrame(
+                {"doc_id": did,
+                 "n_bigrams": np.zeros(len(t), np.int64),
+                 "logprob_units": np.zeros(len(t), np.int64)}
+            )
+        k = pd.Series(w1).str.cat(pd.Series(w2), sep=" ")
+        u = lookup_keys(get_broadcast(ref), k, default=0).astype(np.int64)
+        g = pd.DataFrame({"i": doc, "u": u}).groupby("i")["u"].agg(
+            ["size", "sum"]
+        )
+        g = g.reindex(t.index, fill_value=0)
+        return pd.DataFrame(
+            {"doc_id": did,
+             "n_bigrams": g["size"].to_numpy(np.int64),
+             "logprob_units": g["sum"].to_numpy(np.int64)}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

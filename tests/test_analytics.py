@@ -955,3 +955,33 @@ def test_scc_capped_matches_bruteforce(ray_session, kg_run):
     assert dict(zip(got["node"], got["scc_id"])) == ref
     # at least one non-trivial directed cycle collapses on this corpus
     assert any(v != k for k, v in ref.items())
+
+
+def test_bigram_logprob_matches_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    from codepropertygraph_ray.functions.text import (
+        LOGPROB_UNIT, bigram_logprob,
+    )
+
+    got = bigram_logprob(SF_DIR).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs_per_doc = {
+        r.doc_id: list(zip(r.text.split(" "), r.text.split(" ")[1:]))
+        for r in docs.itertuples()
+    }
+    c = Counter(p for ps in pairs_per_doc.values() for p in ps)
+    c1 = Counter()
+    for (w1, _), n in c.items():
+        c1[w1] += n
+    v = len({w2 for (_, w2) in c})
+
+    def unit(p):
+        x = math.log((c[p] + 1.0) / (c1[p[0]] + v)) * 10**LOGPROB_UNIT
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    for did, ps in list(pairs_per_doc.items())[:80]:
+        assert got.loc[did, "n_bigrams"] == len(ps)
+        assert got.loc[did, "logprob_units"] == sum(unit(p) for p in ps)
