@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": analytics.kcore,
         "kg_assortativity": analytics.assortativity,
         "kg_scc": analytics.scc_capped,
+        "kg_widest_path": analytics.widest_path,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -254,6 +255,24 @@ def _kcore_chain(iters: int, k: int) -> str:
     return "".join(parts)
 
 
+def _widest_chain(depth: int, inf: int) -> str:
+    """Unrolled wp_w{{i}} width-table CTEs for ``depth`` max-min
+    relaxation rounds over wp_und — generated from the SAME constants the
+    Ray operator uses (WIDEST_DEPTH/WIDEST_INF). All-integer arithmetic;
+    the Ray side's monotone fixed-point early-exit equals this unroll."""
+    parts = []
+    for i in range(1, depth + 1):
+        parts.append(f"""
+          , wp_w{i} AS (
+            SELECT n, max(c) AS w FROM (
+              SELECT n, w AS c FROM wp_w{i - 1}
+              UNION ALL
+              SELECT u.b AS n, least(p.w, CAST(u.n_turns AS BIGINT)) AS c
+              FROM wp_und u JOIN wp_w{i - 1} p ON p.n = u.a
+            ) GROUP BY n)""")
+    return "".join(parts)
+
+
 def _kg_sql() -> dict[str, str]:
     from codepropertygraph_ray.pipelines.queries import (
         BIND_MAX_DEPTH,
@@ -269,6 +288,8 @@ def _kg_sql() -> dict[str, str]:
         KCORE_ITERS,
         KCORE_K,
         SCC_DEPTH,
+        WIDEST_DEPTH,
+        WIDEST_INF,
         PR_ITERS,
         PR_ROUND,
     )
@@ -819,6 +840,20 @@ def _kg_sql() -> dict[str, str]:
           JOIN kc_s{KCORE_ITERS} x ON u.a = x.n
           JOIN kc_s{KCORE_ITERS} y ON u.b = y.n
           GROUP BY u.a
+        """,
+        # widest-path (max-min bottleneck) strengths from the first
+        # entity: unrolled integer Bellman-Ford over the weighted
+        # co-occurrence edges, seed pinned at the WIDEST_INF sentinel
+        "kg_widest_path": f"""
+          WITH wp_e AS MATERIALIZED ({cooc}),
+          wp_und AS (SELECT canon_a AS a, canon_b AS b, n_turns FROM wp_e
+                     UNION ALL SELECT canon_b, canon_a, n_turns FROM wp_e),
+          wp_seed AS (SELECT min(a) AS s FROM wp_und),
+          wp_w0 AS (SELECT s AS n, CAST({WIDEST_INF} AS BIGINT) AS w
+                    FROM wp_seed)
+          {_widest_chain(WIDEST_DEPTH, WIDEST_INF)}
+          SELECT n AS canon, CAST(w AS BIGINT) AS width
+          FROM wp_w{WIDEST_DEPTH}
         """,
         # degree assortativity: explicit-sum Pearson over endpoint degrees
         # of the symmetrized edge list (exact integer moments, identical

@@ -819,3 +819,83 @@ def scc_capped(sf_dir: str, depth: int = SCC_DEPTH):
         out["node"].to_numpy(object), out["node"].map(m).fillna(out["node"]).to_numpy(object)
     )
     return out.sort_values("node", ignore_index=True)
+
+
+WIDEST_DEPTH = 4
+WIDEST_INF = 2**62
+
+
+def widest_path(sf_dir: str, depth: int = WIDEST_DEPTH):
+    """(canon, width) — widest-path (max-min bottleneck) strengths from
+    the lexicographically-first entity over the co-occurrence graph,
+    edge strength = co-mention turn count: "how strongly is every entity
+    connected to the seed", the weighted upgrade of ``entity_bfs``.
+    Bellman-Ford shape, ``depth`` fixed relaxation rounds:
+    W_k(v) = max(W_{k-1}(v), max over edges (u,v) of
+    min(W_{k-1}(u), n_turns(u,v))), seed pinned at the WIDEST_INF
+    sentinel (reported as-is; mirrored in the oracle). All-integer, so
+    the unrolled SQL oracle is bit-exact; the cap is the REACHES/BFS
+    discipline — relaxation is monotone, so the fixed-point early-exit
+    can never diverge from the exact unroll.
+
+    Scale shape: the width table is vocab-scale — broadcast per round as
+    a sorted-hash probe (the BFS/PageRank discipline); each round is one
+    distributed vectorized edge scan into a bucketed max-agg."""
+    edges = entity_cooccurrence(sf_dir).map_batches(
+        lambda t: t.rename(columns={"canon_a": "a", "canon_b": "b"}),
+        batch_format="pandas",
+    ).materialize()
+
+    def local_min(t: pd.DataFrame) -> pd.DataFrame:
+        if not len(t):
+            return empty_safe(pd.DataFrame({"m": pd.Series(dtype="object")}))
+        return pd.DataFrame({"m": [min(t["a"].min(), t["b"].min())]})
+
+    mins = edges.map_batches(local_min, batch_format="pandas").to_pandas()
+    if mins.empty or "m" not in mins.columns:
+        return pd.DataFrame({"canon": pd.Series(dtype="object"),
+                             "width": pd.Series(dtype="int64")})
+    seed = mins["m"].min()
+
+    width = pd.Series([np.int64(WIDEST_INF)], index=[seed])
+    for _ in range(depth):
+        wref = ray.put(build_lookup(width.index, width.to_numpy(np.int64)))
+
+        def relax(t: pd.DataFrame) -> pd.DataFrame:
+            tbl = get_broadcast(wref)
+            n = t["n_turns"].to_numpy(np.int64)
+            out = []
+            for src, dst in (("a", "b"), ("b", "a")):
+                w = lookup_keys(tbl, t[src], default=-1).astype(np.int64)
+                m = w >= 0
+                out.append(pd.DataFrame(
+                    {"canon": t[dst].to_numpy()[m],
+                     "cand": np.minimum(w[m], n[m])}
+                ))
+            g = pd.concat(out, ignore_index=True)
+            if len(g) == 0:
+                return empty_safe(g)
+            return g.groupby("canon", as_index=False).max()
+
+        cand = hash_agg(
+            edges.map_batches(relax, batch_format="pandas"),
+            "canon", cand=("cand", "max"),
+        ).to_pandas()
+        new = width.copy()
+        if "canon" in cand.columns and len(cand):
+            c = pd.Series(cand["cand"].to_numpy(np.int64),
+                          index=cand["canon"].to_numpy())
+            merged = new.reindex(new.index.union(c.index), fill_value=-1)
+            cm = c.reindex(merged.index, fill_value=-1)
+            new = pd.Series(np.maximum(merged.to_numpy(np.int64),
+                                       cm.to_numpy(np.int64)),
+                            index=merged.index)
+        if new.equals(width.reindex(new.index, fill_value=-2)):
+            break  # monotone fixed point — further rounds are no-ops
+        width = new
+
+    out = pd.DataFrame(
+        {"canon": width.index.to_numpy(object),
+         "width": width.to_numpy(np.int64)}
+    )
+    return out.sort_values("canon", ignore_index=True)

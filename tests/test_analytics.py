@@ -985,3 +985,29 @@ def test_bigram_logprob_matches_bruteforce(ray_session):
     for did, ps in list(pairs_per_doc.items())[:80]:
         assert got.loc[did, "n_bigrams"] == len(ps)
         assert got.loc[did, "logprob_units"] == sum(unit(p) for p in ps)
+
+
+def test_widest_path_matches_bruteforce(ray_session, kg_run):
+    from codepropertygraph_ray.pipelines.analytics import (
+        WIDEST_DEPTH, WIDEST_INF, entity_cooccurrence, widest_path,
+    )
+
+    got = widest_path(SF_DIR)
+    e = entity_cooccurrence(SF_DIR).to_pandas()
+    seed = min(e["canon_a"].min(), e["canon_b"].min())
+    width = {seed: WIDEST_INF}
+    und = list(zip(e["canon_a"], e["canon_b"], e["n_turns"])) + list(
+        zip(e["canon_b"], e["canon_a"], e["n_turns"])
+    )
+    for _ in range(WIDEST_DEPTH):
+        new = dict(width)
+        for u, v, n in und:
+            if u in width:
+                c = min(width[u], int(n))
+                if new.get(v, -1) < c:
+                    new[v] = c
+        width = new
+    assert dict(zip(got["canon"], got["width"])) == width
+    assert int(got.loc[got["canon"] == seed, "width"].iloc[0]) == WIDEST_INF
+    nonseed = got[got["canon"] != seed]
+    assert len(nonseed) > 0 and (nonseed["width"] >= 1).all()
