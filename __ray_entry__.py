@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": analytics.assortativity,
         "kg_scc": analytics.scc_capped,
         "kg_widest_path": analytics.widest_path,
+        "kg_adamic_adar": analytics.adamic_adar,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -287,6 +288,7 @@ def _kg_sql() -> dict[str, str]:
         PR_DAMPING,
         KCORE_ITERS,
         KCORE_K,
+        AA_UNIT,
         SCC_DEPTH,
         WIDEST_DEPTH,
         WIDEST_INF,
@@ -976,6 +978,24 @@ def _kg_sql() -> dict[str, str]:
           JOIN pmi_ent ea ON ea.canon = p.canon_a
           JOIN pmi_ent eb ON eb.canon = p.canon_b
           CROSS JOIN pmi_n
+        """,
+        # Adamic–Adar link prediction: wedge sums of fixed-point
+        # 1/ln(deg(apex)) units (quantized once per node, integer sums)
+        "kg_adamic_adar": f"""
+          WITH aa_e AS MATERIALIZED ({cooc}),
+          aa_und(a, b) AS (SELECT canon_a, canon_b FROM aa_e
+                           UNION ALL SELECT canon_b, canon_a FROM aa_e),
+          aa_deg AS (SELECT a, count(*) AS d FROM aa_und GROUP BY a),
+          aa_u AS (SELECT a, CAST(round({10 ** AA_UNIT}.0 / ln(d)) AS BIGINT) AS u
+                   FROM aa_deg WHERE d >= 2),
+          aa_w AS (
+            SELECT u1.b AS x, u2.b AS y, sum(au.u) AS s
+            FROM aa_und u1
+            JOIN aa_und u2 ON u1.a = u2.a AND u1.b < u2.b
+            JOIN aa_u au ON au.a = u1.a
+            GROUP BY u1.b, u2.b)
+          SELECT e.canon_a, e.canon_b, CAST(w.s AS BIGINT) AS aa_units
+          FROM aa_e e JOIN aa_w w ON w.x = e.canon_a AND w.y = e.canon_b
         """,
         "kg_entity_jaccard": f"""
           WITH ej_ec AS MATERIALIZED ({cooc}),

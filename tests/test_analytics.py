@@ -1011,3 +1011,27 @@ def test_widest_path_matches_bruteforce(ray_session, kg_run):
     assert int(got.loc[got["canon"] == seed, "width"].iloc[0]) == WIDEST_INF
     nonseed = got[got["canon"] != seed]
     assert len(nonseed) > 0 and (nonseed["width"] >= 1).all()
+
+
+def test_adamic_adar_matches_bruteforce(ray_session, cooc_edges):
+    import math
+
+    from codepropertygraph_ray.pipelines.analytics import AA_UNIT, adamic_adar
+
+    got = adamic_adar(SF_DIR).to_pandas()
+    adj: dict = defaultdict(set)
+    for a, b in zip(cooc_edges["a"], cooc_edges["b"]):
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def unit(z):
+        x = 10.0 ** AA_UNIT / math.log(len(adj[z]))
+        return int(math.floor(x + 0.5))
+
+    ref = {}
+    for a, b in zip(cooc_edges["a"], cooc_edges["b"]):
+        common = adj[a] & adj[b]
+        if common:
+            ref[(a, b)] = sum(unit(z) for z in common)
+    assert dict(zip(zip(got["canon_a"], got["canon_b"]), got["aa_units"])) == ref
+    assert len(ref) > 0
