@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frame_features": multimodal.frame_features,
         "mm_media_stats": multimodal.media_stats,
         "mm_payload_dups": multimodal.payload_dup_groups,
+        "mm_chunk_payloads": multimodal.chunk_payloads,
     }
     return _interleave_families(q)
 
@@ -1862,6 +1863,7 @@ def _ops_sql() -> dict[str, str]:
     from codepropertygraph_ray.functions.multimodal import (
         _DIM_A_MULT,
         _DIM_B_MULT,
+        CHUNK_BYTES,
         FEATURE_DIM as MM_DIM,
         FRAME_EVERY_MS as MM_EVERY_MS,
     )
@@ -2287,6 +2289,30 @@ def _ops_sql() -> dict[str, str]:
           SELECT media_id, kind, n_bytes, CAST(dd.d AS BIGINT) AS dim,
                  {_mm_value_sql}
           FROM mf_base, (SELECT unnest(range({MM_DIM})) AS d) dd
+        """,
+        # fixed-size payload chunking: hex-string slices (2 chars/byte),
+        # per-chunk polynomial content hash — the media_features hex
+        # convention
+        "mm_chunk_payloads": f"""
+          WITH mcp AS (
+            SELECT doc_id AS media_id,
+                   lower(hex(encode(coalesce(text, '')))) AS hx,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                     AS plen
+            FROM documents),
+          mcc AS (
+            SELECT media_id, CAST(i AS BIGINT) AS chunk_idx,
+                   substring(hx,
+                             CAST(i * {CHUNK_BYTES} * 2 + 1 AS BIGINT),
+                             {CHUNK_BYTES * 2}) AS chx
+            FROM (SELECT media_id, hx,
+                         unnest(range((plen + {CHUNK_BYTES - 1})
+                                       // {CHUNK_BYTES})) AS i
+                  FROM mcp))
+          SELECT media_id, chunk_idx,
+                 CAST(length(chx) // 2 AS BIGINT) AS n_bytes,
+                 {poly_hash_sql('chx', mod=MM_P)} AS chunk_hash
+          FROM mcc
         """,
         # frame sampling (multimodal.sample_frames): payload byte-slices are
         # 2×-width slices of the hex string; duration/step arithmetic is the

@@ -364,3 +364,49 @@ def media_stats(sf_dir: str):
         n_items=("n_items", "sum"),
         total_bytes=("total_bytes", "sum"),
     )
+
+
+CHUNK_BYTES = 64
+
+
+def chunk_payloads(sf_dir: str, chunk_bytes: int = CHUNK_BYTES):
+    """(media_id, chunk_idx, n_bytes, chunk_hash) — fixed-size payload
+    chunking: each opaque binary payload splits into ``chunk_bytes``
+    pieces, one row per chunk with its exact content hash. THE
+    scale-survival primitive for wide binary columns: a 100-GB media
+    payload cannot ride one Arrow block, so shipping/dedup/storage all
+    operate on bounded chunk rows (the pack_chunks counterpart on the
+    binary side). Pure map stage — no shuffle; chunk rows bound block
+    width regardless of payload size.
+
+    Content hashes use the SQL-expressible polynomial hash over the hex
+    encoding (the media_features convention), so the oracle reproduces
+    every chunk's hash bit-exactly."""
+    import pandas as pd
+
+    from .text import POLY_P31, poly_hash
+
+    ds = synthetic_media(sf_dir)
+
+    def chunks(batch: pa.Table) -> "pd.DataFrame":
+        ids = batch.column("media_id").to_pylist()
+        pays = batch.column("payload").to_pylist()
+        mids: list = []
+        idxs: list = []
+        hxs: list = []
+        for mid, p in zip(ids, pays):
+            hx = (p or b"").hex()
+            n = (len(p or b"") + chunk_bytes - 1) // chunk_bytes
+            for i in range(n):
+                mids.append(mid)
+                idxs.append(i)
+                hxs.append(hx[i * 2 * chunk_bytes:(i + 1) * 2 * chunk_bytes])
+        h = poly_hash(pd.Series(hxs, dtype=object), mod=POLY_P31)
+        return pd.DataFrame(
+            {"media_id": np.array(mids, np.int64),
+             "chunk_idx": np.array(idxs, np.int64),
+             "n_bytes": np.array([len(x) // 2 for x in hxs], np.int64),
+             "chunk_hash": h}
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow", batch_size=256)

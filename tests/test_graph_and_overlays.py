@@ -812,3 +812,22 @@ def test_validator_empty_or_partial_dim_falls_back(kg_run):
         dim_dir=[], turn_props_dir=[],   # isdir-filtered callers produce []
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_chunk_payloads_reassemble(ray_session):
+    from codepropertygraph_ray.functions.multimodal import (
+        CHUNK_BYTES, chunk_payloads,
+    )
+
+    got = chunk_payloads("/root/testdata/sf0.001").to_pandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    sizes = {r.doc_id: len((r.text or "").encode()) for r in docs.itertuples()}
+    per = got.groupby("media_id")["n_bytes"].sum().to_dict()
+    assert per == {k: v for k, v in sizes.items() if v > 0}
+    # every chunk but the last is full-width; indices are dense from 0
+    for mid, g in got.groupby("media_id"):
+        g = g.sort_values("chunk_idx")
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        assert (g["n_bytes"].iloc[:-1] == CHUNK_BYTES).all()
+        assert 1 <= g["n_bytes"].iloc[-1] <= CHUNK_BYTES
