@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cumulative_users": relational.cumulative_new_users,
         "rel_division": relational.users_all_event_types,
         "rel_compact": relational.distinct_until_changed,
+        "rel_interval_coverage": relational.interval_coverage,
         "rel_histogram": relational.histogram_prices,
         "rel_ntile": relational.ntile_orders,
         "rel_corr": relational.corr_qty_price,
@@ -1311,7 +1312,10 @@ def _rel_sql() -> dict[str, str]:
         WSAMPLE_K,
     )
 
+    from codepropertygraph_ray.functions.relational import IC_WINDOW_US
+
     SAMPLE_MULT_SQL, SAMPLE_MOD_SQL, WSAMPLE_K_SQL = SAMPLE_MULT, SAMPLE_MOD, WSAMPLE_K
+    IC_WINDOW_US_SQL = IC_WINDOW_US
 
     return {
         # Efraimidis–Spirakis weighted sample in log form (ln(u)/w — the
@@ -1327,6 +1331,29 @@ def _rel_sql() -> dict[str, str]:
                         AS BIGINT) / o_totalprice AS skey
             FROM orders)
           ORDER BY skey DESC, o_orderkey LIMIT {WSAMPLE_K_SQL}
+        """,
+        # gaps-and-islands interval union: an island breaks where a start
+        # exceeds the running max end; ties at equal start always merge
+        # (end > start), so the island set is order-invariant
+        "rel_interval_coverage": f"""
+          WITH ic_iv AS (SELECT user_id, epoch_us(ts) AS s,
+                                epoch_us(ts) + {IC_WINDOW_US_SQL} AS e
+                         FROM events),
+          ic_m AS (SELECT user_id, s, e,
+                          max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND 1 PRECEDING) AS prev_max
+                   FROM ic_iv),
+          ic_g AS (SELECT user_id, s, e,
+                          sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                                   THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY s, e) AS isl
+                   FROM ic_m),
+          ic_i AS (SELECT user_id, isl, max(e) - min(s) AS len
+                   FROM ic_g GROUP BY 1, 2)
+          SELECT user_id, CAST(sum(len) AS BIGINT) AS covered_us,
+                 CAST(count(*) AS BIGINT) AS n_islands
+          FROM ic_i GROUP BY user_id
         """,
         # stream compaction (distinct-until-changed): keep a row iff its
         # type differs from the previous row's in the per-user total order

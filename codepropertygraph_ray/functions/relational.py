@@ -1609,3 +1609,44 @@ def distinct_until_changed(sf_dir: str):
         )
 
     return hash_groupby(ds, "user_id", compact)
+
+
+IC_WINDOW_US = 30 * 60 * 1_000_000  # each event covers [ts, ts+30min)
+
+
+def interval_coverage(sf_dir: str):
+    """(user_id, covered_us, n_islands) — union length of each user's
+    activity intervals (event ± the 30-minute session window): the
+    gaps-and-islands archetype (merge overlapping intervals, report
+    covered time and island count). The batch re-expression of interval
+    union — the other classic windowed shape next to sessionize /
+    session_overlap. All-integer epoch-µs arithmetic.
+
+    ONE user-keyed exchange; in-bucket vectorized sort + grouped cummax
+    island detection (an island breaks where a start exceeds the running
+    max end of everything before it) — no per-user Python loop."""
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["ts"].astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                          "s": s.to_numpy(), "e": s.to_numpy() + IC_WINDOW_US})
+        g = g.sort_values(["user_id", "s", "e"], ignore_index=True)
+        cm = g.groupby("user_id")["e"].cummax()
+        prev = cm.groupby(g["user_id"]).shift()
+        new = prev.isna() | (g["s"] > prev)
+        island = new.groupby(g["user_id"]).cumsum()
+        g["island"] = island.to_numpy(np.int64)
+        iv = g.groupby(["user_id", "island"], as_index=False).agg(
+            lo=("s", "min"), hi=("e", "max")
+        )
+        out = iv.assign(len=iv["hi"] - iv["lo"]).groupby(
+            "user_id", as_index=False
+        ).agg(covered_us=("len", "sum"), n_islands=("len", "size"))
+        out["covered_us"] = out["covered_us"].astype("int64")
+        out["n_islands"] = out["n_islands"].astype("int64")
+        return out
+
+    return hash_groupby(ds, "user_id", islands)

@@ -1035,3 +1035,27 @@ def test_adamic_adar_matches_bruteforce(ray_session, cooc_edges):
             ref[(a, b)] = sum(unit(z) for z in common)
     assert dict(zip(zip(got["canon_a"], got["canon_b"]), got["aa_units"])) == ref
     assert len(ref) > 0
+
+
+def test_interval_coverage_matches_merge_scan(ray_session):
+    from codepropertygraph_ray.functions.relational import (
+        IC_WINDOW_US, interval_coverage,
+    )
+
+    got = interval_coverage(SF_DIR).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"])
+    ev["s"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        ivs = sorted((s, s + IC_WINDOW_US) for s in g["s"])
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        covered = sum(e - s for s, e in merged)
+        assert got.loc[uid, "covered_us"] == covered
+        assert got.loc[uid, "n_islands"] == len(merged)
+    # the window actually merges: fewer islands than events for someone
+    n_ev = ev.groupby("user_id").size()
+    assert (got["n_islands"] < n_ev.reindex(got.index)).any()
