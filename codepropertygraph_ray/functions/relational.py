@@ -1426,17 +1426,25 @@ def ntile_orders(sf_dir: str, n: int = NTILE_N):
         )
         rn = g.groupby("o_orderpriority").cumcount().to_numpy() + 1
         cnt = g.groupby("o_orderpriority")["o_orderkey"].transform("size").to_numpy()
-        base = cnt // n
-        rem = cnt % n
-        cut = rem * (base + 1)  # rows in the (base+1)-sized head tiles
-        head = (rn - 1) // np.maximum(base + 1, 1) + 1
-        tail = rem + (rn - 1 - cut) // np.maximum(base, 1) + 1
-        tile = np.where(rn <= cut, head, tail).astype(np.int64)
         return pd.DataFrame(
-            {"o_orderkey": g["o_orderkey"].to_numpy(np.int64), "tile": tile}
+            {"o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+             "tile": ntile_assign(rn, cnt, n)}
         )
 
     return hash_groupby(ds, "o_orderpriority", per_bucket)
+
+
+def ntile_assign(rn: np.ndarray, cnt: np.ndarray, n: int) -> np.ndarray:
+    """SQL NTILE(n) closed form from the 1-based in-partition row number
+    ``rn`` and partition size ``cnt``: the first ``cnt % n`` tiles hold
+    ``cnt // n + 1`` rows, the rest ``cnt // n`` (fuzz-tested against the
+    repeat-sizes spec, incl. cnt < n where the tail branch is unused)."""
+    base = cnt // n
+    rem = cnt % n
+    cut = rem * (base + 1)  # rows in the (base+1)-sized head tiles
+    head = (rn - 1) // np.maximum(base + 1, 1) + 1
+    tail = rem + (rn - 1 - cut) // np.maximum(base, 1) + 1
+    return np.where(rn <= cut, head, tail).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

@@ -298,3 +298,21 @@ def test_span_gram_rows_matches_reference(texts):
             h = int(poly_hash(pd.Series([g]))[0])
             want[(d, h)] += 1
     assert got_counts == dict(want)
+
+
+@settings(deadline=None)
+@given(
+    st.integers(min_value=1, max_value=97),
+    st.integers(min_value=1, max_value=12),
+)
+def test_ntile_closed_form_matches_repeat_spec(cnt, n):
+    import numpy as np
+
+    from codepropertygraph_ray.functions.relational import ntile_assign
+
+    rn = np.arange(1, cnt + 1)
+    got = ntile_assign(rn, np.full(cnt, cnt), n)
+    base, rem = divmod(cnt, n)
+    sizes = [base + (1 if i < rem else 0) for i in range(n)]
+    ref = np.repeat(np.arange(1, n + 1), sizes)
+    assert list(got) == list(ref)
