@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc": analytics.scc_capped,
         "kg_widest_path": analytics.widest_path,
         "kg_adamic_adar": analytics.adamic_adar,
+        "kg_hits": analytics.hits,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -242,6 +243,21 @@ def _pagerank_chain(iters: int, damping: float) -> str:
     return "".join(parts)
 
 
+def _hits_chain(iters: int) -> str:
+    """Unrolled ha{{i}}/hh{{i}} CTE pairs for ``iters`` HITS steps over the
+    he edge list — generated from the SAME constant the Ray operator uses
+    (HITS_ITERS). All-integer (hub≡1 init, no normalization), so the two
+    sides must agree bit-exactly."""
+    parts = []
+    for i in range(1, iters + 1):
+        parts.append(f"""
+          , ha{i} AS (SELECT he.b AS n, sum(hh{i - 1}.h) AS a
+                 FROM he JOIN hh{i - 1} ON hh{i - 1}.n = he.a GROUP BY he.b),
+          hh{i} AS (SELECT he.a AS n, sum(ha{i}.a) AS h
+                 FROM he JOIN ha{i} ON ha{i}.n = he.b GROUP BY he.a)""")
+    return "".join(parts)
+
+
 def _kcore_chain(iters: int, k: int) -> str:
     """Unrolled kc_s{{i}} survivor-set CTEs for ``iters`` k-core peel
     rounds over the undirected kc_und edge list — generated from the SAME
@@ -291,6 +307,7 @@ def _kg_sql() -> dict[str, str]:
         KCORE_ITERS,
         KCORE_K,
         AA_UNIT,
+        HITS_ITERS,
         SCC_DEPTH,
         WIDEST_DEPTH,
         WIDEST_INF,
@@ -954,6 +971,20 @@ def _kg_sql() -> dict[str, str]:
           r0 AS (SELECT n, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes)
           {_pagerank_chain(PR_ITERS, PR_DAMPING)}
           SELECT n AS canon, round(pr, {PR_ROUND}) AS pr FROM r{PR_ITERS}
+        """,
+        # HITS hubs/authorities, HITS_ITERS unrolled all-integer steps
+        # (hub≡1 init, no normalization) — bit-exact vs the Ray side
+        "kg_hits": f"""
+          WITH he AS (SELECT DISTINCT subj AS a, obj AS b FROM ({triples_all})),
+          hnodes AS (SELECT a AS n FROM he UNION SELECT b FROM he),
+          hh0 AS (SELECT n, CAST(1 AS BIGINT) AS h FROM hnodes)
+          {_hits_chain(HITS_ITERS)}
+          SELECT hnodes.n AS canon,
+                 CAST(coalesce(ha{HITS_ITERS}.a, 0) AS BIGINT) AS auth_units,
+                 CAST(coalesce(hh{HITS_ITERS}.h, 0) AS BIGINT) AS hub_units
+          FROM hnodes
+          LEFT JOIN ha{HITS_ITERS} ON ha{HITS_ITERS}.n = hnodes.n
+          LEFT JOIN hh{HITS_ITERS} ON hh{HITS_ITERS}.n = hnodes.n
         """,
         # neighborhood Jaccard for co-occurring pairs with ≥1 shared
         # neighbor (wedge counting; ej_ prefixes avoid CTE capture by the

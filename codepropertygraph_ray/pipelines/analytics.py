@@ -375,6 +375,84 @@ def pagerank(sf_dir: str):
     return out.sort_values("canon", ignore_index=True)
 
 
+HITS_ITERS = 2
+
+
+def hits(sf_dir: str, iters: int = HITS_ITERS):
+    """(canon, auth_units, hub_units) — HITS hubs/authorities over the
+    directed FACT graph (subj→obj): ``HITS_ITERS`` fixed iterations from
+    hub≡1 WITHOUT per-step normalization, so every iterate is an integer
+    path count (auth_i(v) = Σ_{u→v} hub_{i-1}(u), hub_i(u) = Σ_{u→v}
+    auth_i(v)) and the DuckDB oracle is bit-exact all-integer — the
+    adamic_adar fixed-point-units precedent. Normalization is one scalar
+    division the consumer applies; skipping it keeps the gate float-free
+    (magnitudes are bounded by (max_deg²)^iters · n — safe in int64 at
+    2 iterations on a vocab-scale graph).
+
+    Scale shape = pagerank's: score vectors are entity-vocab-scale →
+    broadcast sorted-hash probes rebuilt per half-step; each half-step's
+    sum is a bucketed shuffle of the (vocab-scale) distinct edge list.
+    Reference analog: ranking consumers of the stored graph's traversal
+    layer (`semanticcpg/.../language/package.scala`)."""
+    r = kg_runner(sf_dir)
+    tri = r.ctx.read_logical("triples", columns=["subj", "obj"])
+    edges = hash_groupby(
+        tri.map_batches(lambda t: t.drop_duplicates(), batch_format="pandas"),
+        ["subj", "obj"],
+        lambda g: g.drop_duplicates(),
+    ).materialize()
+
+    nodes_ds = hash_groupby(
+        edges.map_batches(
+            lambda t: pd.DataFrame(
+                {"n": pd.concat([t["subj"], t["obj"]], ignore_index=True)}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        "n",
+        lambda g: g.drop_duplicates(),
+    )
+    nodes = nodes_ds.to_pandas()["n"].to_numpy()
+    if len(nodes) == 0:
+        return pd.DataFrame({"canon": pd.Series(dtype="object"),
+                             "auth_units": pd.Series(dtype="int64"),
+                             "hub_units": pd.Series(dtype="int64")})
+
+    def half(vec: pd.Series, src: str, dst: str) -> pd.Series:
+        """One half-step: out[v] = Σ over edges (src=u, dst=v) of vec[u].
+        vec is vocab-scale → broadcast; the sum is a bucketed shuffle."""
+        ref = ray.put(build_lookup(vec.index, vec.to_numpy()))
+
+        def contrib(t: pd.DataFrame) -> pd.DataFrame:
+            lk = get_broadcast(ref)
+            v = lookup_keys(lk, t[src]).astype(np.int64)
+            g = pd.DataFrame({"node": t[dst], "c": v})
+            return g.groupby("node", as_index=False).agg(c=("c", "sum"))
+
+        cs = hash_agg(
+            edges.map_batches(contrib, batch_format="pandas"),
+            "node",
+            c=("c", "sum"),
+        ).to_pandas()
+        out = pd.Series(np.zeros(len(vec), dtype=np.int64), index=vec.index)
+        if "node" in cs.columns and len(cs):
+            out.loc[cs["node"]] += cs["c"].to_numpy(np.int64)
+        return out
+
+    hub = pd.Series(np.ones(len(nodes), dtype=np.int64), index=nodes)
+    auth = pd.Series(np.zeros(len(nodes), dtype=np.int64), index=nodes)
+    for _ in range(iters):
+        auth = half(hub, "subj", "obj")
+        hub = half(auth, "obj", "subj")
+
+    out = pd.DataFrame(
+        {"canon": nodes,
+         "auth_units": auth.to_numpy(np.int64),
+         "hub_units": hub.to_numpy(np.int64)}
+    )
+    return out.sort_values("canon", ignore_index=True)
+
+
 JAC_ROUND = 6
 
 

@@ -112,6 +112,34 @@ def test_pagerank_matches_reference(ray_session, kg_run):
     assert got["pr"].sum() <= 1.0 + 5e-8 * len(got)
 
 
+def test_hits_matches_reference(ray_session, kg_run):
+    from codepropertygraph_ray.pipelines.analytics import HITS_ITERS, hits
+    from codepropertygraph_ray.pipelines.queries import kg_runner
+
+    tri = (
+        kg_runner(SF_DIR)
+        .ctx.read("link", "triples", columns=["subj", "obj"])
+        .to_pandas()
+        .drop_duplicates()
+    )
+    nodes = sorted(set(tri["subj"]) | set(tri["obj"]))
+    hub = {x: 1 for x in nodes}
+    edges = list(zip(tri["subj"], tri["obj"]))
+    for _ in range(HITS_ITERS):
+        auth: dict = defaultdict(int)
+        for s, o in edges:
+            auth[o] += hub[s]
+        hub = defaultdict(int)
+        for s, o in edges:
+            hub[s] += auth[o]
+    got = hits(SF_DIR)
+    assert list(got["canon"]) == nodes
+    assert list(got["auth_units"]) == [auth.get(x, 0) for x in nodes]
+    assert list(got["hub_units"]) == [hub.get(x, 0) for x in nodes]
+    # all-integer contract: no floats anywhere in the gate
+    assert got["auth_units"].dtype == "int64" and got["hub_units"].dtype == "int64"
+
+
 # ---------------------------------------------------------------------------
 # window / percentile / sampling operators
 # ---------------------------------------------------------------------------
