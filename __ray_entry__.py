@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sample_stratified": relational.sample_stratified_events,
         "rel_hourly_active_users": relational.hourly_active_users,
         "rel_cumulative_users": relational.cumulative_new_users,
+        "rel_retention_cohorts": relational.retention_cohorts,
         "rel_division": relational.users_all_event_types,
         "rel_compact": relational.distinct_until_changed,
         "rel_interval_coverage": relational.interval_coverage,
@@ -1829,6 +1830,19 @@ def _rel_sql() -> dict[str, str]:
               FROM events GROUP BY user_id
             ) GROUP BY h
           )
+        """,
+        # cohort-retention matrix: first-activity-day cohorts × activity age
+        "rel_retention_cohorts": """
+          WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d
+            FROM events),
+          fd AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY user_id)
+          SELECT fd.cohort AS cohort_day,
+                 ud.d - fd.cohort AS age_days,
+                 CAST(count(*) AS BIGINT) AS active_users
+          FROM ud JOIN fd USING (user_id)
+          GROUP BY 1, 2
         """,
         # genuine range join against the literal interval table (the Ray
         # path broadcasts the same bands and probes with searchsorted)

@@ -1037,6 +1037,56 @@ def cumulative_new_users(sf_dir: str):
     })
 
 
+def retention_cohorts(sf_dir: str):
+    """(cohort_day, age_days, active_users) — classic cohort-retention
+    matrix over events: users are grouped by first-activity day (the
+    cohort), and each cell counts how many of a cohort's users were active
+    ``age_days`` after joining. The product-analytics archetype the
+    reference's per-overlay pass structure has no analog for — pure
+    query-surface extension.
+
+    Scale shape: per-batch distinct (user, day) partials → ONE user-keyed
+    exchange where each user's full day set co-locates, so the cohort
+    (min day) and the per-user (cohort, age) rows derive inside the bucket
+    with no broadcast → a (cohort, age)-keyed count sum (matrix-scale,
+    days² rows)."""
+    from .agg import empty_safe, hash_agg, hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_partial(t: pd.DataFrame) -> pd.DataFrame:
+        day = t["ts"].dt.floor("D").astype("datetime64[s]").astype("int64") // 86400
+        return pd.DataFrame(
+            {"user_id": t["user_id"], "d": day}
+        ).drop_duplicates()
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        cohort = g.groupby("user_id")["d"].transform("min")
+        return empty_safe(pd.DataFrame({
+            "cohort_day": cohort.to_numpy(np.int64),
+            "age_days": (g["d"] - cohort).to_numpy(np.int64),
+        }))
+
+    cells = hash_groupby(
+        ds.map_batches(day_partial, batch_format="pandas"),
+        "user_id",
+        per_user,
+    )
+
+    out = hash_agg(
+        cells.map_batches(
+            lambda t: t.groupby(["cohort_day", "age_days"], as_index=False)
+                       .size().rename(columns={"size": "n"}),
+            batch_format="pandas",
+        ),
+        ["cohort_day", "age_days"],
+        active_users=("n", "sum"),
+    ).to_pandas().sort_values(["cohort_day", "age_days"], ignore_index=True)
+    out["active_users"] = out["active_users"].astype("int64")
+    return out
+
+
 def orders_above_customer_avg(sf_dir: str):
     """(o_orderkey, o_custkey, o_totalprice) — orders strictly above their
     OWN customer's average order value: the correlated-subquery archetype

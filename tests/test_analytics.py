@@ -151,6 +151,27 @@ def _events() -> pd.DataFrame:
     )
 
 
+def test_retention_cohorts_matches_pandas(ray_session):
+    from codepropertygraph_ray.functions.relational import retention_cohorts
+
+    ev = _events()
+    day = ev["ts"].dt.floor("D").astype("datetime64[s]").astype("int64") // 86400
+    ud = pd.DataFrame({"user_id": ev["user_id"], "d": day}).drop_duplicates()
+    cohort = ud.groupby("user_id")["d"].transform("min")
+    ref = (
+        pd.DataFrame({"cohort_day": cohort, "age_days": ud["d"] - cohort})
+        .groupby(["cohort_day", "age_days"], as_index=False)
+        .size().rename(columns={"size": "active_users"})
+        .sort_values(["cohort_day", "age_days"], ignore_index=True)
+    )
+    got = retention_cohorts(SF_DIR)
+    pd.testing.assert_frame_equal(
+        got, ref.astype({"active_users": "int64"}), check_dtype=False
+    )
+    # invariant: age 0 of every cohort counts the whole cohort exactly once
+    assert (got.groupby("cohort_day")["age_days"].min() == 0).all()
+
+
 def test_rolling_avg_matches_direct_window(ray_session):
     from codepropertygraph_ray.functions.relational import rolling_avg_events
 
