@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_keep_list": similarity.dedup_keep_embeddings,
         "sim_dbscan": similarity.dbscan_embeddings,
         "sim_quantize_int8": similarity.quantize_int8,
+        "sim_kmeans": similarity.kmeans_clusters,
         # --- multimodal plumbing (decode stub) -----------------------------
         "mm_media_features": multimodal.media_features,
         "mm_frame_features": multimodal.frame_features,
@@ -256,6 +257,37 @@ def _hits_chain(iters: int) -> str:
                  FROM he JOIN hh{i - 1} ON hh{i - 1}.n = he.a GROUP BY he.b),
           hh{i} AS (SELECT he.a AS n, sum(ha{i}.a) AS h
                  FROM he JOIN ha{i} ON ha{i}.n = he.b GROUP BY he.a)""")
+    return "".join(parts)
+
+
+def _kmeans_chain(iters: int) -> str:
+    """Unrolled km_a{{i}}/km_c{{i}} CTE pairs for ``iters`` Lloyd rounds plus
+    the final labeling assignment km_a{{iters+1}} — generated from the SAME
+    constants the Ray operator uses (KM_ITERS). All arithmetic is integer-
+    valued (quantized coordinates, integer squared-L2, floor-div centroid
+    means), so argmins agree bit-for-bit; assignment ties break on lowest
+    cluster id on both sides."""
+    parts = []
+    for i in range(1, iters + 2):
+        parts.append(f"""
+          , km_a{i} AS (
+            SELECT vec_id, cl FROM (
+              SELECT x.vec_id, c.cl,
+                     row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                       list_inner_product(CAST(x.v AS DOUBLE[]), CAST(x.v AS DOUBLE[]))
+                       - 2 * list_inner_product(CAST(x.v AS DOUBLE[]), CAST(c.c AS DOUBLE[]))
+                       + list_inner_product(CAST(c.c AS DOUBLE[]), CAST(c.c AS DOUBLE[])),
+                       c.cl) AS rnk
+              FROM km_x x CROSS JOIN km_c{i - 1} c)
+            WHERE rnk = 1)""")
+        if i <= iters:
+            parts.append(f"""
+          , km_c{i} AS (
+            SELECT cl, list(u ORDER BY pos) AS c FROM (
+              SELECT a.cl, e.pos,
+                     CAST(floor(CAST(sum(e.val) AS DOUBLE) / count(*)) AS BIGINT) AS u
+              FROM km_a{i} a JOIN km_el e USING (vec_id)
+              GROUP BY a.cl, e.pos) GROUP BY cl)""")
     return "".join(parts)
 
 
@@ -1869,6 +1901,9 @@ def _ops_sql() -> dict[str, str]:
         DBSCAN_COS,
         DBSCAN_MIN_PTS,
         DUP_COS_THRESHOLD,
+        KM_ITERS,
+        KM_K,
+        KM_Q,
         KNN_K,
         N_QUERIES,
     )
@@ -2636,6 +2671,27 @@ def _ops_sql() -> dict[str, str]:
                                                                  y -> abs(y))), 1e-30)
                                + 0.5) AS BIGINT)) >= 127)) AS BIGINT) AS n_sat
           FROM embeddings
+        """,
+        # deterministic all-integer Lloyd's k-means: quantized coordinates,
+        # integer squared-L2 argmin (ties → lowest cluster id), floor-div
+        # centroid means, init = the KM_K smallest vec_ids
+        "sim_kmeans": f"""
+          WITH km_x AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                     e -> CAST(floor(e * {KM_Q} + 0.5) AS BIGINT)) AS v
+            FROM embeddings),
+          km_el AS (
+            SELECT vec_id, unnest(v) AS val,
+                   unnest(generate_series(1, len(v))) AS pos
+            FROM km_x),
+          km_seed AS (SELECT vec_id, v,
+                             row_number() OVER (ORDER BY vec_id) AS rn
+                      FROM km_x),
+          km_c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cl, v AS c
+                    FROM km_seed WHERE rn <= {KM_K})
+          {_kmeans_chain(KM_ITERS)}
+          SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM km_a{KM_ITERS + 1}
         """,
         "sim_dbscan": f"""
           WITH RECURSIVE db_pairs AS MATERIALIZED (

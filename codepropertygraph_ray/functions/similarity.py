@@ -105,6 +105,101 @@ def knn_bruteforce(sf_dir: str):
     )
 
 
+KM_K = 4  # clusters
+KM_ITERS = 2  # Lloyd rounds (assignment → centroid update), then final assign
+KM_Q = 1000  # fixed-point units per embedding coordinate
+
+
+def kmeans_clusters(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS):
+    """(vec_id, cluster) — deterministic distributed Lloyd's k-means over
+    the embedding corpus, ``KM_ITERS`` fixed rounds. Everything the gate
+    hashes is integer-exact: coordinates quantize once to ``KM_Q``
+    fixed-point units (explicit half-up ``floor(x·Q + 0.5)``, the
+    quantize_int8 precedent), distances are all-integer squared-L2 with
+    ties broken by lowest cluster id, and centroid updates are element-wise
+    FLOOR-division means — so the DuckDB oracle reproduces every argmin
+    bit-for-bit. Init = the ``k`` smallest vec_ids (cluster id = 0-based
+    seed rank); a cluster that empties drops out on both sides.
+
+    Scale shape: the corpus is never materialized — per-batch matmul
+    assignment against the broadcast (k×d) centroid matrix, per-batch
+    (cluster, pos) moment partials (k·d rows) → one tiny hash_agg →
+    driver rebuilds the k×d centroids; the final labeling streams out as
+    a map stage. Iterations cost one corpus scan each."""
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+
+    def qmat(t: pd.DataFrame) -> np.ndarray:
+        m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        return np.floor(m * KM_Q + 0.5).astype(np.int64)
+
+    def seed_partial(t: pd.DataFrame) -> pd.DataFrame:
+        idx = np.argsort(t["vec_id"].to_numpy(np.int64), kind="stable")[:k]
+        tt = t.iloc[idx]
+        q = qmat(tt)
+        return pd.DataFrame({"vec_id": tt["vec_id"].to_numpy(np.int64),
+                             "v": list(q)})
+
+    seeds = (
+        ds.map_batches(seed_partial, batch_format="pandas")
+        .to_pandas().sort_values("vec_id", ignore_index=True).head(k)
+    )
+    if not len(seeds):
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "cluster": pd.Series(dtype="int64")})
+    cent = np.stack(seeds["v"].to_numpy()).astype(np.int64)  # (k', d)
+    cl_ids = np.arange(len(cent), dtype=np.int64)
+    d = cent.shape[1]
+
+    def assign(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+        d2 = (x * x).sum(1)[:, None] - 2 * (x @ c.T) + (c * c).sum(1)[None, :]
+        return d2.argmin(axis=1)  # exact ints; argmin tie → lowest index
+
+    from .agg import hash_agg
+
+    for _ in range(iters):
+        ref = ray.put((cl_ids, cent))
+
+        def moments(t: pd.DataFrame) -> pd.DataFrame:
+            ci, cm = get_broadcast(ref)
+            x = qmat(t)
+            a = assign(x, cm)
+            present = np.unique(a)
+            sums = np.empty((len(present), d), dtype=np.int64)
+            cnts = np.empty(len(present), dtype=np.int64)
+            for j, p in enumerate(present):  # bounded by k, not batch size
+                mask = a == p
+                sums[j] = x[mask].sum(axis=0)
+                cnts[j] = mask.sum()
+            return pd.DataFrame({
+                "cl": np.repeat(ci[present], d),
+                "pos": np.tile(np.arange(1, d + 1, dtype=np.int64),
+                               len(present)),
+                "s": sums.ravel(),
+                "cnt": np.repeat(cnts, d),
+            })
+
+        mom = hash_agg(
+            ds.map_batches(moments, batch_format="pandas"),
+            ["cl", "pos"], s=("s", "sum"), cnt=("cnt", "sum"),
+        ).to_pandas()
+        mom = mom[mom["cnt"] > 0].sort_values(["cl", "pos"], ignore_index=True)
+        cl_ids = np.unique(mom["cl"].to_numpy(np.int64))
+        cent = np.floor_divide(
+            mom["s"].to_numpy(np.int64).reshape(len(cl_ids), d),
+            mom["cnt"].to_numpy(np.int64).reshape(len(cl_ids), d),
+        )
+
+    fref = ray.put((cl_ids, cent))
+
+    def label(t: pd.DataFrame) -> pd.DataFrame:
+        ci, cm = get_broadcast(fref)
+        a = assign(qmat(t), cm)
+        return pd.DataFrame({"vec_id": t["vec_id"].to_numpy(np.int64),
+                             "cluster": ci[a]})
+
+    return ds.map_batches(label, batch_format="pandas")
+
+
 def _hyperplanes(dim: int) -> np.ndarray:
     rng = np.random.RandomState(1234)
     return rng.normal(size=(LSH_BITS, dim))

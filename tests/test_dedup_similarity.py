@@ -455,3 +455,49 @@ def test_turn_dup_spans_cross_conversation_only(ray_session, tmp_path):
     assert got.loc[("c2", 1), "dup_grams"] == 3
     assert got.loc[("c2", 0), "dup_grams"] == 0
     assert got.loc[("c3", 0), "n_grams"] == 0
+
+
+def test_kmeans_matches_bruteforce_lloyd(ray_session):
+    """Distributed all-integer Lloyd's == the obvious single-threaded loop
+    on the same quantized input (same init, same floor-div centroid means,
+    same lowest-id tie-break)."""
+    from codepropertygraph_ray.functions.similarity import (
+        KM_ITERS,
+        KM_K,
+        KM_Q,
+        kmeans_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values(
+        "vec_id", ignore_index=True
+    )
+    x = np.floor(
+        np.stack(full["embedding"].to_numpy()).astype(np.float64) * KM_Q + 0.5
+    ).astype(np.int64)
+    ids = full["vec_id"].to_numpy(np.int64)
+    cent = x[:KM_K].copy()
+    cl_ids = np.arange(KM_K, dtype=np.int64)
+
+    def assign(c):
+        d2 = (x * x).sum(1)[:, None] - 2 * (x @ c.T) + (c * c).sum(1)[None, :]
+        return d2.argmin(axis=1)
+
+    for _ in range(KM_ITERS):
+        a = assign(cent)
+        present = np.unique(a)
+        cent = np.stack([
+            np.floor_divide(x[a == p].sum(axis=0), (a == p).sum())
+            for p in present
+        ])
+        cl_ids = cl_ids[present]
+    final = cl_ids[assign(cent)]
+
+    got = (
+        kmeans_clusters(sf).to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert list(got["vec_id"]) == list(ids)
+    assert list(got["cluster"]) == list(final)
+    # every surviving cluster is non-trivial on this corpus
+    assert got["cluster"].nunique() == KM_K
