@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_hourly_active_users": relational.hourly_active_users,
         "rel_cumulative_users": relational.cumulative_new_users,
         "rel_retention_cohorts": relational.retention_cohorts,
+        "rel_trend_slope": relational.trend_slope,
         "rel_division": relational.users_all_event_types,
         "rel_compact": relational.distinct_until_changed,
         "rel_interval_coverage": relational.interval_coverage,
@@ -1875,6 +1876,25 @@ def _rel_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS active_users
           FROM ud JOIN fd USING (user_id)
           GROUP BY 1, 2
+        """,
+        # per-type trend over the zero-filled global hour axis: integer
+        # slope numerator n·Σxy − Σx·Σy (denominator is a corpus constant)
+        "rel_trend_slope": """
+          WITH ts_hc AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+          ts_rng AS (SELECT min(h) AS h0, max(h) AS h1 FROM ts_hc),
+          ts_ax AS (SELECT h1 - h0 + 1 AS n,
+                           (h1 - h0) * (h1 - h0 + 1) // 2 AS sx
+                    FROM ts_rng)
+          SELECT event_type,
+                 CAST((SELECT n FROM ts_ax)
+                        * sum((h - (SELECT h0 FROM ts_rng)) * y)
+                      - (SELECT sx FROM ts_ax) * sum(y) AS BIGINT)
+                   AS trend_units
+          FROM ts_hc GROUP BY event_type
         """,
         # genuine range join against the literal interval table (the Ray
         # path broadcasts the same bands and probes with searchsorted)

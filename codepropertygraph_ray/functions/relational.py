@@ -1087,6 +1087,53 @@ def retention_cohorts(sf_dir: str):
     return out
 
 
+def trend_slope(sf_dir: str):
+    """(event_type, trend_units) — per-type activity trend: the least-
+    squares slope of hourly event counts over the corpus's global hour
+    axis (zero-filled, so every type regresses over the SAME x range).
+    Emitted as the integer slope NUMERATOR n·Σxy − Σx·Σy (the denominator
+    n·Σx² − (Σx)² is a positive corpus constant), so ordering/sign carry
+    and the gate stays all-integer — the adamic_adar units precedent.
+    Zero-filled hours contribute nothing to Σxy/Σy, so only nonzero
+    (type, hour) cells ever move.
+
+    Scale shape: per-batch (type, hour) count partials → ONE (type, hour)-
+    keyed sum exchange (date×type-scale) → the moment reduction runs on
+    that date-scale table (driver-held, the cumulative_users HOURS-table
+    precedent)."""
+    from .agg import hash_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def hour_partial(t: pd.DataFrame) -> pd.DataFrame:
+        h = t["ts"].dt.floor("h").astype("datetime64[s]").astype("int64") // 3600
+        g = pd.DataFrame({"event_type": t["event_type"], "h": h}).groupby(
+            ["event_type", "h"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        return g
+
+    hc = hash_agg(
+        ds.map_batches(hour_partial, batch_format="pandas"),
+        ["event_type", "h"], y=("n", "sum"),
+    ).to_pandas()
+    if not len(hc):
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "trend_units": pd.Series(dtype="int64")})
+    h0, h1 = int(hc["h"].min()), int(hc["h"].max())
+    n = h1 - h0 + 1
+    sx = (h1 - h0) * (h1 - h0 + 1) // 2
+    x = hc["h"].to_numpy(np.int64) - h0
+    y = hc["y"].to_numpy(np.int64)
+    per = pd.DataFrame({"event_type": hc["event_type"],
+                        "xy": x * y, "y": y}).groupby(
+        "event_type", as_index=False
+    ).sum()
+    return pd.DataFrame({
+        "event_type": per["event_type"],
+        "trend_units": (n * per["xy"] - sx * per["y"]).astype("int64"),
+    }).sort_values("event_type", ignore_index=True)
+
+
 def orders_above_customer_avg(sf_dir: str):
     """(o_orderkey, o_custkey, o_totalprice) — orders strictly above their
     OWN customer's average order value: the correlated-subquery archetype

@@ -172,6 +172,26 @@ def test_retention_cohorts_matches_pandas(ray_session):
     assert (got.groupby("cohort_day")["age_days"].min() == 0).all()
 
 
+def test_trend_slope_matches_numpy_lstsq(ray_session):
+    """The integer numerator must equal numpy's least-squares slope times
+    the corpus-constant denominator on the zero-filled axis."""
+    from codepropertygraph_ray.functions.relational import trend_slope
+
+    ev = _events()
+    h = ev["ts"].dt.floor("h").astype("datetime64[s]").astype("int64") // 3600
+    h0, h1 = int(h.min()), int(h.max())
+    n = h1 - h0 + 1
+    xs = np.arange(n, dtype=np.float64)
+    denom = n * (xs**2).sum() - xs.sum() ** 2
+    got = trend_slope(SF_DIR).set_index("event_type")["trend_units"]
+    for et, grp in ev.groupby("event_type"):
+        y = np.zeros(n)
+        vc = (h[grp.index] - h0).value_counts()
+        y[vc.index.to_numpy()] = vc.to_numpy()
+        slope = np.polyfit(xs, y, 1)[0]
+        assert got[et] == pytest.approx(slope * denom, rel=1e-9, abs=1e-3)
+
+
 def test_rolling_avg_matches_direct_window(ray_session):
     from codepropertygraph_ray.functions.relational import rolling_avg_events
 
