@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_widest_path": analytics.widest_path,
         "kg_adamic_adar": analytics.adamic_adar,
         "kg_hits": analytics.hits,
+        "kg_entity_salience": analytics.entity_salience,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -342,6 +343,7 @@ def _kg_sql() -> dict[str, str]:
         KCORE_K,
         AA_UNIT,
         HITS_ITERS,
+        IDF_UNIT,
         SCC_DEPTH,
         WIDEST_DEPTH,
         WIDEST_INF,
@@ -1045,6 +1047,31 @@ def _kg_sql() -> dict[str, str]:
           JOIN pmi_ent ea ON ea.canon = p.canon_a
           JOIN pmi_ent eb ON eb.canon = p.canon_b
           CROSS JOIN pmi_n
+        """,
+        # per-conversation top entity by tf·idf: tf = distinct mention
+        # turns, idf = ln(N/df) quantized once per entity (IDF_UNIT),
+        # integer products, tie-break lowest canon
+        "kg_entity_salience": f"""
+          WITH sal_mc AS MATERIALIZED (
+            SELECT DISTINCT m.conv_id, m.turn_idx, c.canon
+            FROM ({mentions_keyed}) m JOIN ({canon}) c ON c.key = m.key),
+          sal_ct AS (SELECT conv_id, canon, CAST(count(*) AS BIGINT) AS tf
+                     FROM sal_mc GROUP BY 1, 2),
+          sal_df AS (SELECT canon, CAST(count(*) AS BIGINT) AS df
+                     FROM sal_ct GROUP BY canon),
+          sal_n AS (SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS nc
+                    FROM {t}),
+          sal_u AS (SELECT canon,
+                           CAST(round({10 ** IDF_UNIT}.0 *
+                                ln((SELECT nc FROM sal_n) / df)) AS BIGINT) AS u
+                    FROM sal_df),
+          sal_s AS (SELECT ct.conv_id, ct.canon, ct.tf * u.u AS s
+                    FROM sal_ct ct JOIN sal_u u USING (canon))
+          SELECT conv_id, canon, CAST(s AS BIGINT) AS salience_units FROM (
+            SELECT conv_id, canon, s,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY s DESC, canon) AS rn
+            FROM sal_s) WHERE rn = 1
         """,
         # Adamic–Adar link prediction: wedge sums of fixed-point
         # 1/ln(deg(apex)) units (quantized once per node, integer sums)

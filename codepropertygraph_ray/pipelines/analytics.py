@@ -979,6 +979,69 @@ def widest_path(sf_dir: str, depth: int = WIDEST_DEPTH):
     return out.sort_values("canon", ignore_index=True)
 
 
+IDF_UNIT = 6  # fixed-point decimals for the ln(N/df) entity weights
+
+
+def entity_salience(sf_dir: str):
+    """(conv_id, canon, salience_units) — the most salient canonical entity
+    per conversation by tf·idf: tf = distinct turns in the conversation
+    mentioning the entity, idf = ln(N_conversations / df) quantized ONCE
+    per entity to ``IDF_UNIT`` fixed-point units (the adamic_adar
+    discipline — one rounded ln per vocab entry, integer products after),
+    tie-break lowest canon. The entity-salience ranking a KG consumer uses
+    to pick a document's primary entities.
+
+    Scale shape: mention stream → ONE (conv, canon)-keyed exchange for
+    global distinct-turn tf counts → df/idf are vocab-scale (hash_agg +
+    broadcast) → salience is a pure map → per-conv top-1 via a conv-keyed
+    bucket. N comes from a distributed CONVERSATION-node count."""
+    r = kg_runner(sf_dir)
+    ds = _canon_mention_turns(sf_dir)
+
+    def per_cc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        return empty_safe(
+            g.groupby(["conv_id", "canon"], as_index=False)
+            .size().rename(columns={"size": "tf"})
+        )
+
+    ct = hash_groupby(ds, ["conv_id", "canon"], per_cc).materialize()
+
+    dfc = hash_agg(ct, "canon", df=("tf", "size")).to_pandas()
+    nconv = int(
+        r.ctx.read_logical("nodes", columns=["label"]).map_batches(
+            lambda t: pd.DataFrame(
+                {"n": [int((t["label"] == "CONVERSATION").sum())]}
+            ),
+            batch_format="pandas",
+        ).to_pandas()["n"].sum()
+    )
+    idf_units = round_half_away(
+        10.0 ** IDF_UNIT
+        * np.log(float(nconv) / dfc["df"].to_numpy(np.float64)),
+        0,
+    ).astype(np.int64)
+    uref = ray.put(build_lookup(dfc["canon"], idf_units))
+
+    def score(t: pd.DataFrame) -> pd.DataFrame:
+        u = lookup_keys(get_broadcast(uref), t["canon"]).astype(np.int64)
+        return pd.DataFrame(
+            {"conv_id": t["conv_id"], "canon": t["canon"],
+             "salience_units": t["tf"].to_numpy(np.int64) * u}
+        )
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["conv_id", "salience_units", "canon"],
+            ascending=[True, False, True], kind="stable",
+        )
+        return g.drop_duplicates("conv_id", keep="first")
+
+    return hash_groupby(
+        ct.map_batches(score, batch_format="pandas"), "conv_id", top1
+    )
+
+
 AA_UNIT = 6  # fixed-point decimals for the 1/ln(deg) apex weights
 
 

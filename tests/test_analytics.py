@@ -172,6 +172,37 @@ def test_retention_cohorts_matches_pandas(ray_session):
     assert (got.groupby("cohort_day")["age_days"].min() == 0).all()
 
 
+def test_entity_salience_matches_loop(ray_session, kg_run):
+    from codepropertygraph_ray.functions.agg import round_half_away
+    from codepropertygraph_ray.pipelines.analytics import (
+        IDF_UNIT,
+        _canon_mention_turns,
+        entity_salience,
+    )
+    from codepropertygraph_ray.pipelines.queries import kg_runner
+
+    mc = _canon_mention_turns(SF_DIR).to_pandas().drop_duplicates()
+    nodes = kg_runner(SF_DIR).ctx.read_logical("nodes", columns=["label"]).to_pandas()
+    nconv = int((nodes["label"] == "CONVERSATION").sum())
+    ct = mc.groupby(["conv_id", "canon"], as_index=False).size().rename(
+        columns={"size": "tf"}
+    )
+    df = ct.groupby("canon")["tf"].size()
+    idf = {
+        c: int(round_half_away(10.0**IDF_UNIT * np.log(nconv / float(d)), 0))
+        for c, d in df.items()
+    }
+    ct["s"] = ct["tf"] * ct["canon"].map(idf)
+    ref = (
+        ct.sort_values(["conv_id", "s", "canon"], ascending=[True, False, True])
+        .drop_duplicates("conv_id", keep="first")
+        .set_index("conv_id")
+    )
+    got = entity_salience(SF_DIR).to_pandas().set_index("conv_id").sort_index()
+    assert got["canon"].to_dict() == ref["canon"].to_dict()
+    assert got["salience_units"].to_dict() == ref["s"].to_dict()
+
+
 def test_trend_slope_matches_numpy_lstsq(ray_session):
     """The integer numerator must equal numpy's least-squares slope times
     the corpus-constant denominator on the zero-filled axis."""
