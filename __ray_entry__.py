@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_dbscan": similarity.dbscan_embeddings,
         "sim_quantize_int8": similarity.quantize_int8,
         "sim_kmeans": similarity.kmeans_clusters,
+        "sim_mutual_knn": similarity.mutual_knn,
         # --- multimodal plumbing (decode stub) -----------------------------
         "mm_media_features": multimodal.media_features,
         "mm_frame_features": multimodal.frame_features,
@@ -1951,6 +1952,8 @@ def _ops_sql() -> dict[str, str]:
         KM_ITERS,
         KM_K,
         KM_Q,
+        MUTUAL_K,
+        MUTUAL_Q,
         KNN_K,
         N_QUERIES,
     )
@@ -2718,6 +2721,33 @@ def _ops_sql() -> dict[str, str]:
                                                                  y -> abs(y))), 1e-30)
                                + 0.5) AS BIGINT)) >= 127)) AS BIGINT) AS n_sat
           FROM embeddings
+        """,
+        # reciprocal nearest neighbors: pairs in each other's top-k by
+        # quantized-cosine — integer dots of half-up-quantized unit vectors
+        # (exact under any summation order; float cosine would break the
+        # corpus's duplicate-vector rank ties differently per bucket)
+        "sim_mutual_knn": f"""
+          WITH mk_x AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                     e -> CAST(floor(e / greatest(sqrt(list_inner_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[]))), 1e-30)
+                            * {MUTUAL_Q} + 0.5) AS BIGINT)) AS v
+            FROM embeddings),
+          mk_s AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   list_inner_product(CAST(a.v AS DOUBLE[]),
+                                      CAST(b.v AS DOUBLE[])) AS s
+            FROM mk_x a JOIN mk_x b ON a.vec_id <> b.vec_id),
+          mk_r AS (SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY s DESC, dst) AS rn
+            FROM mk_s) WHERE rn <= {MUTUAL_K})
+          SELECT x.src AS id_a, x.dst AS id_b
+          FROM mk_r x JOIN mk_r y ON y.src = x.dst AND y.dst = x.src
+          WHERE x.src < x.dst
         """,
         # deterministic all-integer Lloyd's k-means: quantized coordinates,
         # integer squared-L2 argmin (ties → lowest cluster id), floor-div

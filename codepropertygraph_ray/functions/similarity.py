@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 import ray
 
+from .agg import empty_safe
 from .joins import get_broadcast
 
 N_QUERIES = 5
@@ -102,6 +103,131 @@ def knn_bruteforce(sf_dir: str):
         .map_batches(local_topk, batch_format="pandas")
         .groupby("query_id")
         .map_groups(global_topk, batch_format="pandas")
+    )
+
+
+MUTUAL_K = 3  # reciprocal-neighbor rank cutoff
+MUTUAL_Q = 1000  # fixed-point units per unit-vector coordinate
+
+
+def _qunit(t: pd.DataFrame) -> np.ndarray:
+    """Unit-normalize then quantize to ``MUTUAL_Q`` fixed-point int64 units
+    (half-up floor). Integer dot products of these are EXACT under any
+    summation order — float cosine is not: the corpus contains exact
+    duplicate vectors, so rank ties at the k-th position are real, and a
+    float matmul's last-ulp summation-order noise (which varies with the
+    bucket's matrix shape) would break them differently per bucket."""
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    n[n == 0] = 1e-30
+    return np.floor(m / n * MUTUAL_Q + 0.5).astype(np.int64)
+
+
+def mutual_knn(sf_dir: str, k: int = MUTUAL_K):
+    """(id_a, id_b) — reciprocal nearest neighbors: unordered pairs where
+    each vector ranks in the OTHER's top-``MUTUAL_K`` by quantized-cosine
+    (integer dot of ``_qunit`` vectors; ties broken by lower id). The
+    mutual-kNN criterion is the classic high-precision near-dup/
+    cluster-seed filter — one-directional top-k keeps hub vectors'
+    spurious edges, mutuality kills them.
+
+    Distributed shape: the embedding_dups BLOCK-PAIR join (no corpus
+    broadcast; each bucket scores side i × side j with one integer matmul)
+    emits per-vector LOCAL top-k candidates both ways → a src-keyed bucket
+    reduces ≤ k·B candidates per vector to the global top-k → an
+    unordered-pair-keyed bucket keeps pairs present in both directions.
+    Candidate volume is n·B·k rows; the matmul cost is the inherent O(n²)
+    — the sub-quadratic path is knn_lsh/knn_ivf."""
+    from ..ids import mix_ids
+    from .agg import hash_groupby
+
+    B = _dup_n_blocks()
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+
+    def replicate(t: pd.DataFrame) -> pd.DataFrame:
+        ids_ = t["vec_id"].to_numpy(np.int64)
+        blk = (mix_ids(ids_) % B).astype(np.int64)
+        frames = []
+        for kk in range(B):
+            i = np.minimum(blk, kk)
+            j = np.maximum(blk, kk)
+            frames.append(pd.DataFrame({
+                "pair": i * B + j, "vec_id": ids_, "blk": blk,
+                "embedding": t["embedding"].to_numpy(),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    empty = pd.DataFrame({"src": pd.Series(dtype="int64"),
+                          "dst": pd.Series(dtype="int64"),
+                          "s": pd.Series(dtype="int64")})
+
+    def cand(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty
+        i, j = divmod(int(g["pair"].iloc[0]), B)
+        # sort by id so sims columns are dst-ascending: a stable argsort on
+        # -s then breaks duplicate-vector score ties by LOWEST dst — the
+        # same total order as the global reduce and the SQL oracle
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        m = _qunit(g)
+        ids_ = g["vec_id"].to_numpy(np.int64)
+        blk = g["blk"].to_numpy(np.int64)
+
+        def topk_rows(srcs, dsts, sims, self_mask=False):
+            kk = min(k + 1 if self_mask else k, sims.shape[1])
+            if kk == 0 or not len(srcs):
+                return empty
+            part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            out = pd.DataFrame({
+                "src": np.repeat(srcs, kk),
+                "dst": dsts[part.ravel()],
+                "s": np.take_along_axis(sims, part, axis=1).ravel(),
+            })
+            return out[out["src"] != out["dst"]]
+
+        if i == j:
+            sims = m @ m.T  # int64: exact under any grouping
+            return empty_safe(topk_rows(ids_, ids_, sims, self_mask=True))
+        li, ri = blk == i, blk == j
+        if not li.any() or not ri.any():
+            return empty
+        sims = m[li] @ m[ri].T
+        return empty_safe(pd.concat(
+            [topk_rows(ids_[li], ids_[ri], sims),
+             topk_rows(ids_[ri], ids_[li], sims.T)],
+            ignore_index=True,
+        ))
+
+    cands = (
+        ds.map_batches(replicate, batch_format="pandas")
+        .groupby("pair")
+        .map_groups(cand, batch_format="pandas")
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src", "s", "dst"],
+                          ascending=[True, False, True], kind="stable")
+        return empty_safe(g.groupby("src").head(k)[["src", "dst"]])
+
+    directed = hash_groupby(cands, "src", global_topk)
+
+    def tag(t: pd.DataFrame) -> pd.DataFrame:
+        s = t["src"].to_numpy(np.int64)
+        d = t["dst"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": np.minimum(s, d), "hi": np.maximum(s, d),
+                             "fwd": s < d})
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        piv = g.groupby(["lo", "hi"], as_index=False)["fwd"].nunique()
+        kept = piv[piv["fwd"] == 2]
+        return empty_safe(pd.DataFrame(
+            {"id_a": kept["lo"].to_numpy(np.int64),
+             "id_b": kept["hi"].to_numpy(np.int64)}
+        ))
+
+    return hash_groupby(
+        directed.map_batches(tag, batch_format="pandas"), ["lo", "hi"], mutual
     )
 
 

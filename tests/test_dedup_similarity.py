@@ -501,3 +501,37 @@ def test_kmeans_matches_bruteforce_lloyd(ray_session):
     assert list(got["cluster"]) == list(final)
     # every surviving cluster is non-trivial on this corpus
     assert got["cluster"].nunique() == KM_K
+
+
+def test_mutual_knn_matches_bruteforce(ray_session):
+    """Distributed reciprocal-kNN == single-threaded integer brute force
+    under the same (score desc, dst asc) total order."""
+    from codepropertygraph_ray.functions.similarity import (
+        MUTUAL_K,
+        _qunit,
+        mutual_knn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values(
+        "vec_id", ignore_index=True
+    )
+    q = _qunit(full)
+    ids = full["vec_id"].to_numpy(np.int64)
+    sims = q @ q.T
+    directed = set()
+    for r in range(len(ids)):
+        order = np.argsort(-sims[r], kind="stable")
+        cnt = 0
+        for c in order:
+            if c == r:
+                continue
+            directed.add((ids[r], ids[c]))
+            cnt += 1
+            if cnt == MUTUAL_K:
+                break
+    want = {(a, b) for (a, b) in directed if a < b and (b, a) in directed}
+    got_df = mutual_knn(sf).to_pandas()
+    got = set(zip(got_df["id_a"], got_df["id_b"]))
+    assert got == want
+    assert len(got) > 0
