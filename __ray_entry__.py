@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cumulative_users": relational.cumulative_new_users,
         "rel_retention_cohorts": relational.retention_cohorts,
         "rel_trend_slope": relational.trend_slope,
+        "rel_transitions": relational.event_transitions,
+        "rel_out_of_order": relational.out_of_order_events,
+        "rel_unpivot": relational.unpivot_lineitem,
         "rel_division": relational.users_all_event_types,
         "rel_compact": relational.distinct_until_changed,
         "rel_interval_coverage": relational.interval_coverage,
@@ -1923,6 +1926,51 @@ def _rel_sql() -> dict[str, str]:
                       - (SELECT sx FROM ts_ax) * sum(y) AS BIGINT)
                    AS trend_units
           FROM ts_hc GROUP BY event_type
+        """,
+        # Markov transition counts over per-user (ts, event_id)-ordered
+        # sequences
+        "rel_transitions": """
+          SELECT prev AS from_type, event_type AS to_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events)
+          WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        # late-arrival audit: ts earlier than the running max of prior-
+        # ingested (event_id order) events of the same user
+        "rel_out_of_order": """
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CASE WHEN ts < pmax THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_late
+          FROM (
+            SELECT user_id, ts,
+                   max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pmax
+            FROM events)
+          GROUP BY user_id
+        """,
+        # UNPIVOT/melt of the lineitem measure columns (cents-quantized)
+        "rel_unpivot": """
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 m AS measure,
+                 CAST(sign(v) * floor(abs(v) * 100.0 + 0.5) AS BIGINT)
+                   AS value_cents
+          FROM (
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS m,
+                   CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(l_extendedprice AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(l_tax AS DOUBLE) FROM lineitem)
         """,
         # genuine range join against the literal interval table (the Ray
         # path broadcasts the same bands and probes with searchsorted)

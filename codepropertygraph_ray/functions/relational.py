@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .agg import round_half_away
+from .agg import empty_safe, round_half_away
 from .joins import broadcast_join, broadcast_semi_filter
 
 
@@ -1132,6 +1132,87 @@ def trend_slope(sf_dir: str):
         "event_type": per["event_type"],
         "trend_units": (n * per["xy"] - sx * per["y"]).astype("int64"),
     }).sort_values("event_type", ignore_index=True)
+
+
+def event_transitions(sf_dir: str):
+    """(from_type, to_type, n) — Markov transition counts over each user's
+    event sequence ordered by (ts, event_id): the sequence-bigram
+    archetype (session-flow / Sankey input). Same user-bucketed window
+    shape as ``lag_gaps``; the final reduce is a (type×type)-scale sum."""
+    from .agg import hash_agg, hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        same = g["user_id"].eq(g["user_id"].shift()).to_numpy()
+        out = pd.DataFrame(
+            {"from_type": g["event_type"].shift().to_numpy()[same],
+             "to_type": g["event_type"].to_numpy()[same]}
+        )
+        return empty_safe(
+            out.groupby(["from_type", "to_type"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+
+    out = hash_agg(
+        hash_groupby(ds, "user_id", per_bucket),
+        ["from_type", "to_type"], n=("n", "sum"),
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_type", "to_type"], ignore_index=True)
+
+
+def out_of_order_events(sf_dir: str):
+    """(user_id, n_events, n_late) — late-arrival detection: an event is
+    LATE if its timestamp precedes the running max timestamp of the user's
+    previously-INGESTED events (ingest order = event_id). The watermark /
+    out-of-orderness audit every event-time streaming pipeline runs before
+    choosing window lateness bounds. User-bucketed cummax, all-integer."""
+    from .agg import hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], ignore_index=True)
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        same = g["user_id"].eq(g["user_id"].shift()).to_numpy()
+        pmax = ts.groupby(g["user_id"]).cummax().shift().to_numpy()
+        late = same & (ts.to_numpy() < pmax)
+        agg = pd.DataFrame({"user_id": g["user_id"], "late": late}).groupby(
+            "user_id", as_index=False
+        ).agg(n_events=("late", "size"), n_late=("late", "sum"))
+        agg["n_late"] = agg["n_late"].astype("int64")
+        return agg
+
+    return hash_groupby(ds, "user_id", per_bucket)
+
+
+UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def unpivot_lineitem(sf_dir: str):
+    """(l_orderkey, l_linenumber, measure, value_cents) — melt the
+    lineitem measure columns into long format (the UNPIVOT archetype,
+    inverse of ``pivot_events``). Pure map stage — no shuffle; output is
+    4× the input rows; cents quantization keeps the gate integer."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber"] + UNPIVOT_MEASURES)
+
+    def melt(t: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for m in UNPIVOT_MEASURES:
+            frames.append(pd.DataFrame({
+                "l_orderkey": t["l_orderkey"].to_numpy(np.int64),
+                "l_linenumber": t["l_linenumber"].to_numpy(np.int64),
+                "measure": m,
+                "value_cents": np.floor(
+                    np.abs(t[m].to_numpy(np.float64)) * 100.0 + 0.5
+                ).astype(np.int64) * np.sign(t[m].to_numpy(np.float64)).astype(np.int64),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(melt, batch_format="pandas")
 
 
 def orders_above_customer_avg(sf_dir: str):

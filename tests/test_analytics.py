@@ -203,6 +203,70 @@ def test_entity_salience_matches_loop(ray_session, kg_run):
     assert got["salience_units"].to_dict() == ref["s"].to_dict()
 
 
+def test_event_transitions_matches_pandas(ray_session):
+    from codepropertygraph_ray.functions.relational import event_transitions
+
+    ev = _events().sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+    same = ev["user_id"].eq(ev["user_id"].shift())
+    ref = (
+        pd.DataFrame({"from_type": ev["event_type"].shift()[same],
+                      "to_type": ev["event_type"][same]})
+        .groupby(["from_type", "to_type"], as_index=False).size()
+        .rename(columns={"size": "n"})
+        .sort_values(["from_type", "to_type"], ignore_index=True)
+    )
+    got = event_transitions(SF_DIR)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_out_of_order_matches_pandas(ray_session):
+    from codepropertygraph_ray.functions.relational import out_of_order_events
+
+    ev = _events().sort_values(["user_id", "event_id"], ignore_index=True)
+    ts = ev["ts"].astype("datetime64[us]").astype("int64")
+    pmax = ts.groupby(ev["user_id"]).cummax().shift()
+    same = ev["user_id"].eq(ev["user_id"].shift())
+    late = same & (ts < pmax)
+    ref = pd.DataFrame({"user_id": ev["user_id"], "late": late}).groupby(
+        "user_id"
+    ).agg(n_events=("late", "size"), n_late=("late", "sum"))
+    got = (
+        out_of_order_events(SF_DIR).to_pandas()
+        .set_index("user_id").sort_index()
+    )
+    assert got["n_events"].to_dict() == ref["n_events"].to_dict()
+    assert got["n_late"].to_dict() == {k: int(v) for k, v in ref["n_late"].items()}
+
+
+def test_unpivot_roundtrips_measures(ray_session):
+    from codepropertygraph_ray.functions.relational import (
+        UNPIVOT_MEASURES,
+        unpivot_lineitem,
+    )
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    got = unpivot_lineitem(SF_DIR).to_pandas()
+    assert len(got) == len(li) * len(UNPIVOT_MEASURES)
+    # multiset equality vs a direct pandas melt ((orderkey, linenumber) is
+    # NOT unique in the synthetic lineitem, so no keyed round-trip)
+    frames = []
+    for m in UNPIVOT_MEASURES:
+        v = li[m].to_numpy()
+        frames.append(pd.DataFrame({
+            "l_orderkey": li["l_orderkey"], "l_linenumber": li["l_linenumber"],
+            "measure": m,
+            "value_cents": (np.floor(np.abs(v) * 100 + 0.5)
+                            * np.sign(v)).astype("int64"),
+        }))
+    ref = pd.concat(frames, ignore_index=True)
+    cols = ["l_orderkey", "l_linenumber", "measure", "value_cents"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols, ignore_index=True),
+        ref[cols].sort_values(cols, ignore_index=True),
+        check_dtype=False,
+    )
+
+
 def test_trend_slope_matches_numpy_lstsq(ray_session):
     """The integer numerator must equal numpy's least-squares slope times
     the corpus-constant denominator on the zero-filled axis."""
