@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adamic_adar": analytics.adamic_adar,
         "kg_hits": analytics.hits,
         "kg_entity_salience": analytics.entity_salience,
+        "kg_conv_jaccard": analytics.conv_jaccard,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -348,6 +349,9 @@ def _kg_sql() -> dict[str, str]:
         AA_UNIT,
         HITS_ITERS,
         IDF_UNIT,
+        CONV_JAC_DF_CAP,
+        CONV_JAC_NUM,
+        CONV_JAC_DEN,
         SCC_DEPTH,
         WIDEST_DEPTH,
         WIDEST_INF,
@@ -1076,6 +1080,32 @@ def _kg_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY conv_id
                                       ORDER BY s DESC, canon) AS rn
             FROM sal_s) WHERE rn = 1
+        """,
+        # conversation near-dup pairs by canonical-entity-set Jaccard:
+        # stop-entity df cap applied to BOTH sides, integer cross-
+        # multiplied threshold — no float anywhere
+        "kg_conv_jaccard": f"""
+          WITH cj_cs AS MATERIALIZED (
+            SELECT DISTINCT m.conv_id, c.canon
+            FROM ({mentions_keyed}) m JOIN ({canon}) c ON c.key = m.key),
+          cj_df AS (SELECT canon, count(*) AS df FROM cj_cs GROUP BY canon),
+          cj_kept AS (SELECT cs.conv_id, cs.canon
+                      FROM cj_cs cs JOIN cj_df d USING (canon)
+                      WHERE d.df <= {CONV_JAC_DF_CAP}),
+          cj_sz AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n
+                    FROM cj_kept GROUP BY conv_id),
+          cj_pr AS (SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                           CAST(count(*) AS BIGINT) AS n_common
+                    FROM cj_kept a JOIN cj_kept b
+                      ON a.canon = b.canon AND a.conv_id < b.conv_id
+                    GROUP BY 1, 2)
+          SELECT p.conv_a, p.conv_b, p.n_common,
+                 sa.n + sb.n - p.n_common AS n_union
+          FROM cj_pr p
+          JOIN cj_sz sa ON sa.conv_id = p.conv_a
+          JOIN cj_sz sb ON sb.conv_id = p.conv_b
+          WHERE p.n_common * {CONV_JAC_DEN}
+                >= {CONV_JAC_NUM} * (sa.n + sb.n - p.n_common)
         """,
         # Adamic–Adar link prediction: wedge sums of fixed-point
         # 1/ln(deg(apex)) units (quantized once per node, integer sums)

@@ -1121,3 +1121,84 @@ def adamic_adar(sf_dir: str):
         )
 
     return hash_groupby(w.union(e_tagged), ["x", "y"], score)
+
+
+CONV_JAC_DF_CAP = 50   # stop-entity cap: entities in > this many convs are dropped
+CONV_JAC_NUM, CONV_JAC_DEN = 3, 10  # keep pairs with Jaccard >= 3/10
+
+
+def conv_jaccard(sf_dir: str):
+    """(conv_a, conv_b, n_common, n_union) — conversation near-dup pairs by
+    canonical-entity-set Jaccard ≥ ``CONV_JAC_NUM/CONV_JAC_DEN``, checked
+    with the integer cross-multiplication ``n_common·DEN ≥ NUM·n_union``
+    (no float ever computed → bit-exact oracle). The document-level
+    near-dup signal a KG consumer uses to collapse re-ingested or
+    templated conversations — the set-similarity analog of the reference's
+    structural duplicate queries over shared AST shapes
+    (`semanticcpg/.../language/package.scala`).
+
+    Hub discipline: entities appearing in more than ``CONV_JAC_DF_CAP``
+    conversations are stop-entities — dropped from every set BEFORE sizes
+    and intersections (both sides of the oracle apply the same cap), the
+    ngram_jaccard stop-shingle precedent (functions/dedup.py). Pair volume
+    is then Σ df² with df ≤ cap — bounded per entity, never all-pairs.
+
+    Scale shape: mention stream → ONE (conv, canon)-keyed exchange for the
+    global distinct sets → entity df is vocab-scale (hash_agg + broadcast
+    keep-list) → pairs emit from per-ENTITY buckets (inverted index) →
+    bucketed integer sum per conv pair → threshold is a pure map. Set
+    sizes broadcast (conv-dim scale; at 10^12-turn scale route them
+    through a sharded lookup — the validate.py 50M-row switch precedent)."""
+    ds = _canon_mention_turns(sf_dir)
+
+    cs = hash_agg(
+        ds.map_batches(
+            lambda t: empty_safe(t[["conv_id", "canon"]].drop_duplicates()),
+            batch_format="pandas",
+        ),
+        ["conv_id", "canon"], n=("canon", "size"),
+    ).drop_columns(["n"]).materialize()
+
+    dfc = hash_agg(cs, "canon", df=("canon", "size")).to_pandas()
+    keep = dfc.loc[dfc["df"] <= CONV_JAC_DF_CAP, "canon"]
+    kref = ray.put(np.sort(keep.to_numpy(object)))
+
+    def fil(t: pd.DataFrame) -> pd.DataFrame:
+        ks = get_broadcast(kref)
+        arr = t["canon"].to_numpy(object)
+        if not len(ks) or not len(arr):
+            return empty_safe(t.iloc[0:0])
+        pos = np.clip(np.searchsorted(ks, arr), 0, len(ks) - 1)
+        return empty_safe(t[ks[pos] == arr])
+
+    kept = cs.map_batches(fil, batch_format="pandas").materialize()
+    sz = hash_agg(kept, "conv_id", n=("conv_id", "size")).to_pandas()
+    sref = ray.put(build_lookup(sz["conv_id"], sz["n"].to_numpy(np.int64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="canon")
+        m = m[m["conv_id_x"] < m["conv_id_y"]]
+        pc = m.groupby(["conv_id_x", "conv_id_y"], as_index=False).size()
+        return empty_safe(pc.rename(columns={
+            "conv_id_x": "conv_a", "conv_id_y": "conv_b", "size": "n_common"
+        }))
+
+    pr = hash_agg(
+        hash_groupby(kept, "canon", pairs),
+        ["conv_a", "conv_b"], n_common=("n_common", "sum"),
+    )
+
+    def score(t: pd.DataFrame) -> pd.DataFrame:
+        tbl = get_broadcast(sref)
+        na = lookup_keys(tbl, t["conv_a"]).astype(np.int64)
+        nb = lookup_keys(tbl, t["conv_b"]).astype(np.int64)
+        nc = t["n_common"].to_numpy(np.int64)
+        nu = na + nb - nc
+        m = nc * CONV_JAC_DEN >= CONV_JAC_NUM * nu
+        return empty_safe(pd.DataFrame(
+            {"conv_a": t["conv_a"].to_numpy()[m],
+             "conv_b": t["conv_b"].to_numpy()[m],
+             "n_common": nc[m], "n_union": nu[m]}
+        ))
+
+    return pr.map_batches(score, batch_format="pandas")

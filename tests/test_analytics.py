@@ -1223,3 +1223,38 @@ def test_interval_coverage_matches_merge_scan(ray_session):
     # the window actually merges: fewer islands than events for someone
     n_ev = ev.groupby("user_id").size()
     assert (got["n_islands"] < n_ev.reindex(got.index)).any()
+
+
+def test_conv_jaccard_matches_loop(ray_session, kg_run):
+    from codepropertygraph_ray.pipelines.analytics import (
+        CONV_JAC_DEN,
+        CONV_JAC_DF_CAP,
+        CONV_JAC_NUM,
+        _canon_mention_turns,
+        conv_jaccard,
+    )
+
+    cs = (
+        _canon_mention_turns(SF_DIR).to_pandas()[["conv_id", "canon"]]
+        .drop_duplicates()
+    )
+    df = cs.groupby("canon")["conv_id"].size()
+    kept = cs[cs["canon"].map(df) <= CONV_JAC_DF_CAP]
+    sets = kept.groupby("conv_id")["canon"].agg(set)
+    convs = sorted(sets.index)
+    ref = {}
+    for i, a in enumerate(convs):
+        for b in convs[i + 1:]:
+            nc = len(sets[a] & sets[b])
+            nu = len(sets[a] | sets[b])
+            if nc and nc * CONV_JAC_DEN >= CONV_JAC_NUM * nu:
+                ref[(a, b)] = (nc, nu)
+    got = conv_jaccard(SF_DIR).to_pandas()
+    assert (got["conv_a"] < got["conv_b"]).all()
+    assert not got.duplicated(["conv_a", "conv_b"]).any()
+    got_map = {
+        (r.conv_a, r.conv_b): (int(r.n_common), int(r.n_union))
+        for r in got.itertuples()
+    }
+    assert got_map == ref
+    assert len(ref) > 0  # the corpus plants near-dup conversations
