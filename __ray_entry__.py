@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": analytics.hits,
         "kg_entity_salience": analytics.entity_salience,
         "kg_conv_jaccard": analytics.conv_jaccard,
+        "kg_communities": analytics.communities,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -352,6 +353,7 @@ def _kg_sql() -> dict[str, str]:
         CONV_JAC_DF_CAP,
         CONV_JAC_NUM,
         CONV_JAC_DEN,
+        LPA_ITERS,
         SCC_DEPTH,
         WIDEST_DEPTH,
         WIDEST_INF,
@@ -451,6 +453,32 @@ def _kg_sql() -> dict[str, str]:
        AND a.canon < b.canon
       GROUP BY a.canon, b.canon
     """
+
+    # synchronous label propagation, LPA_ITERS rounds unrolled (same
+    # construction as the fixed-iteration pagerank/HITS oracles): argmax
+    # neighbor label with lexicographic-min tie-break via row_number
+    lpa_cte = [
+        "lpa_e AS MATERIALIZED (SELECT canon_a AS a, canon_b AS b "
+        f"FROM ({cooc})),",
+        "lpa_und(src, dst) AS (SELECT a, b FROM lpa_e "
+        "UNION ALL SELECT b, a FROM lpa_e),",
+        "lpa_l0 AS (SELECT DISTINCT dst AS node, dst AS lab FROM lpa_und),",
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        lpa_cte.append(
+            f"lpa_v{i} AS (SELECT u.dst AS node, l.lab, count(*) AS c "
+            f"FROM lpa_und u JOIN lpa_l{i - 1} l ON l.node = u.src "
+            "GROUP BY 1, 2),"
+        )
+        lpa_cte.append(
+            f"lpa_l{i} AS (SELECT node, lab FROM ("
+            "SELECT node, lab, row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, lab) AS rn FROM lpa_v{i}) WHERE rn = 1),"
+        )
+    lpa_sql = (
+        "WITH " + " ".join(lpa_cte).rstrip(",")
+        + f" SELECT node AS canon, lab AS community FROM lpa_l{LPA_ITERS}"
+    )
 
     return {
         "kg_mentions": mentions_keyed,
@@ -1081,6 +1109,7 @@ def _kg_sql() -> dict[str, str]:
                                       ORDER BY s DESC, canon) AS rn
             FROM sal_s) WHERE rn = 1
         """,
+        "kg_communities": lpa_sql,
         # conversation near-dup pairs by canonical-entity-set Jaccard:
         # stop-entity df cap applied to BOTH sides, integer cross-
         # multiplied threshold — no float anywhere

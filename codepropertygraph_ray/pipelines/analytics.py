@@ -1202,3 +1202,73 @@ def conv_jaccard(sf_dir: str):
         ))
 
     return pr.map_batches(score, batch_format="pandas")
+
+
+LPA_ITERS = 3
+
+
+def communities(sf_dir: str):
+    """(canon, community) — community detection over the undirected
+    co-mention graph by synchronous label propagation: ``LPA_ITERS`` fixed
+    rounds from self-labels, each node adopting the most frequent label
+    among its neighbors, ties broken by lexicographic minimum — fully
+    deterministic (no float, no randomness) so the unrolled SQL oracle is
+    bit-exact. Fixed-round sync LPA is the distributed-safe variant (async
+    LPA is order-dependent); domain = nodes incident to ≥1 co-mention
+    edge. The topic-cluster view of the KG — the analog of grouping the
+    reference's graph by connected structural neighborhoods
+    (`semanticcpg/.../language/package.scala`).
+
+    Scale shape: the edge list is entity-vocab-scale; labels broadcast per
+    iteration (the pagerank discipline), votes emit from a distributed
+    edge scan with per-batch pre-aggregation, one (node, lab)-keyed
+    bucketed sum, and the per-node argmax runs in node-keyed buckets."""
+    edges = _cooc_edges(sf_dir)
+
+    und = edges.map_batches(
+        lambda t: pd.DataFrame(
+            {"src": pd.concat([t["a"], t["b"]], ignore_index=True),
+             "dst": pd.concat([t["b"], t["a"]], ignore_index=True)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    nodes = hash_agg(und, "dst", n=("dst", "size")).to_pandas()
+    dom = nodes["dst"].to_numpy(object)
+    if not len(dom):
+        return pd.DataFrame({"canon": pd.Series(dtype="object"),
+                             "community": pd.Series(dtype="object")})
+    lab = pd.Series(dom, index=dom)
+
+    for _ in range(LPA_ITERS):
+        lref = ray.put(build_lookup(lab.index, lab.to_numpy(object)))
+
+        def votes(t: pd.DataFrame) -> pd.DataFrame:
+            ls = lookup_keys(get_broadcast(lref), t["src"], default="self")
+            g = pd.DataFrame({"node": t["dst"], "lab": ls})
+            return empty_safe(
+                g.groupby(["node", "lab"], as_index=False)
+                .size().rename(columns={"size": "c"})
+            )
+
+        vs = hash_agg(
+            und.map_batches(votes, batch_format="pandas"),
+            ["node", "lab"], c=("c", "sum"),
+        )
+
+        def pick(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(
+                ["node", "c", "lab"], ascending=[True, False, True],
+                kind="stable",
+            )
+            return g.drop_duplicates("node", keep="first")[["node", "lab"]]
+
+        new = hash_groupby(vs, "node", pick).to_pandas()
+        lab = pd.Series(new["lab"].to_numpy(object),
+                        index=new["node"].to_numpy(object))
+
+    out = pd.DataFrame(
+        {"canon": lab.index.to_numpy(object),
+         "community": lab.to_numpy(object)}
+    )
+    return out.sort_values("canon", ignore_index=True)

@@ -1258,3 +1258,26 @@ def test_conv_jaccard_matches_loop(ray_session, kg_run):
     }
     assert got_map == ref
     assert len(ref) > 0  # the corpus plants near-dup conversations
+
+
+def test_communities_matches_loop(ray_session, cooc_edges):
+    from collections import Counter
+
+    from codepropertygraph_ray.pipelines.analytics import LPA_ITERS, communities
+
+    adj: dict = defaultdict(set)
+    for a, b in zip(cooc_edges["a"], cooc_edges["b"]):
+        adj[a].add(b)
+        adj[b].add(a)
+    lab = {v: v for v in adj}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = Counter(lab[u] for u in nbrs)
+            best = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == best)
+        lab = new
+    got = communities(SF_DIR)
+    assert dict(zip(got["canon"], got["community"])) == lab
+    # sanity: propagation actually merges — some community has >1 member
+    assert got["community"].duplicated().any()
