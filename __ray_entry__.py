@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_salience": analytics.entity_salience,
         "kg_conv_jaccard": analytics.conv_jaccard,
         "kg_communities": analytics.communities,
+        "kg_conv_groups": analytics.conv_groups,
         # --- relational operator archetypes (SURVEY.md §2 analogs) --------
         "rel_q1_pricing": relational.q1_pricing,
         "rel_nation_revenue": relational.nation_revenue,
@@ -479,6 +480,30 @@ def _kg_sql() -> dict[str, str]:
         "WITH " + " ".join(lpa_cte).rstrip(",")
         + f" SELECT node AS canon, lab AS community FROM lpa_l{LPA_ITERS}"
     )
+
+    conv_jac = f"""
+      WITH cj_cs AS MATERIALIZED (
+        SELECT DISTINCT m.conv_id, c.canon
+        FROM ({mentions_keyed}) m JOIN ({canon}) c ON c.key = m.key),
+      cj_df AS (SELECT canon, count(*) AS df FROM cj_cs GROUP BY canon),
+      cj_kept AS (SELECT cs.conv_id, cs.canon
+                  FROM cj_cs cs JOIN cj_df d USING (canon)
+                  WHERE d.df <= {CONV_JAC_DF_CAP}),
+      cj_sz AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n
+                FROM cj_kept GROUP BY conv_id),
+      cj_pr AS (SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM cj_kept a JOIN cj_kept b
+                  ON a.canon = b.canon AND a.conv_id < b.conv_id
+                GROUP BY 1, 2)
+      SELECT p.conv_a, p.conv_b, p.n_common,
+             sa.n + sb.n - p.n_common AS n_union
+      FROM cj_pr p
+      JOIN cj_sz sa ON sa.conv_id = p.conv_a
+      JOIN cj_sz sb ON sb.conv_id = p.conv_b
+      WHERE p.n_common * {CONV_JAC_DEN}
+            >= {CONV_JAC_NUM} * (sa.n + sb.n - p.n_common)
+    """
 
     return {
         "kg_mentions": mentions_keyed,
@@ -1113,28 +1138,23 @@ def _kg_sql() -> dict[str, str]:
         # conversation near-dup pairs by canonical-entity-set Jaccard:
         # stop-entity df cap applied to BOTH sides, integer cross-
         # multiplied threshold — no float anywhere
-        "kg_conv_jaccard": f"""
-          WITH cj_cs AS MATERIALIZED (
-            SELECT DISTINCT m.conv_id, c.canon
-            FROM ({mentions_keyed}) m JOIN ({canon}) c ON c.key = m.key),
-          cj_df AS (SELECT canon, count(*) AS df FROM cj_cs GROUP BY canon),
-          cj_kept AS (SELECT cs.conv_id, cs.canon
-                      FROM cj_cs cs JOIN cj_df d USING (canon)
-                      WHERE d.df <= {CONV_JAC_DF_CAP}),
-          cj_sz AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n
-                    FROM cj_kept GROUP BY conv_id),
-          cj_pr AS (SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
-                           CAST(count(*) AS BIGINT) AS n_common
-                    FROM cj_kept a JOIN cj_kept b
-                      ON a.canon = b.canon AND a.conv_id < b.conv_id
-                    GROUP BY 1, 2)
-          SELECT p.conv_a, p.conv_b, p.n_common,
-                 sa.n + sb.n - p.n_common AS n_union
-          FROM cj_pr p
-          JOIN cj_sz sa ON sa.conv_id = p.conv_a
-          JOIN cj_sz sb ON sb.conv_id = p.conv_b
-          WHERE p.n_common * {CONV_JAC_DEN}
-                >= {CONV_JAC_NUM} * (sa.n + sb.n - p.n_common)
+        "kg_conv_jaccard": conv_jac,
+        # conversation dedup policy: near-dup pairs → recursive-CTE
+        # connected components → min-conv_id representative over the
+        # full conversation universe
+        "kg_conv_groups": f"""
+          WITH RECURSIVE cg_pairs AS MATERIALIZED ({conv_jac}),
+          cg_e(a, b) AS (SELECT conv_a, conv_b FROM cg_pairs
+                         UNION SELECT conv_b, conv_a FROM cg_pairs),
+          cg_reach(n, m) AS (
+            SELECT a, a FROM cg_e GROUP BY a
+            UNION
+            SELECT r.n, e.b FROM cg_reach r JOIN cg_e e ON r.m = e.a),
+          cg_comp AS (SELECT n AS node, min(m) AS comp
+                      FROM cg_reach GROUP BY n)
+          SELECT u.conv_id, coalesce(c.comp, u.conv_id) AS grp
+          FROM (SELECT DISTINCT conv_id FROM {t}) u
+          LEFT JOIN cg_comp c ON c.node = u.conv_id
         """,
         # Adamic–Adar link prediction: wedge sums of fixed-point
         # 1/ln(deg(apex)) units (quantized once per node, integer sums)

@@ -1272,3 +1272,52 @@ def communities(sf_dir: str):
          "community": lab.to_numpy(object)}
     )
     return out.sort_values("canon", ignore_index=True)
+
+
+def conv_groups(sf_dir: str):
+    """(conv_id, grp) — the conversation-level dedup policy composed
+    end-to-end: ``conv_jaccard`` near-dup pairs → connected components
+    (the engine's union-find, ``functions/cc.canonical_map``) → grp = the
+    component's MIN conv_id, or the conversation itself when it is in no
+    component. The conversation analog of ``dedup_keep_list``'s
+    candidate→cluster→select flow, giving a KG consumer the collapse map
+    for re-ingested/templated conversations.
+
+    Scale shape: pair volume is near-dup-scale (≪ corpus) so the
+    component map broadcasts; the conversation universe streams through a
+    vectorized sorted-probe — never driver-materialized."""
+    import ray.data
+
+    from ..functions.cc import canonical_map
+    from ..sources.transcripts import ensure_transcripts
+
+    pairs = conv_jaccard(sf_dir).map_batches(
+        lambda t: empty_safe(t.rename(columns={"conv_a": "a", "conv_b": "b"})
+                             [["a", "b"]]),
+        batch_format="pandas",
+    )
+    cm = canonical_map(pairs)  # DataFrame(node, component) — dup-scale
+    if len(cm):
+        nodes = cm["node"].to_numpy(object)
+        order = np.argsort(nodes)
+        nodes_s = nodes[order]
+        comps_s = cm["component"].to_numpy(object)[order]
+    else:
+        nodes_s = np.empty(0, object)
+        comps_s = np.empty(0, object)
+    gref = ray.put((nodes_s, comps_s))
+
+    def assign(t: pd.DataFrame) -> pd.DataFrame:
+        ns, cs = get_broadcast(gref)
+        cv = t["conv_id"].drop_duplicates().to_numpy(object)
+        grp = cv.copy()
+        if len(ns) and len(cv):
+            pos = np.clip(np.searchsorted(ns, cv), 0, len(ns) - 1)
+            hit = ns[pos] == cv
+            grp[hit] = cs[pos][hit]
+        return empty_safe(pd.DataFrame({"conv_id": cv, "grp": grp}))
+
+    convs = ray.data.read_parquet(ensure_transcripts(sf_dir), columns=["conv_id"])
+    out = convs.map_batches(assign, batch_format="pandas")
+    # batch-level dedup above, global distinct here (conversations span files)
+    return hash_groupby(out, "conv_id", lambda g: g.drop_duplicates())

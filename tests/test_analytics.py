@@ -1281,3 +1281,27 @@ def test_communities_matches_loop(ray_session, cooc_edges):
     assert dict(zip(got["canon"], got["community"])) == lab
     # sanity: propagation actually merges — some community has >1 member
     assert got["community"].duplicated().any()
+
+
+def test_conv_groups_matches_loop(ray_session, kg_run):
+    from codepropertygraph_ray.pipelines.analytics import conv_groups, conv_jaccard
+
+    pairs = conv_jaccard(SF_DIR).to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["conv_a"], pairs["conv_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    got = conv_groups(SF_DIR).to_pandas()
+    assert not got["conv_id"].duplicated().any()
+    for cid, grp in zip(got["conv_id"], got["grp"]):
+        assert grp == find(cid)
+    # sanity: some group actually collapses >1 conversation
+    assert got["grp"].duplicated().any()
